@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY §2 operators q16–q30: in/out ledgers (A11), multi-period column
+  * groups (A14/A17), growth (W5), rollup (A15/A16), windows (W1–W4),
+  * sort/limit/pagination (O1/O4/O5), set ops (§2.8), scalar functions (§2.9),
+  * JSON map access (P6), search filter (P5). */
+object RelationalB {
+
+  /** A11 — in-minus-out net quantity: two grouped sums joined full-outer,
+    * coalesce(in,0)-coalesce(out,0) (serial.py:401-438,
+    * stock_ageing.py:180-216). Scale: both aggs shrink before the join;
+    * full-outer hash join on the (already shuffled) group key. */
+  def q16(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val in = ev.filter(col("event_type").isin("purchase", "signup"))
+      .groupBy(col("user_id").as("u_in")).agg(sum(col("value")).as("v_in"))
+    val out = ev.filter(col("event_type").isin("error", "click"))
+      .groupBy(col("user_id").as("u_out")).agg(sum(col("value")).as("v_out"))
+    in.join(out, col("u_in") === col("u_out"), "full_outer")
+      .select(coalesce(col("u_in"), col("u_out")).as("user_id"),
+        round(coalesce(col("v_in"), lit(0.0)) - coalesce(col("v_out"), lit(0.0)), 2).as("net_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q16Sql: String =
+    """WITH i AS (SELECT user_id AS u_in, sum(value) AS v_in FROM events
+      |           WHERE event_type IN ('purchase','signup') GROUP BY user_id),
+      |o AS (SELECT user_id AS u_out, sum(value) AS v_out FROM events
+      |      WHERE event_type IN ('error','click') GROUP BY user_id)
+      |SELECT coalesce(u_in, u_out) AS user_id,
+      |  round(coalesce(v_in, 0) - coalesce(v_out, 0), 2) AS net_value
+      |FROM i FULL OUTER JOIN o ON u_in = u_out
+      |ORDER BY user_id""".stripMargin
+
+  /** A14/A17 — multi-period column groups evaluated in ONE scan as
+    * conditional aggregates instead of the reference's per-group UNION ALL
+    * (account_general_ledger.py:223-290, account_report.py:2127-2144).
+    * Scale: N comparison periods cost one fact scan, not N. */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val y = year(col("o_orderdate"))
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(when(y === 1995, col("o_totalprice")).otherwise(0.0)), 2).as("p1995"),
+        round(sum(when(y === 1996, col("o_totalprice")).otherwise(0.0)), 2).as("p1996"),
+        round(sum(when(y === 1997, col("o_totalprice")).otherwise(0.0)), 2).as("p1997"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q17Sql: String =
+    """SELECT o_orderpriority,
+      |  round(sum(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice ELSE 0 END), 2) AS p1995,
+      |  round(sum(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice ELSE 0 END), 2) AS p1996,
+      |  round(sum(CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice ELSE 0 END), 2) AS p1997
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** W5 — growth/variance column between two period columns
+    * ((a-b)/b, zero-divide → NULL, account_report.py:4445-4483). Built on
+    * q17's single-scan pivot; the division runs on identical rounded inputs
+    * on both sides, so fr() keeps it bit-identical. */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val base = q17(s, d)
+    base.select(col("o_orderpriority"), col("p1995"), col("p1996"),
+      when(col("p1995") === 0.0, lit(null).cast("double"))
+        .otherwise(Parity.fr((col("p1996") - col("p1995")) / col("p1995"), 4)).as("growth"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q18Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderpriority,
+      |    round(sum(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice ELSE 0 END), 2) AS p1995,
+      |    round(sum(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice ELSE 0 END), 2) AS p1996
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, p1995, p1996,
+      |  CASE WHEN p1995 = 0.0 THEN NULL
+      |       ELSE floor((p1996 - p1995) / p1995 * 10000 + 0.5) / 10000 END AS growth
+      |FROM base ORDER BY o_orderpriority""".stripMargin
+
+  /** A15/A16 — grouping-sets/hierarchy rollup: region→nation→(all) subtotals
+    * in one pass (multi-level groupby chain, account_report.py:4786-4921;
+    * hierarchy totals :845-994). Rollup nulls coalesced to a sentinel so the
+    * compare is null-proof. */
+  def q19(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("bal"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("n_cust"), col("bal"))
+      .orderBy(col("region"), col("nation"))
+  }
+
+  val q19Sql: String =
+    """SELECT coalesce(r_name, '(all)') AS region,
+      |  coalesce(n_name, '(all)') AS nation,
+      |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** W1/W2 — running balance per partition ordered by (date, id)
+    * (cumulate_balance, account_journal_report.py:109-237). Scale: window
+    * shuffles once on custkey; within-partition sort is the standard
+    * running-ledger plan. */
+  def q20(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+      round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+  }
+
+  val q20Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  round(sum(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
+
+  /** W3 — most_recent value per key: row_number over desc (date, id)
+    * (account_report.py:2907-2912). */
+  def q21(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q21Sql: String =
+    """SELECT user_id, last_type, last_value FROM (
+      |  SELECT user_id, event_type AS last_type, round(value, 2) AS last_value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** W4 — first row per (key, month) — DISTINCT ON analog
+    * (account_journal_report.py:728-756). */
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val month = date_format(col("o_orderdate"), "yyyy-MM")
+    val w = Window.partitionBy(col("o_custkey"), month)
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.withColumn("om", month).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("om"))
+      .agg(count(lit(1)).as("n_first"), round(sum(col("o_totalprice")), 2).as("amount"))
+      .orderBy(col("om"))
+  }
+
+  val q22Sql: String =
+    """WITH firsts AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS om, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey, strftime(o_orderdate, '%Y-%m')
+      |      ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT om, count(*) AS n_first, round(sum(o_totalprice), 2) AS amount
+      |FROM firsts WHERE rn = 1 GROUP BY om ORDER BY om""".stripMargin
+
+  /** O1/O4 — deterministic ORDER BY + OFFSET/LIMIT pagination
+    * (load-more, account_report.py:2955-2969). */
+  def q23(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(100).limit(50)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"),
+        col("o_orderpriority"))
+
+  val q23Sql: String =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS total, o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 50 OFFSET 100""".stripMargin
+
+  /** O5 — prefix-grouping of a large key list
+    * (account_report.py:3934-4065). */
+  def q24(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(substring(col("c_name"), 1, 12).as("name_prefix"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+      .orderBy(col("name_prefix"))
+
+  val q24Sql: String =
+    """SELECT substring(c_name, 1, 12) AS name_prefix,
+      |  count(*) AS n, round(sum(c_acctbal), 2) AS bal
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** §2.8 — UNION ALL of heterogeneous sources projected to a common schema
+    * (cash-flow three-way union, account_cash_flow_report.py:280-360;
+    * unionByName per SURVEY). */
+  def q25(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(lit("order").as("doc_type"), col("o_orderkey").as("doc_key"),
+        col("o_totalprice").as("amount"))
+    val li = Tables.lineitem(s, d)
+      .select(lit("line").as("doc_type"), col("l_orderkey").as("doc_key"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("amount"))
+    val ev = Tables.events(s, d)
+      .select(lit("event").as("doc_type"), col("event_id").as("doc_key"),
+        col("value").as("amount"))
+    o.unionByName(li).unionByName(ev)
+      .groupBy(col("doc_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("amount")), 2).as("total"))
+      .orderBy(col("doc_type"))
+  }
+
+  val q25Sql: String =
+    """WITH u AS (
+      |  SELECT 'order' AS doc_type, o_orderkey AS doc_key, o_totalprice AS amount FROM orders
+      |  UNION ALL
+      |  SELECT 'line', l_orderkey, l_extendedprice * (1 - l_discount) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'event', event_id, value FROM events)
+      |SELECT doc_type, count(*) AS n, round(sum(amount), 2) AS total
+      |FROM u GROUP BY doc_type ORDER BY doc_type""".stripMargin
+
+  /** §2.9 — scalar-function projection: concat_ws, substring, coalesce,
+    * length, month/quarter extraction, datediff (all §2.9 rows). */
+  def q26(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        concat_ws("/", col("c_name"), coalesce(col("c_mktsegment"), lit("?"))).as("label"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        length(col("c_name")).cast("long").as("name_len"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        quarter(col("o_orderdate")).cast("long").as("order_quarter"),
+        datediff(lit("2000-01-01").cast("timestamp"), col("o_orderdate")).cast("long").as("age_days"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q26Sql: String =
+    """SELECT o_orderkey,
+      |  concat_ws('/', c_name, coalesce(c_mktsegment, '?')) AS label,
+      |  substring(o_orderpriority, 1, 1) AS prio_code,
+      |  length(c_name) AS name_len,
+      |  month(o_orderdate) AS order_month,
+      |  quarter(o_orderdate) AS order_quarter,
+      |  datediff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS age_days
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey <= 1000
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** P6 — JSON map-value extraction (analytic_distribution JSONB,
+    * account_analytic_report.py:171-178) via regex on both sides to stay
+    * engine-neutral; bucketed containment-style filter on the extracted key. */
+  def q27(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val k = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long")
+    ev.withColumn("k", k)
+      .filter(col("k") % 10 === 0)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("k"))
+  }
+
+  val q27Sql: String =
+    """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+      |  count(*) AS n, round(sum(value), 2) AS total
+      |FROM events
+      |WHERE CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 10 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** P5 — search-bar fuzzy filter: lower(col) contains needle
+    * (account_general_ledger.py:233-234). */
+  def q28(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(lower(col("p_name")).contains("gear"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("retail"))
+      .orderBy(col("p_brand"))
+
+  val q28Sql: String =
+    """SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS retail
+      |FROM part WHERE contains(lower(p_name), 'gear')
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** UDTF analog — explode a text column into tokens (the analytic-line
+    * explode, account_analytic_report.py:90-168 maps to explode());
+    * top tokens with deterministic tiebreak. */
+  def q29(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  val q29Sql: String =
+    """SELECT word, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |WHERE word <> ''
+      |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+
+  /** Streaming batch-equivalent — tumbling-window aggregation over the event
+    * stream (readStream→window(ts) in streaming/EventsStream; here the batch
+    * twin with date_trunc for oracle parity). */
+  def q30(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val q30Sql: String =
+    """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS hour,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_in_minus_out" -> (q16 _), "q17_multi_period" -> (q17 _),
+    "q18_growth" -> (q18 _), "q19_rollup" -> (q19 _),
+    "q20_running_balance" -> (q20 _), "q21_most_recent" -> (q21 _),
+    "q22_first_per_month" -> (q22 _), "q23_pagination" -> (q23 _),
+    "q24_prefix_group" -> (q24 _), "q25_union_sources" -> (q25 _),
+    "q26_scalar_funcs" -> (q26 _), "q27_json_extract" -> (q27 _),
+    "q28_search_filter" -> (q28 _), "q29_explode_tokens" -> (q29 _),
+    "q30_events_hourly" -> (q30 _))
+
+  val oracle: Map[String, String] = Map(
+    "q16_in_minus_out" -> q16Sql, "q17_multi_period" -> q17Sql,
+    "q18_growth" -> q18Sql, "q19_rollup" -> q19Sql,
+    "q20_running_balance" -> q20Sql, "q21_most_recent" -> q21Sql,
+    "q22_first_per_month" -> q22Sql, "q23_pagination" -> q23Sql,
+    "q24_prefix_group" -> q24Sql, "q25_union_sources" -> q25Sql,
+    "q26_scalar_funcs" -> q26Sql, "q27_json_extract" -> q27Sql,
+    "q28_search_filter" -> q28Sql, "q29_explode_tokens" -> q29Sql,
+    "q30_events_hourly" -> q30Sql)
+}
