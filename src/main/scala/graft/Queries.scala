@@ -8,8 +8,12 @@ object Queries {
   type Q = (SparkSession, String) => DataFrame
 
   def all: Map[String, Q] =
-    queries.RelationalA.queries ++ queries.RelationalB.queries
+    queries.RelationalA.queries ++ queries.RelationalB.queries ++
+      queries.DedupOps.queries ++ queries.TextOps.queries ++
+      queries.SimilarityOps.queries
 
   def oracle: Map[String, String] =
-    queries.RelationalA.oracle ++ queries.RelationalB.oracle
+    queries.RelationalA.oracle ++ queries.RelationalB.oracle ++
+      queries.DedupOps.oracle ++ queries.TextOps.oracle ++
+      queries.SimilarityOps.oracle
 }

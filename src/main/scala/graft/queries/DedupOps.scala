@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data deduplication operators over the `documents` table:
+  * exact (q31), n-gram Jaccard (q32), MinHash+LSH (q33), SimHash (q34),
+  * winnowing fingerprints (q40). Each has a DuckDB oracle.
+  *
+  * Scale posture (100 TB): the shingle→id dictionary below is built with a
+  * global `dense_rank` so the DuckDB oracle can reproduce the exact same
+  * ids; at production scale you would replace the dictionary join with
+  * `xxhash64(shingle)` directly (no global sort, no dictionary shuffle) —
+  * the surrounding plan (explode → distinct → min-per-hash → band join) is
+  * unchanged and is the standard distributed MinHash/LSH shape: every step
+  * is a key-partitioned shuffle, no driver-side state, no cross join of the
+  * full corpus. Pair enumeration only ever happens WITHIN an LSH bucket /
+  * shared shingle, never globally.
+  */
+object DedupOps {
+
+  /** Distinct word-level 3-shingles per doc. */
+  private def shingles3(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    docs
+      .filter(size(ws) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(ws) - lit(3)),
+          i => concat_ws(" ",
+            element_at(ws, i + lit(1)),
+            element_at(ws, i + lit(2)),
+            element_at(ws, i + lit(3))))).as("s"))
+      .distinct()
+  }
+
+  private val shingles3Sql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |       generate_series(1, 400) t(i)
+      |  WHERE i + 2 <= len(ws))""".stripMargin
+
+  /** q31 — exact dedup: group by content hash, keep min doc_id
+    * (hash-groupBy dedup; cf. the reference's bulk data-repair dedup jobs,
+    * etl_stock/models/company.py:657-890 which dedups uploaded rows by key).
+    * Scale: one shuffle on the 128-bit content hash; survivors streamed out,
+    * no collect. */
+  def q31(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+      .select(col("keep_id"), col("copies"))
+      .orderBy(col("keep_id"))
+
+  val q31Sql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  /** q32 — n-gram Jaccard near-dup: inverted-index self-join on shared
+    * 3-shingles, |A∩B| / (|A|+|B|-|A∩B|) >= 0.5. Scale: the join key is the
+    * shingle, so pair enumeration is bounded by shingle document frequency
+    * (hot shingles would be dropped by a df-cap filter at 100 TB). */
+  def q32(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles3(Tables.documents(s, d)).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q32Sql: String =
+    s"""WITH $shingles3Sql,
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id d1, b.doc_id d2, count(*) inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |  round(inter::DOUBLE / (s1.n + s2.n - inter), 4) AS jaccard
+      |FROM pairs JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE round(inter::DOUBLE / (s1.n + s2.n - inter), 4) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+
+  /** q33 — MinHash+LSH near-dup: K=12 min-hashes over 3-shingles, 4 bands
+    * of 3 rows; candidate pairs share a band signature; output the
+    * estimated similarity (fraction of agreeing minhashes). The permutation
+    * family is (a_k·sid + b_k) mod p with plan-time constants, the textbook
+    * construction. Scale: signatures are 12 longs/doc; the band join is a
+    * shuffle on (band, signature) — the only pair enumeration is within a
+    * bucket. */
+  def q33(s: SparkSession, d: String): DataFrame = {
+    val s0 = s; import s0.implicits._
+    val P = 99991L
+    val sh = shingles3(Tables.documents(s, d))
+    val dict = sh.select(col("s")).distinct()
+      .withColumn("sid", dense_rank().over(Window.orderBy(col("s"))))
+    val hk = (0 until 12).map(k => (k, 53L * k + 7L, 97L * k + 13L)).toDF("k", "a", "b")
+    val mh = sh.join(dict, "s")
+      .crossJoin(broadcast(hk))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(min((col("a") * col("sid") + col("b")) % P).as("m"))
+    val bands = mh
+      .groupBy(col("doc_id"), floor(col("k") / 3).as("band"))
+      .agg(sum(col("m") * pow(lit(10.0), lit(5) * (lit(2) - col("k") % 3)).cast("long")).as("sig"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    cand
+      .join(mh.select(col("doc_id").as("d1"), col("k"), col("m").as("m1")), Seq("d1"))
+      .join(mh.select(col("doc_id").as("d2"), col("k"), col("m").as("m2")), Seq("d2", "k"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(round(avg(when(col("m1") === col("m2"), 1.0).otherwise(0.0)), 3).as("est_sim"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q33Sql: String =
+    s"""WITH $shingles3Sql,
+      |dict AS (SELECT s, dense_rank() OVER (ORDER BY s) sid
+      |         FROM (SELECT DISTINCT s FROM sh)),
+      |hk AS (SELECT k, 53*k+7 AS a, 97*k+13 AS b FROM generate_series(0, 11) t(k)),
+      |mh AS (
+      |  SELECT sh.doc_id, hk.k, min((hk.a * dict.sid + hk.b) % 99991) m
+      |  FROM sh JOIN dict USING (s) CROSS JOIN hk GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, k // 3 AS band,
+      |    sum(m * CAST(power(10, 5 * (2 - k % 3)) AS BIGINT)) sig
+      |  FROM mh GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id d1, y.doc_id d2
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+      |SELECT d1, d2,
+      |  round(avg(CASE WHEN m1.m = m2.m THEN 1.0 ELSE 0.0 END), 3) AS est_sim
+      |FROM cand
+      |JOIN mh m1 ON m1.doc_id = d1
+      |JOIN mh m2 ON m2.doc_id = d2 AND m2.k = m1.k
+      |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
+
+  /** q34 — SimHash near-dup: 16-bit simhash from term-frequency-weighted
+    * word hashes; emit pairs at Hamming distance <= 1 via bit_count(xor).
+    * Scale: signatures are one long per doc; at 100 TB the d<=k search is a
+    * multi-probe join on signature chunks (pigeonhole), not the self-join
+    * used here for the small oracle — noted so the intent is explicit. */
+  def q34(s: SparkSession, d: String): DataFrame = {
+    val s0 = s; import s0.implicits._
+    val docs = Tables.documents(s, d)
+    val wc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val dict = wc.select(col("w")).distinct()
+      .withColumn("wid", dense_rank().over(Window.orderBy(col("w"))))
+    val h = wc.join(dict, "w")
+      .withColumn("hw", (col("wid") * lit(2654435761L)) % 65536L)
+    val bitsIdx = (0 until 16).toDF("b")
+    val bits = h.crossJoin(broadcast(bitsIdx))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(when(
+        sum(col("cnt") * (lit(2) * (floor(col("hw") / pow(lit(2.0), col("b"))).cast("long") % 2) - lit(1))) > 0,
+        lit(1L)).otherwise(lit(0L)).as("ob"))
+    val sig = bits.groupBy(col("doc_id"))
+      .agg(sum(col("ob") * pow(lit(2.0), col("b")).cast("long")).as("sh"))
+    sig.as("x").join(sig.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("dist", bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), col("dist"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val q34Sql: String =
+    """WITH wc AS (
+      |  SELECT doc_id, w, count(*) cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |dict AS (SELECT w, dense_rank() OVER (ORDER BY w) wid
+      |         FROM (SELECT DISTINCT w FROM wc)),
+      |h AS (SELECT wc.doc_id, wc.cnt, (dict.wid * 2654435761) % 65536 AS hw
+      |      FROM wc JOIN dict USING (w)),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN sum(cnt * (2 * (CAST(floor(hw / power(2, b)) AS BIGINT) % 2) - 1)) > 0
+      |         THEN 1 ELSE 0 END ob
+      |  FROM h CROSS JOIN generate_series(0, 15) t(b) GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, sum(ob * CAST(power(2, b) AS BIGINT)) sh
+      |        FROM bits GROUP BY 1)
+      |SELECT x.doc_id d1, y.doc_id d2,
+      |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS dist
+      |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.sh, y.sh)) <= 1
+      |ORDER BY d1, d2""".stripMargin
+
+  /** q40 — winnowing document fingerprints (Schleimer et al.): char 5-gram
+    * hashes, window-min over 4 consecutive grams, distinct mins per doc.
+    * Scale: one window function partitioned by doc — embarrassingly
+    * parallel; the dictionary again stands in for xxhash64. */
+  def q40(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val grams = docs.filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), length(col("text")) - lit(4)),
+          i => col("text").substr(i, lit(5)))))
+      .withColumnRenamed("col", "g")
+    val dict = grams.select(col("g")).distinct()
+      .withColumn("gid", dense_rank().over(Window.orderBy(col("g"))))
+    val hashed = grams.join(dict, "g")
+      .withColumn("hg", (col("gid") * lit(2654435761L)) % 1000003L)
+    val wMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    val wAll = Window.partitionBy(col("doc_id"))
+    hashed
+      .withColumn("wm", min(col("hg")).over(wMin))
+      .withColumn("maxp", max(col("pos")).over(wAll))
+      .filter(col("pos") <= col("maxp") - 3)
+      .select(col("doc_id"), col("wm")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), min(col("wm")).as("min_fp"), max(col("wm")).as("max_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q40Sql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, i - 1 AS pos, substring(text, i, 5) AS g
+      |  FROM documents, generate_series(1, 2000) t(i)
+      |  WHERE length(text) >= 8 AND i <= length(text) - 4),
+      |dict AS (SELECT g, dense_rank() OVER (ORDER BY g) gid
+      |         FROM (SELECT DISTINCT g FROM grams)),
+      |hashed AS (SELECT grams.doc_id, grams.pos, (dict.gid * 2654435761) % 1000003 AS hg
+      |           FROM grams JOIN dict USING (g)),
+      |wins AS (
+      |  SELECT doc_id, pos,
+      |    min(hg) OVER (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) wm,
+      |    max(pos) OVER (PARTITION BY doc_id) maxp
+      |  FROM hashed),
+      |fp AS (SELECT DISTINCT doc_id, wm FROM wins WHERE pos <= maxp - 3)
+      |SELECT doc_id, count(*) AS n_fp, min(wm) AS min_fp, max(wm) AS max_fp
+      |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_dedup_exact" -> (q31 _), "q32_ngram_jaccard" -> (q32 _),
+    "q33_minhash_lsh" -> (q33 _), "q34_simhash" -> (q34 _),
+    "q40_winnow_fingerprint" -> (q40 _))
+
+  val oracle: Map[String, String] = Map(
+    "q31_dedup_exact" -> q31Sql, "q32_ngram_jaccard" -> q32Sql,
+    "q33_minhash_lsh" -> q33Sql, "q34_simhash" -> q34Sql,
+    "q40_winnow_fingerprint" -> q40Sql)
+}

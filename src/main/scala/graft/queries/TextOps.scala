@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline, over `documents`:
+  * n-gram language ID (q37), quality scoring (q38), token counting (q39).
+  *
+  * Scale posture: all three are per-document map-side computations plus one
+  * small aggregation — no joins on the corpus except the tiny broadcast
+  * profile in q37. They run as a single scan at any scale.
+  */
+object TextOps {
+
+  /** q37 — character-trigram language ID: build a top-20-trigram profile per
+    * language from a training split (doc_id % 5 != 0), score held-out docs
+    * by profile-hit mass, emit the actual×predicted confusion matrix.
+    * The profile is tiny → broadcast; scoring is a map-side join. */
+  def q37(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tg = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), length(col("text")) - lit(2)),
+          i => col("text").substr(i, lit(3)))).as("t"))
+    val train = tg.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("lang").as("p_lang"), col("t")).agg(count(lit(1)).as("cnt"))
+    val profile = train
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("t"))))
+      .filter(col("rn") <= 20)
+      .select(col("p_lang"), col("t"))
+    val testTg = tg.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("doc_id"), col("lang"), col("t")).agg(count(lit(1)).as("c"))
+    val scores = testTg.join(broadcast(profile), "t")
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(sum(col("c")).as("sc"))
+    scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("sc").desc, col("p_lang"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang").as("lang_actual"), col("p_lang").as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_actual"), col("lang_pred"))
+  }
+
+  val q37Sql: String =
+    """WITH tg AS (
+      |  SELECT doc_id, lang, substring(text, i, 3) AS t
+      |  FROM documents, generate_series(1, 2000) s(i)
+      |  WHERE length(text) >= 3 AND i <= length(text) - 2),
+      |train AS (
+      |  SELECT lang p_lang, t, count(*) cnt FROM tg
+      |  WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+      |profile AS (
+      |  SELECT p_lang, t FROM (
+      |    SELECT p_lang, t,
+      |      row_number() OVER (PARTITION BY p_lang ORDER BY cnt DESC, t) rn
+      |    FROM train) WHERE rn <= 20),
+      |test_tg AS (
+      |  SELECT doc_id, lang, t, count(*) c FROM tg
+      |  WHERE doc_id % 5 = 0 GROUP BY 1, 2, 3),
+      |scores AS (
+      |  SELECT doc_id, lang, p_lang, sum(c) sc
+      |  FROM test_tg JOIN profile USING (t) GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT doc_id, lang, p_lang FROM (
+      |    SELECT doc_id, lang, p_lang,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, p_lang) rn
+      |    FROM scores) WHERE rn = 1)
+      |SELECT lang AS lang_actual, p_lang AS lang_pred, count(*) AS n_docs
+      |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q38 — document quality scoring: word count, average word length,
+    * stopword ratio, and a rational-arithmetic composite score (no
+    * transcendentals, so Spark and DuckDB agree bit-for-bit). */
+  def q38(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ws = split(col("text"), " ")
+    val nWords = size(ws).cast("long")
+    val stopHits = (Seq("a", "the", "row", "data", "value")
+      .map(w => ((length(col("text")) - length(regexp_replace(col("text"), s"\\b$w\\b", ""))) / w.length).cast("long"))
+      .reduce(_ + _))
+    docs.select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        col("n_chars"),
+        Parity.fr((col("n_chars") - nWords + lit(1)).cast("double") / nWords, 3).as("avg_word_len"),
+        Parity.fr(stopHits.cast("double") / nWords, 4).as("stop_ratio"),
+        Parity.fr(stopHits.cast("double") / nWords + nWords.cast("double") / lit(1000.0), 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q38Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, n_chars,
+      |    len(string_split(text, ' '))::BIGINT AS n_words,
+      |    ( (length(text) - length(regexp_replace(text, '\ba\b', '', 'g'))) / 1
+      |    + (length(text) - length(regexp_replace(text, '\bthe\b', '', 'g'))) / 3
+      |    + (length(text) - length(regexp_replace(text, '\brow\b', '', 'g'))) / 3
+      |    + (length(text) - length(regexp_replace(text, '\bdata\b', '', 'g'))) / 4
+      |    + (length(text) - length(regexp_replace(text, '\bvalue\b', '', 'g'))) / 5
+      |    )::DOUBLE AS stop_hits
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_chars,
+      |  floor((n_chars - n_words + 1)::DOUBLE / n_words * 1e3 + 0.5) / 1e3 AS avg_word_len,
+      |  floor(stop_hits / n_words * 1e4 + 0.5) / 1e4 AS stop_ratio,
+      |  floor((stop_hits / n_words + n_words::DOUBLE / 1000.0) * 1e4 + 0.5) / 1e4 AS quality
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q39 — token counting per source: whitespace tokens and a BPE-ish regex
+    * tokenization ([a-z]+ | digit runs | single punctuation), with exact
+    * integer-ratio averages. */
+  def q39(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val wsTok = size(split(col("text"), " ")).cast("long")
+    val reTok = size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+    docs.select(col("source"), wsTok.as("ws_tok"), reTok.as("re_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tok")).as("ws_tokens"),
+        sum(col("re_tok")).as("re_tokens"),
+        round(sum(col("ws_tok")).cast("double") / count(lit(1)), 2).as("avg_ws_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q39Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens,
+      |  round(sum(len(string_split(text, ' ')))::DOUBLE / count(*), 2) AS avg_ws_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_langid" -> (q37 _), "q38_quality_score" -> (q38 _),
+    "q39_token_count" -> (q39 _))
+
+  val oracle: Map[String, String] = Map(
+    "q37_langid" -> q37Sql, "q38_quality_score" -> q38Sql,
+    "q39_token_count" -> q39Sql)
+}
