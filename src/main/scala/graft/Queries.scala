@@ -10,10 +10,10 @@ object Queries {
   def all: Map[String, Q] =
     queries.RelationalA.queries ++ queries.RelationalB.queries ++
       queries.DedupOps.queries ++ queries.TextOps.queries ++
-      queries.SimilarityOps.queries
+      queries.SimilarityOps.queries ++ queries.EngineOps.queries
 
   def oracle: Map[String, String] =
     queries.RelationalA.oracle ++ queries.RelationalB.oracle ++
       queries.DedupOps.oracle ++ queries.TextOps.oracle ++
-      queries.SimilarityOps.oracle
+      queries.SimilarityOps.oracle ++ queries.EngineOps.oracle
 }

@@ -1,0 +1,46 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture as a batch diff operator (SURVEY §2.10): the
+  * reference's auditlog intercepts create/write/unlink and records
+  * field-level (old, new) pairs (auditlog/models/rule.py:270-552,
+  * DictDiffer :23-47). Re-expressed Spark-first: given two snapshots of a
+  * table, emit one row per (key, field) that was created, deleted, or
+  * changed — the same log-line grain as `auditlog.log.line`.
+  *
+  * Scale: a single full-outer join on the key (both sides shuffle-
+  * partitioned on it) followed by a generator over the fixed field list —
+  * no driver state, linear in input size. Retention vacuum
+  * (autovacuum.py:16-37) maps to dropping date partitions of the log sink.
+  */
+object ChangelogDiff {
+
+  /** Diff `oldDf` and `newDf` on primary key `key`. All compared fields are
+    * cast to string (the reference stores rendered values). Output:
+    * (`res_id`, `op` create|unlink|write, `field`, `old_value`, `new_value`). */
+  def diff(oldDf: DataFrame, newDf: DataFrame, key: String): DataFrame = {
+    val fields = oldDf.columns.filter(_ != key).toSeq
+      .intersect(newDf.columns.filter(_ != key).toSeq)
+    val o = oldDf.select(col(key).as("o_key") +:
+      fields.map(f => col(f).cast("string").as(s"o_$f")): _*)
+    val n = newDf.select(col(key).as("n_key") +:
+      fields.map(f => col(f).cast("string").as(s"n_$f")): _*)
+    val joined = o.join(n, col("o_key") === col("n_key"), "full_outer")
+      .withColumn("res_id", coalesce(col("o_key"), col("n_key")))
+      .withColumn("op",
+        when(col("o_key").isNull, "create")
+          .when(col("n_key").isNull, "unlink")
+          .otherwise("write"))
+    // one output row per changed field: stack the (field, old, new) triples
+    val triples = fields.map(f =>
+      struct(lit(f).as("field"), col(s"o_$f").as("old_value"), col(s"n_$f").as("new_value")))
+    joined
+      .select(col("res_id"), col("op"), explode(array(triples: _*)).as("t"))
+      .select(col("res_id"), col("op"), col("t.field"), col("t.old_value"), col("t.new_value"))
+      .filter(
+        (col("op") === "write" && !(col("old_value") <=> col("new_value"))) ||
+          col("op") =!= "write")
+  }
+}

@@ -1,0 +1,130 @@
+package graft.engine
+
+/** The reference's `aggregation` formula engine
+  * (account_reports/models/account_report.py:2279-2498): report cells whose
+  * formula is arithmetic over other lines' labels (`LINE1.balance +
+  * LINE2.balance`), resolved by iterative term substitution until the
+  * formula is pure arithmetic, with division-by-zero evaluating to 0 and
+  * optional bound subformulas (`if_above(CUR(n))`, `if_below`, `if_between`,
+  * `round(n)`).
+  *
+  * Driver-side by design (SURVEY §2.5, §7.3): the input is the *small* map
+  * of already-aggregated engine totals, never row data — at 100 TB this
+  * stays a few-KB computation on the driver after the distributed
+  * aggregations have collapsed each term to one number.
+  */
+object AggregationEvaluator {
+
+  sealed trait Bound
+  final case class IfAbove(v: Double) extends Bound
+  final case class IfBelow(v: Double) extends Bound
+  final case class IfBetween(lo: Double, hi: Double) extends Bound
+  final case class RoundTo(n: Int) extends Bound
+
+  final case class Expr(formula: String, bounds: Seq[Bound] = Nil)
+
+  /** Parse a subformula string like "if_above(USD(1000))" / "round(2)". */
+  def parseBound(s: String): Bound = {
+    val cur = """(\w+)\((\w{3})\(([-\d.]+)\)\)""".r
+    val rnd = """round\((\d+)\)""".r
+    val btw = """if_between\(\w{3}\(([-\d.]+)\),\s*\w{3}\(([-\d.]+)\)\)""".r
+    s.replaceAll("\\s", "") match {
+      case rnd(n) => RoundTo(n.toInt)
+      case btw(lo, hi) => IfBetween(lo.toDouble, hi.toDouble)
+      case cur("if_above", _, v) => IfAbove(v.toDouble)
+      case cur("if_below", _, v) => IfBelow(v.toDouble)
+      case other => throw new IllegalArgumentException(s"bad subformula: $other")
+    }
+  }
+
+  // ---- tiny recursive-descent parser for + - * / ( ) terms & numbers ----
+
+  private sealed trait Ast
+  private case class Num(v: Double) extends Ast
+  private case class Term(code: String) extends Ast // "LINE.balance"
+  private case class Bin(op: Char, l: Ast, r: Ast) extends Ast
+  private case class Neg(x: Ast) extends Ast
+
+  private def tokenize(s: String): List[String] = {
+    val re = """\d+\.\d+|\d+|[A-Za-z_][\w.]*|[()+\-*/]""".r
+    re.findAllIn(s).toList
+  }
+
+  private def parseAst(tokens: List[String]): Ast = {
+    var rest = tokens
+    def peek: Option[String] = rest.headOption
+    def eat(): String = { val h = rest.head; rest = rest.tail; h }
+    def atom(): Ast = eat() match {
+      case "(" => val e = expr(); require(eat() == ")", "unbalanced parens"); e
+      case "-" => Neg(atom())
+      case "+" => atom()
+      case t if t.headOption.exists(c => c.isDigit) => Num(t.toDouble)
+      case t => Term(t)
+    }
+    def term(): Ast = {
+      var l = atom()
+      while (peek.contains("*") || peek.contains("/")) { val op = eat()(0); l = Bin(op, l, atom()) }
+      l
+    }
+    def expr(): Ast = {
+      var l = term()
+      while (peek.contains("+") || peek.contains("-")) { val op = eat()(0); l = Bin(op, l, term()) }
+      l
+    }
+    val e = expr()
+    require(rest.isEmpty, s"trailing tokens: $rest")
+    e
+  }
+
+  /** Evaluate every expression. `leaves` are terms already computed by the
+    * other engines; `exprs` may reference each other (forward references
+    * allowed). Cycles raise; 0-division yields 0 (reference
+    * `ZeroDivisionError → 0`, :2371-2383). Bounds apply AFTER the referenced
+    * value is computed and are not inlined into referencing formulas
+    * (reference evaluates bounds per-expression, :2421-2498). */
+  def evaluate(exprs: Map[String, Expr], leaves: Map[String, Double]): Map[String, Double] = {
+    val memoRaw = scala.collection.mutable.Map[String, Double]() // pre-bound values
+    val visiting = scala.collection.mutable.Set[String]()
+
+    def applyBounds(v: Double, bounds: Seq[Bound]): Double =
+      bounds.foldLeft(v) { (x, b) =>
+        b match {
+          case IfAbove(t) => if (x > t) x else 0.0
+          case IfBelow(t) => if (x < t) x else 0.0
+          case IfBetween(lo, hi) => if (x >= lo && x <= hi) x else 0.0
+          case RoundTo(n) =>
+            BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+
+    def valueOf(code: String): Double =
+      leaves.getOrElse(code, {
+        val e = exprs.getOrElse(code,
+          throw new NoSuchElementException(s"unknown term: $code"))
+        // referencing another aggregation line sees its BOUNDED value
+        applyBounds(raw(code, e), e.bounds)
+      })
+
+    def raw(code: String, e: Expr): Double = memoRaw.getOrElseUpdate(code, {
+      if (visiting(code)) throw new IllegalStateException(s"cycle at $code")
+      visiting += code
+      val v = eval(parseAst(tokenize(e.formula)))
+      visiting -= code
+      v
+    })
+
+    def eval(a: Ast): Double = a match {
+      case Num(v) => v
+      case Neg(x) => -eval(x)
+      case Term(c) => valueOf(c)
+      case Bin('+', l, r) => eval(l) + eval(r)
+      case Bin('-', l, r) => eval(l) - eval(r)
+      case Bin('*', l, r) => eval(l) * eval(r)
+      case Bin('/', l, r) =>
+        val d = eval(r); if (d == 0.0) 0.0 else eval(l) / d
+      case Bin(op, _, _) => throw new IllegalStateException(s"op $op")
+    }
+
+    exprs.map { case (code, e) => code -> applyBounds(raw(code, e), e.bounds) }
+  }
+}

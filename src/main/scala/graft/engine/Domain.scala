@@ -1,0 +1,91 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Odoo-style domain predicates compiled to Catalyst [[Column]] expressions.
+  *
+  * The reference stores filters as polish-notation lists
+  * (`['&', ('date','>=',d), '|', ...]`) and compiles them to SQL WHERE via
+  * `_where_calc().get_sql()` (account_reports/models/account_report.py:
+  * 1487-1501, :2770-2778; operator set :606-620). Here the same spec
+  * compiles to a `Column`, so Catalyst pushes it into the parquet scan —
+  * predicate pushdown is free (SURVEY §4.1).
+  *
+  * Scale: a compiled domain is pure expression code — no driver data, no
+  * UDFs; it stays inside whole-stage codegen.
+  */
+object Domain {
+
+  sealed trait Node
+  final case class Cond(field: String, op: String, value: Any) extends Node
+  final case class And(l: Node, r: Node) extends Node
+  final case class Or(l: Node, r: Node) extends Node
+  final case class Not(n: Node) extends Node
+  case object TrueLeaf extends Node
+
+  /** Parse the reference's prefix-operator list form. Elements are either
+    * the strings "&" "|" "!" or a `(field, op, value)` tuple. Like the
+    * reference, consecutive leaves are implicitly AND-ed. */
+  def parse(items: Seq[Any]): Node = {
+    def one(rest: List[Any]): (Node, List[Any]) = rest match {
+      case "&" :: t => val (l, t1) = one(t); val (r, t2) = one(t1); (And(l, r), t2)
+      case "|" :: t => val (l, t1) = one(t); val (r, t2) = one(t1); (Or(l, r), t2)
+      case "!" :: t => val (n, t1) = one(t); (Not(n), t1)
+      case (f: String, op: String, v: Any) :: t => (Cond(f, op, v), t)
+      case ((f: String, op: String)) :: t => (Cond(f, op, null), t)
+      case Nil => (TrueLeaf, Nil)
+      case x :: _ => throw new IllegalArgumentException(s"bad domain element: $x")
+    }
+    @annotation.tailrec
+    def all(rest: List[Any], acc: Node): Node =
+      if (rest.isEmpty) acc
+      else { val (n, t) = one(rest); all(t, if (acc == TrueLeaf) n else And(acc, n)) }
+    all(items.toList, TrueLeaf)
+  }
+
+  private def toLit(v: Any): Column = v match {
+    case c: Column => c
+    case other => lit(other)
+  }
+
+  /** Compile to a Column. `resolve` maps a (possibly dotted) field path to a
+    * Column — dotted paths are the caller's pre-joined dimension columns
+    * (SURVEY §2.2 P1). */
+  def compile(n: Node, resolve: String => Column = defaultResolve): Column = n match {
+    case TrueLeaf => lit(true)
+    case And(l, r) => compile(l, resolve) && compile(r, resolve)
+    case Or(l, r) => compile(l, resolve) || compile(r, resolve)
+    case Not(x) => !compile(x, resolve)
+    case Cond(f, op, v) =>
+      val c = resolve(f)
+      op match {
+        case "=" => if (v == null) c.isNull else c === toLit(v)
+        case "!=" => if (v == null) c.isNotNull else c =!= toLit(v)
+        case "<" => c < toLit(v)
+        case "<=" => c <= toLit(v)
+        case ">" => c > toLit(v)
+        case ">=" => c >= toLit(v)
+        case "in" => c.isin(seqOf(v): _*)
+        case "not in" => !c.isin(seqOf(v): _*)
+        // Odoo: 'like' wraps with % on both sides, '=like' is a raw pattern,
+        // 'ilike' is case-insensitive contains.
+        case "like" => c.contains(toLit(v))
+        case "ilike" => lower(c).contains(lower(toLit(v)))
+        case "=like" => c.like(v.toString)
+        case "=ilike" => lower(c).like(v.toString.toLowerCase)
+        case other => throw new IllegalArgumentException(s"unsupported op: $other")
+      }
+  }
+
+  private def seqOf(v: Any): Seq[Any] = v match {
+    case s: Seq[_] => s
+    case other => Seq(other)
+  }
+
+  /** Default field resolver: dots become the caller's flattened join-column
+    * convention (`account_id.code` → `account_id_code`). */
+  def defaultResolve(f: String): Column = col(f.replace('.', '_'))
+
+  def compile(items: Seq[Any]): Column = compile(parse(items))
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.time.LocalDate
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine._
+import graft.report.LineTree
+
+/** Pure-Scala engine-layer specs (no SparkSession needed): aggregation
+  * fixpoint evaluator, account-codes DSL parser, date scopes, line tree.
+  * Golden values mirror the reference's documented examples
+  * (account_report.py:2279-2498, :622-654, :3449-3476). */
+class EngineSpec extends AnyFunSuite {
+
+  import AggregationEvaluator._
+
+  test("aggregation: forward references resolve in any order") {
+    val out = evaluate(
+      Map("A.b" -> Expr("B.b + 1"), "B.b" -> Expr("C.b * 2"), "C.b" -> Expr("X.b - 3")),
+      Map("X.b" -> 10.0))
+    assert(out("C.b") == 7.0 && out("B.b") == 14.0 && out("A.b") == 15.0)
+  }
+
+  test("aggregation: division by zero yields 0 (reference ZeroDivisionError→0)") {
+    val out = evaluate(Map("R.b" -> Expr("X.b / (X.b - X.b)")), Map("X.b" -> 5.0))
+    assert(out("R.b") == 0.0)
+  }
+
+  test("aggregation: cycles are detected") {
+    assertThrows[IllegalStateException] {
+      evaluate(Map("A.b" -> Expr("B.b"), "B.b" -> Expr("A.b")), Map.empty)
+    }
+  }
+
+  test("aggregation: bounds gate the final value; references see bounded value") {
+    val exprs = Map(
+      "A.b" -> Expr("X.b", Seq(IfAbove(100.0))), // 50 -> gated to 0
+      "B.b" -> Expr("A.b + 1"))                  // sees the bounded 0
+    val out = evaluate(exprs, Map("X.b" -> 50.0))
+    assert(out("A.b") == 0.0 && out("B.b") == 1.0)
+  }
+
+  test("aggregation: if_between, if_below, round") {
+    assert(parseBound("if_above(USD(1000))") == IfAbove(1000.0))
+    assert(parseBound("if_between(USD(0), USD(10))") == IfBetween(0.0, 10.0))
+    assert(parseBound("round(2)") == RoundTo(2))
+    val out = evaluate(Map(
+      "A.b" -> Expr("X.b", Seq(IfBetween(0.0, 10.0))),
+      "B.b" -> Expr("X.b / 3", Seq(RoundTo(2))),
+      "C.b" -> Expr("0 - X.b", Seq(IfBelow(0.0)))), Map("X.b" -> 5.0))
+    assert(out("A.b") == 5.0 && out("B.b") == 1.67 && out("C.b") == -5.0)
+  }
+
+  test("aggregation: precedence and parens") {
+    val out = evaluate(Map("A.b" -> Expr("2 + 3 * 4"), "B.b" -> Expr("(2 + 3) * 4"),
+      "C.b" -> Expr("-X.b + 1")), Map("X.b" -> 10.0))
+    assert(out("A.b") == 14.0 && out("B.b") == 20.0 && out("C.b") == -9.0)
+  }
+
+  test("aggregation: property — linear formulas match direct arithmetic") {
+    val gen = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val (x, y) = (gen.nextInt(20001) - 10000, gen.nextInt(20001) - 10000)
+      val out = evaluate(Map("S.b" -> Expr("X.b + Y.b"), "D.b" -> Expr("X.b - Y.b")),
+        Map("X.b" -> x.toDouble, "Y.b" -> y.toDouble))
+      assert(out("S.b") == x.toDouble + y.toDouble)
+      assert(out("D.b") == x.toDouble - y.toDouble)
+    }
+  }
+
+  test("account_codes: DSL parse of '123D\\(1234,1236) + 56 - 416C'") {
+    val terms = AccountCodes.parse("123D\\(1234,1236) + 56 - 416C")
+    assert(terms == Seq(
+      AccountCodes.Term("123", 1, Some('D'), Seq("1234", "1236")),
+      AccountCodes.Term("56", 1, None, Nil),
+      AccountCodes.Term("416", -1, Some('C'), Nil)))
+  }
+
+  test("date scopes: fiscal-year boundaries (June-30 year end)") {
+    val fc = DateScope.FiscalConfig(6, 30)
+    assert(DateScope.fiscalYearStart(LocalDate.of(1996, 3, 15), fc) == LocalDate.of(1995, 7, 1))
+    assert(DateScope.fiscalYearStart(LocalDate.of(1996, 7, 1), fc) == LocalDate.of(1996, 7, 1))
+    assert(DateScope.fiscalYearStart(LocalDate.of(1996, 6, 30), fc) == LocalDate.of(1995, 7, 1))
+    // calendar year end
+    val cal = DateScope.FiscalConfig()
+    assert(DateScope.fiscalYearStart(LocalDate.of(2024, 5, 5), cal) == LocalDate.of(2024, 1, 1))
+  }
+
+  test("domain: parse implicit-AND and explicit operators") {
+    import Domain._
+    val n = parse(Seq(("a", "=", 1), ("b", ">", 2)))
+    assert(n == And(Cond("a", "=", 1), Cond("b", ">", 2)))
+    val n2 = parse(Seq("|", ("a", "=", 1), "!", ("b", "=", 2)))
+    assert(n2 == Or(Cond("a", "=", 1), Not(Cond("b", "=", 2))))
+  }
+
+  test("line tree: rollup, totals pinned, hide-if-zero") {
+    import LineTree._
+    val lines = Seq(
+      Line("r", None, "root", Seq(0.0)),
+      Line("a", Some("r"), "alpha", Seq(5.0)),
+      Line("b", Some("r"), "beta", Seq(7.0)),
+      Line("t", Some("r"), "total", Seq(0.0), isTotal = true),
+      Line("z", Some("r"), "zero", Seq(0.0)))
+    val roots = build(lines)
+    assert(roots.head.rollup == Seq(12.0))
+    val sorted = sortTree(roots, 0, desc = true)
+    assert(sorted.head.children.map(_.line.id) == Seq("b", "a", "z", "t"))
+    val pruned = hideZero(sortTree(roots, 0, desc = false))
+    assert(flatten(pruned).map(_._2.id) == Seq("r", "a", "b", "t"))
+  }
+}

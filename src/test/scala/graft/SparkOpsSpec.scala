@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{AccountCodes, ColumnGroupPlanner, Domain}
+import graft.cdc.ChangelogDiff
+
+/** Spark-backed specs for the engine operators on tiny fixture frames
+  * (golden-matrix style, mirroring the reference's
+  * account_reports/tests/common.py assertLinesValues pattern). */
+class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("domain compiler filters like the reference's polish notation") {
+    val s = spark; import s.implicits._
+    val df = Seq((1, "posted", 50.0), (2, "draft", 500.0), (3, "posted", 500.0))
+      .toDF("id", "state", "amount")
+    val dom = Domain.compile(Seq("&", ("state", "=", "posted"), ("amount", ">", 100.0)))
+    assert(df.filter(dom).select("id").as[Int].collect().toSeq == Seq(3))
+    val orDom = Domain.compile(Seq("|", ("state", "=", "draft"), ("amount", "<", 100.0)))
+    assert(df.filter(orDom).select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    val inDom = Domain.compile(Seq(("id", "in", Seq(1, 3)), ("state", "ilike", "POST")))
+    assert(df.filter(inDom).select("id").as[Int].collect().sorted.toSeq == Seq(1, 3))
+  }
+
+  test("column-group planner: one scan, per-group conditional aggregates") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 2024, 10.0), ("a", 2025, 20.0), ("b", 2024, 5.0))
+      .toDF("k", "y", "v")
+    val out = ColumnGroupPlanner.evaluate(df, Seq(col("k")),
+      Seq(ColumnGroupPlanner.Group("p24", col("y") === 2024),
+        ColumnGroupPlanner.Group("p25", col("y") === 2025)),
+      Map("v" -> col("v")))
+      .orderBy("k")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(out == Seq(("a", 10.0, 20.0), ("b", 5.0, 0.0)))
+  }
+
+  test("account_codes evaluate: prefix, exclusion, D/C gate, sign") {
+    val s = spark; import s.implicits._
+    val accounts = Seq(
+      ("101", 10.0), ("150", 99.0), ("201", -5.0), ("202", 7.0), ("301", 3.0),
+      ("302", -4.0)).toDF("code", "balance")
+    // 1\(15): 10 ; 2C: -5 ; -3D: -3  => total 2
+    val total = AccountCodes.evaluate(accounts, "1\\(15) + 2C - 3D")
+      .as[Double].head()
+    assert(total == 2.0)
+  }
+
+  test("cdc diff emits create/write/unlink at field grain") {
+    val s = spark; import s.implicits._
+    val oldDf = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("id", "name", "bal")
+    val newDf = Seq((1, "a", 11.0), (2, "b", 20.0), (4, "d", 40.0)).toDF("id", "name", "bal")
+    val out = ChangelogDiff.diff(oldDf, newDf, "id")
+      .select("res_id", "op", "field", "old_value", "new_value")
+      .as[(Int, String, String, String, String)].collect().toSet
+    assert(out.filter(_._2 == "write") == Set((1, "write", "bal", "10.0", "11.0")))
+    assert(out.count(_._2 == "unlink") == 2) // both fields of id=3
+    assert(out.count(_._2 == "create") == 2) // both fields of id=4
+    assert(out.contains((4, "create", "name", null, "d")))
+  }
+}
