@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (build brief): image/audio/video carried as
+  * opaque `binary` columns with typed metadata, processed per-partition in
+  * batches. The actual media decode is STUBBED (no image/audio libraries in
+  * this environment) behind [[StubCodec]] — a deterministic fake whose
+  * output shape matches what a real decoder (JavaCV / TwelveMonkeys /
+  * javax.sound) would produce. The Spark-side plumbing — schema,
+  * partitioning, batch iteration, feature schema — is real and tested.
+  *
+  * Scale posture: payloads stay columnar parquet binary; decode is
+  * `mapPartitions` (one codec instance per partition, streamed batches, no
+  * collect); feature vectors are fixed-width arrays, so downstream
+  * similarity ops (graft.queries.SimilarityOps) apply unchanged.
+  */
+object Multimodal {
+
+  final case class MediaMeta(format: String, width: Int, height: Int,
+                             durationMs: Long)
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                            meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                                 checksum: Long, features: Array[Float])
+
+  /** Deterministic stand-in for the real decoder: a real implementation
+    * would decode `payload` and extract model features; the stub derives a
+    * repeatable FEATURE_DIM-vector from payload bytes so pipelines and
+    * tests are executable end-to-end. Swap via the `codec` parameter. */
+  val FeatureDim = 8
+  val StubCodec: MediaRow => MediaFeatures = { r =>
+    var h = 1125899906842597L // FNV-ish rolling checksum
+    r.payload.foreach(b => h = h * 31 + (b & 0xff))
+    val feats = Array.tabulate(FeatureDim) { i =>
+      (((h >>> (i * 8)) & 0xff).toFloat / 255f) - 0.5f
+    }
+    MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, h, feats)
+  }
+
+  /** Decode + feature-extract, batch-shaped: one codec per partition, rows
+    * streamed. `codec` defaults to the stub; a real decoder is a drop-in. */
+  def extractFeatures(media: Dataset[MediaRow],
+                      codec: MediaRow => MediaFeatures = StubCodec): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows => rows.map(codec) }
+  }
+
+  /** Frame sampling for video payloads: emit one (media_id, frame_idx)
+    * descriptor per sampled frame at `everyMs` intervals of the declared
+    * duration — the decode of each frame is again codec territory. This is
+    * a generator (explode), so one row in → duration/everyMs rows out. */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long): DataFrame = {
+    require(everyMs > 0, "everyMs must be positive")
+    media.toDF()
+      .filter(col("kind") === "video" && col("meta.durationMs") > 0)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("meta.durationMs") - 1, lit(everyMs)))
+          .as("frame_at_ms"))
+  }
+
+  /** Partition media by (kind, size-bucket) for balanced decode stages —
+    * big payloads dominate decode time, so co-locating similar sizes avoids
+    * stragglers at scale. */
+  def repartitionForDecode(media: Dataset[MediaRow], partitions: Int): Dataset[MediaRow] =
+    media.repartition(partitions, col("kind"),
+      floor(log2(length(col("payload")) + 1)))
+}

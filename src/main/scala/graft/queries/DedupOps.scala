@@ -63,7 +63,10 @@ object DedupOps {
     * shingle, so pair enumeration is bounded by shingle document frequency
     * (hot shingles would be dropped by a df-cap filter at 100 TB). */
   def q32(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles3(Tables.documents(s, d)).cache()
+    // join on the 8-byte shingle hash, not the string — same pairs (64-bit
+    // collisions are negligible), much cheaper shuffle at scale
+    val sh = shingles3(Tables.documents(s, d))
+      .select(col("doc_id"), xxhash64(col("s")).as("s")).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

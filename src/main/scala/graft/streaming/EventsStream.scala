@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.10): the reference is batch-only
+  * (its CDC is synchronous method interception), so this module is the
+  * forward-looking streaming twin of the batch operators — the same event
+  * schema as `events.parquet`, processed incrementally.
+  *
+  * Scale posture: watermarked tumbling windows and keyed state are the two
+  * canonical streaming shapes; both shuffle once on the group key and keep
+  * state in the state store (RocksDB on a real cluster), never the driver.
+  */
+object EventsStream {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, n_events: Long, total_value: Double,
+                              last_type: String)
+
+  /** Tumbling 1-hour aggregation with a 1-hour watermark — the streaming
+    * twin of gate query q30 (same grouping, incremental execution). Works
+    * on a batch OR streaming DataFrame. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total"))
+
+  /** Keyed running state per user via mapGroupsWithState: event count,
+    * value sum, last event type — the custom-state shape
+    * (KeyValueGroupedDataset, SURVEY build brief). */
+  def userTotals(events: Dataset[Event]): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionOut, SessionOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionOut]) =>
+          val prev = state.getOption.getOrElse(SessionOut(userId, 0L, 0.0, ""))
+          // deterministic fold: order within a batch by (ts, event_id)
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val next = sorted.foldLeft(prev) { (acc, e) =>
+            SessionOut(userId, acc.n_events + 1,
+              math.rint((acc.total_value + e.value) * 100) / 100, e.event_type)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Wire a parquet-directory stream end-to-end (readStream → transform →
+    * writeStream); returns the started query name. Used for manual driving,
+    * not by the gate. */
+  def startFileStream(spark: SparkSession, srcDir: String, outDir: String,
+                      checkpoint: String): String = {
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+      "value DOUBLE, props STRING"
+    val q = hourlyCounts(spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .queryName("graft_events_hourly")
+      .start()
+    q.name
+  }
+}

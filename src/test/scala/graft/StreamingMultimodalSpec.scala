@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{Event, SessionOut}
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+
+/** Streaming + multimodal plumbing specs: incremental window aggregation
+  * via MemoryStream, keyed state via mapGroupsWithState, and the
+  * batch-shaped media feature extraction with the stub codec. */
+class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("streaming hourly counts: incremental over two micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.hourlyCounts(src.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("update").start()
+    src.addData(Event(1, ts(0), 7, "click", 1.5), Event(2, ts(10), 7, "click", 2.5))
+    q.processAllAvailable()
+    src.addData(Event(3, ts(20), 8, "error", 4.0))
+    q.processAllAvailable()
+    val rows = s.sql("SELECT event_type, n, total FROM hourly")
+      .as[(String, Long, Double)].collect().toSet
+    q.stop()
+    // update mode re-emits the click window after batch 1 (n=2) — latest
+    // state must contain both types with full totals
+    assert(rows.contains(("click", 2L, 4.0)))
+    assert(rows.contains(("error", 1L, 4.0)))
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.userTotals(src.toDS())
+      .writeStream.format("memory").queryName("totals").outputMode("update").start()
+    src.addData(Event(1, ts(0), 7, "click", 1.25))
+    q.processAllAvailable()
+    src.addData(Event(2, ts(5), 7, "purchase", 2.50), Event(3, ts(6), 9, "click", 0.75))
+    q.processAllAvailable()
+    val byUser = s.sql("SELECT * FROM totals").as[SessionOut].collect()
+      .groupBy(_.user_id).map { case (u, xs) => u -> xs.maxBy(_.n_events) }
+    q.stop()
+    assert(byUser(7L) == SessionOut(7L, 2L, 3.75, "purchase"))
+    assert(byUser(9L) == SessionOut(9L, 1L, 0.75, "click"))
+  }
+
+  test("multimodal: stub feature extraction is deterministic and batch-shaped") {
+    val s = spark; import s.implicits._
+    val media = Seq(
+      MediaRow(1L, "image", "fake-png-bytes".getBytes, MediaMeta("png", 64, 64, 0L)),
+      MediaRow(2L, "video", "fake-mp4-bytes".getBytes, MediaMeta("mp4", 0, 0, 2500L)),
+      MediaRow(3L, "image", "fake-png-bytes".getBytes, MediaMeta("png", 64, 64, 0L))
+    ).toDS().repartition(2)
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.length == 3)
+    assert(feats.forall(_.features.length == Multimodal.FeatureDim))
+    // identical payloads → identical checksum + features (run-to-run stable)
+    assert(feats(0).checksum == feats(2).checksum)
+    assert(feats(0).features.toSeq == feats(2).features.toSeq)
+    assert(feats(0).checksum != feats(1).checksum)
+  }
+
+  test("multimodal: frame sampling explodes duration at the requested rate") {
+    val s = spark; import s.implicits._
+    val media = Seq(
+      MediaRow(2L, "video", Array[Byte](1), MediaMeta("mp4", 0, 0, 2500L)),
+      MediaRow(1L, "image", Array[Byte](2), MediaMeta("png", 1, 1, 0L))
+    ).toDS()
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
+      .as[(Long, Long)].collect().toSet
+    assert(frames == Set((2L, 0L), (2L, 1000L), (2L, 2000L)))
+  }
+}
