@@ -10,10 +10,12 @@ object Queries {
   def all: Map[String, Q] =
     queries.RelationalA.queries ++ queries.RelationalB.queries ++
       queries.DedupOps.queries ++ queries.TextOps.queries ++
-      queries.SimilarityOps.queries ++ queries.EngineOps.queries
+      queries.SimilarityOps.queries ++ queries.EngineOps.queries ++
+      queries.ReportOps.queries
 
   def oracle: Map[String, String] =
     queries.RelationalA.oracle ++ queries.RelationalB.oracle ++
       queries.DedupOps.oracle ++ queries.TextOps.oracle ++
-      queries.SimilarityOps.oracle ++ queries.EngineOps.oracle
+      queries.SimilarityOps.oracle ++ queries.EngineOps.oracle ++
+      queries.ReportOps.oracle
 }

@@ -1,0 +1,24 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-branch row-level security (SURVEY §2.2 P4): the reference injects
+  * a `branch_id` filter into every `_search`/`_read_group`
+  * (branch/models/account_move.py:31-51,85-108,
+  * etl_sale/models/serial.py:211-240) so users only ever see their allowed
+  * branches.
+  *
+  * Spark-first: a context object applied at the scan wrapper — the filter
+  * is an ordinary pushed-down predicate, so partition pruning on a
+  * branch-partitioned table skips entire directories at 100 TB. */
+final case class BranchContext(allowed: Seq[Long], branchCol: String = "branch_id") {
+
+  def predicate: Column =
+    if (allowed.isEmpty) lit(false)
+    else col(branchCol).isin(allowed: _*) || col(branchCol).isNull
+
+  /** Apply to a scan. No-op for tables without the branch dimension. */
+  def apply(df: DataFrame): DataFrame =
+    if (df.columns.contains(branchCol)) df.filter(predicate) else df
+}

@@ -1,0 +1,74 @@
+package graft.report
+
+import java.time.LocalDate
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.engine.{ColumnGroupPlanner, DateScope}
+
+/** Report handlers (SURVEY §7.2 step 5) composed from the engine layer —
+  * the Spark-native equivalents of the reference's custom report models.
+  * They operate over a generic journal shape: (dateCol, account key
+  * columns, an amount measure) supplied by the caller, so any fact table
+  * maps in. */
+object Handlers {
+
+  /** General ledger (account_reports/models/account_general_ledger.py:
+    * 223-316): per-account initial balance (history before the period),
+    * period movement, and closing balance — evaluated in ONE scan via
+    * column-group conditional aggregation instead of the reference's
+    * initial-balance UNION ALL branch. */
+  object GeneralLedger {
+    def accountSummary(journal: DataFrame, dateCol: Column, accountCols: Seq[Column],
+                       amount: Column, from: LocalDate, to: LocalDate): DataFrame = {
+      val initial = DateScope.predicate(DateScope.ToBeginningOfPeriod, dateCol, from, to)
+      val period = DateScope.predicate(DateScope.StrictRange, dateCol, from, to)
+      ColumnGroupPlanner.evaluate(journal, accountCols,
+          Seq(ColumnGroupPlanner.Group("initial", initial),
+            ColumnGroupPlanner.Group("period", period)),
+          Map("bal" -> amount))
+        .withColumn("closing_bal", col("initial_bal") + col("period_bal"))
+    }
+
+    /** Unaffected-earnings collapse (SURVEY §2.4 A18,
+      * account_general_ledger.py:258-316): journal rows dated before the
+      * fiscal-year start are re-keyed to a single synthetic equity account
+      * per grouping, so prior-year P&L shows as one opening line. */
+    def collapsePriorYears(journal: DataFrame, dateCol: Column, accountCol: Column,
+                           fyStart: LocalDate, unaffectedKey: Long): DataFrame =
+      journal.withColumn(s"account_collapsed",
+        when(dateCol < lit(fyStart.toString).cast("timestamp"), lit(unaffectedKey))
+          .otherwise(accountCol))
+  }
+
+  /** Trial balance (account_trial_balance_report.py:83-150): the GL
+    * summary IS the trial balance — keys + initial/period/closing. */
+  object TrialBalance {
+    def compute(journal: DataFrame, dateCol: Column, accountCols: Seq[Column],
+                amount: Column, from: LocalDate, to: LocalDate): DataFrame =
+      GeneralLedger.accountSummary(journal, dateCol, accountCols, amount, from, to)
+  }
+
+  /** Aged-balance bucketing (SURVEY §2.3 J6 / §2.6 W6,
+    * account_aged_partner_balance.py:82-89): the interval VALUES table
+    * folded into a codegen'd when-chain. `bounds` are inclusive upper edges
+    * in days; anything above the last bound lands in the final bucket. */
+  object AgedBalance {
+    def bucketCol(asOf: Column, due: Column, bounds: Seq[Int]): Column = {
+      val age = datediff(asOf, due)
+      val named = bounds.zipWithIndex.map { case (b, i) => (b, s"b${i}_le_$b") }
+      named.foldRight(lit(s"b${bounds.size}_gt_${bounds.last}"): Column) {
+        case ((bound, name), rest) => when(age <= bound, name).otherwise(rest)
+      }
+    }
+
+    /** Pivot amounts into one column per bucket (A4). */
+    def pivotBuckets(df: DataFrame, keys: Seq[Column], bucket: Column,
+                     amount: Column, bounds: Seq[Int]): DataFrame = {
+      val names = bounds.zipWithIndex.map { case (b, i) => s"b${i}_le_$b" } :+
+        s"b${bounds.size}_gt_${bounds.last}"
+      val aggs = names.map(n =>
+        round(sum(when(bucket === n, amount).otherwise(lit(0.0))), 2).as(n))
+      df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+}

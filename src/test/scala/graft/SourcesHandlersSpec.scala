@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{BranchContext, ExternalValues}
+import graft.report.Handlers
+import graft.sources.CsvSource
+
+/** Specs for the source/security/external-value layers and the composed
+  * report handlers. */
+class SourcesHandlersSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("csv ingestion: schema-enforced read splits valid and corrupt rows") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val src = new java.io.File(dir, "in.csv")
+    val w = new java.io.PrintWriter(src)
+    w.write("id,qty,name\n1,10,alpha\n2,notanumber,beta\n3,30,gamma\n")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType),
+      StructField("name", StringType)))
+    val dest = new java.io.File(dir, "out").getPath
+    val (valid, corrupt) = CsvSource.ingest(spark, src.getPath, schema, dest)
+    assert(valid == 2 && corrupt == 1)
+    assert(spark.read.parquet(dest).count() == 2)
+  }
+
+  test("branch context filters only branch-carrying frames") {
+    val s = spark; import s.implicits._
+    val facts = Seq((1L, 1L, 10.0), (2L, 2L, 20.0), (3L, 3L, 30.0))
+      .toDF("id", "branch_id", "v")
+    val ctx = BranchContext(Seq(1L, 3L))
+    assert(ctx(facts).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val noBranch = Seq((1L, 5.0)).toDF("id", "v")
+    assert(ctx(noBranch).count() == 1) // pass-through
+  }
+
+  test("external values: sum and most_recent modes + carryover round-trip") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft_ext").toFile.getPath + "/ext"
+    ExternalValues.carryover(spark, Map("T1.bal" -> 5.0, "T2.bal" -> 7.0), "2024-01-31", dir)
+    ExternalValues.carryover(spark, Map("T1.bal" -> 9.0), "2024-02-28", dir)
+    val ext = ExternalValues.load(spark, dir)
+    val summed = ExternalValues.sumMode(ext, "2024-01-01", "2024-12-31")
+      .as[(String, Double)].collect().toMap
+    assert(summed == Map("T1.bal" -> 14.0, "T2.bal" -> 7.0))
+    val latest = ExternalValues.mostRecent(ext, "2024-01-01", "2024-12-31")
+      .as[(String, Double)].collect().toMap
+    assert(latest == Map("T1.bal" -> 9.0, "T2.bal" -> 7.0))
+  }
+
+  test("general ledger handler: initial/period/closing in one pass") {
+    val s = spark; import s.implicits._
+    val j = Seq(
+      ("2023-12-30", 1L, 100.0), // initial
+      ("2024-01-05", 1L, 10.0),  // period
+      ("2024-02-01", 1L, 5.0),   // period
+      ("2025-01-01", 1L, 999.0), // after `to` — excluded entirely
+      ("2024-01-02", 2L, 50.0))  // period only
+      .toDF("d", "acct", "v")
+      .withColumn("d", col("d").cast("timestamp"))
+    val out = Handlers.GeneralLedger.accountSummary(j, col("d"), Seq(col("acct")),
+        col("v"), LocalDate.of(2024, 1, 1), LocalDate.of(2024, 12, 31))
+      .orderBy("acct")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 100.0, 15.0, 115.0), (2L, 0.0, 50.0, 50.0)))
+  }
+
+  test("aged bucket column covers bounds inclusively with overflow bucket") {
+    val s = spark; import s.implicits._
+    val df = Seq(("2024-01-01", 10.0), ("2023-06-01", 20.0), ("2020-01-01", 40.0))
+      .toDF("due", "v").withColumn("due", col("due").cast("timestamp"))
+    val bucket = Handlers.AgedBalance.bucketCol(
+      lit("2024-01-31").cast("timestamp"), col("due"), Seq(30, 365))
+    val out = df.withColumn("b", bucket).select("b").as[String].collect().sorted.toSeq
+    assert(out == Seq("b0_le_30", "b1_le_365", "b2_gt_365"))
+  }
+}
