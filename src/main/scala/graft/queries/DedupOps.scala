@@ -103,16 +103,25 @@ object DedupOps {
     * shuffle on (band, signature) — the only pair enumeration is within a
     * bucket. */
   def q33(s: SparkSession, d: String): DataFrame = {
-    val s0 = s; import s0.implicits._
     val P = 99991L
-    val sh = shingles3(Tables.documents(s, d))
+    val K = 12
+    val sh = shingles3(Tables.documents(s, d)).cache() // dict build + hash join
     val dict = sh.select(col("s")).distinct()
       .withColumn("sid", dense_rank().over(Window.orderBy(col("s"))))
-    val hk = (0 until 12).map(k => (k, 53L * k + 7L, 97L * k + 13L)).toDF("k", "a", "b")
-    val mh = sh.join(dict, "s")
-      .crossJoin(broadcast(hk))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(min((col("a") * col("sid") + col("b")) % P).as("m"))
+    // All K minhashes as aggregation buffers of ONE groupBy — a map-side-
+    // combinable shuffle of the shingle rows, instead of a K× row blowup
+    // (the scale-correct distributed MinHash plan).
+    val minCols = (0 until K).map(k =>
+      min((lit(53L * k + 7L) * col("sid") + lit(97L * k + 13L)) % P).as(s"m$k"))
+    val sig = sh.join(broadcast(dict), "s")
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+    // unpivot to (doc_id, k, m) for banding + the estimate join
+    val mh = sig.select(col("doc_id"),
+        explode(array((0 until K).map(k =>
+          struct(lit(k).as("k"), col(s"m$k").as("m"))): _*)).as("t"))
+      .select(col("doc_id"), col("t.k").as("k"), col("t.m").as("m"))
+      .cache() // feeds banding AND both sides of the estimate join
     val bands = mh
       .groupBy(col("doc_id"), floor(col("k") / 3).as("band"))
       .agg(sum(col("m") * pow(lit(10.0), lit(5) * (lit(2) - col("k") % 3)).cast("long")).as("sig"))
@@ -153,31 +162,43 @@ object DedupOps {
 
   /** q34 — SimHash near-dup: 16-bit simhash from term-frequency-weighted
     * word hashes; emit pairs at Hamming distance <= 1 via bit_count(xor).
-    * Scale: signatures are one long per doc; at 100 TB the d<=k search is a
-    * multi-probe join on signature chunks (pigeonhole), not the self-join
-    * used here for the small oracle — noted so the intent is explicit. */
+    * Pair search is the pigeonhole multi-probe: distance <= 1 implies the
+    * two 8-bit signature halves agree on at least one half, so candidates
+    * come from two equi-joins on the halves (union, distinct) instead of a
+    * quadratic cartesian — the plan that survives 100 TB. */
   def q34(s: SparkSession, d: String): DataFrame = {
-    val s0 = s; import s0.implicits._
     val docs = Tables.documents(s, d)
     val wc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .cache() // feeds the word dictionary AND the hash join
     val dict = wc.select(col("w")).distinct()
       .withColumn("wid", dense_rank().over(Window.orderBy(col("w"))))
-    val h = wc.join(dict, "w")
+    val h = wc.join(broadcast(dict), "w")
       .withColumn("hw", (col("wid") * lit(2654435761L)) % 65536L)
-    val bitsIdx = (0 until 16).toDF("b")
-    val bits = h.crossJoin(broadcast(bitsIdx))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(when(
-        sum(col("cnt") * (lit(2) * (floor(col("hw") / pow(lit(2.0), col("b"))).cast("long") % 2) - lit(1))) > 0,
-        lit(1L)).otherwise(lit(0L)).as("ob"))
-    val sig = bits.groupBy(col("doc_id"))
-      .agg(sum(col("ob") * pow(lit(2.0), col("b")).cast("long")).as("sh"))
-    sig.as("x").join(sig.as("y"), col("x.doc_id") < col("y.doc_id"))
-      .withColumn("dist", bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long"))
+    // All 16 bit-plane sums as aggregation buffers of ONE groupBy (no 16×
+    // row blowup): bit b = sign of sum(cnt * ±1) over the doc's words.
+    val bitCols = (0 until 16).map { b =>
+      when(sum(col("cnt") *
+          (lit(2) * (floor(col("hw") / math.pow(2.0, b)).cast("long") % 2) - lit(1))) > 0,
+        lit(1L << b)).otherwise(lit(0L)).as(s"p$b")
+    }
+    val sig = h.groupBy(col("doc_id"))
+      .agg(bitCols.head, bitCols.tail: _*)
+      .withColumn("sh", (0 until 16).map(b => col(s"p$b")).reduce(_ + _))
+      .select(col("doc_id"), col("sh"),
+        (col("sh") % 256).as("h0"),
+        floor(col("sh") / 256).cast("long").as("h1"))
+      .cache()
+    def probeHalf(c: String): DataFrame =
+      sig.as("x").join(sig.as("y"),
+          col(s"x.$c") === col(s"y.$c") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+          col("x.sh").as("s1"), col("y.sh").as("s2"))
+    probeHalf("h0").unionByName(probeHalf("h1")).distinct()
+      .withColumn("dist", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
       .filter(col("dist") <= 1)
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"), col("dist"))
+      .select(col("d1"), col("d2"), col("dist"))
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -214,9 +235,10 @@ object DedupOps {
         posexplode(transform(sequence(lit(1), length(col("text")) - lit(4)),
           i => col("text").substr(i, lit(5)))))
       .withColumnRenamed("col", "g")
+      .cache() // feeds the gram dictionary AND the hash join
     val dict = grams.select(col("g")).distinct()
       .withColumn("gid", dense_rank().over(Window.orderBy(col("g"))))
-    val hashed = grams.join(dict, "g")
+    val hashed = grams.join(broadcast(dict), "g")
       .withColumn("hg", (col("gid") * lit(2654435761L)) % 1000003L)
     val wMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, 3)

@@ -24,6 +24,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(1), length(col("text")) - lit(2)),
           i => col("text").substr(i, lit(3)))).as("t"))
+      .cache() // feeds both the train profile and the test scoring
     val train = tg.filter(col("doc_id") % 5 =!= 0)
       .groupBy(col("lang").as("p_lang"), col("t")).agg(count(lit(1)).as("cnt"))
     val profile = train
