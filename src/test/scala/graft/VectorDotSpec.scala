@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{GraftExtensions, VectorDot}
+
+/** The native vector_dot expression must agree bit-for-bit with the
+  * composed aggregate(zip_with(cast, cast)) form it replaces, in both the
+  * interpreted and whole-stage-codegen paths, and from SQL via the
+  * extension registration. */
+class VectorDotSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def fixture = {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() - 0.5f), Array.fill(64)(rnd.nextFloat() - 0.5f))
+    }.toDF("id", "a", "b")
+  }
+
+  private val composed =
+    aggregate(
+      zip_with(col("a").cast("array<double>"), col("b").cast("array<double>"),
+        (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("vector_dot == aggregate(zip_with) bit-for-bit (codegen path)") {
+    val s = spark; import s.implicits._
+    val out = fixture
+      .select(VectorDot.dot(col("a"), col("b")).as("fast"), composed.as("slow"))
+      .as[(Double, Double)].collect()
+    assert(out.forall { case (f, sl) => f == sl })
+  }
+
+  test("vector_dot == aggregate(zip_with) in interpreted path") {
+    val s = spark; import s.implicits._
+    withCodegenOff {
+      val out = fixture
+        .select(VectorDot.dot(col("a"), col("b")).as("fast"), composed.as("slow"))
+        .as[(Double, Double)].collect()
+      assert(out.forall { case (f, sl) => f == sl })
+    }
+  }
+
+  test("vector_dot is null-safe and length-checked") {
+    val s = spark; import s.implicits._
+    val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+    val out = df.select(VectorDot.dot(col("a"), col("b"))).collect()
+    assert(out.head.isNullAt(0))
+    val bad = Seq((Array(1f, 2f), Array(1f))).toDF("a", "b")
+    assertThrows[Exception](bad.select(VectorDot.dot(col("a"), col("b"))).collect())
+  }
+
+  test("vector_dot available from SQL after extension install") {
+    val s = spark; import s.implicits._
+    GraftExtensions.install(s)
+    fixture.createOrReplaceTempView("vdots")
+    val n = s.sql(
+      "SELECT id FROM vdots WHERE abs(vector_dot(a, b)) >= 0").count()
+    assert(n == 200)
+  }
+
+  private def withCodegenOff[T](body: => T): T = {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try body finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
