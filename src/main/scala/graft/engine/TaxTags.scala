@@ -1,0 +1,34 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's `tax_tags` formula engine
+  * (account_reports/models/account_report.py:2535-2602): a report cell sums
+  * fact amounts carrying a named tax tag, where the tag itself has a ±
+  * polarity (its name is stored signed, '+TAG' / '-TAG') and rows can flag
+  * `tax_tag_invert` — two stacked ±1 sign flips on the measure (SURVEY
+  * §2.4 A8 + §2.3 J3).
+  *
+  * Shape: fact ⟕ bridge ⟕ tag-dim (both joins through the m2m bridge,
+  * account_report.py:2572-2576), then one signed aggregation. Scale: the
+  * tag dim and bridge are broadcastable; the fact never re-shuffles except
+  * for the final small groupBy. */
+object TaxTags {
+
+  /** Evaluate tag totals.
+    * `facts`: (fact_id, amount, tax_tag_invert: boolean).
+    * `bridge`: (fact_id, tag_id).
+    * `tags`: (tag_id, tag_name) with signed names ('+BASE', '-BASE', ...).
+    * Output: one row per unsigned tag name with the signed total. */
+  def evaluate(facts: DataFrame, bridge: DataFrame, tags: DataFrame): DataFrame = {
+    val tagSign = when(substring(col("tag_name"), 1, 1) === "-", lit(-1.0))
+      .otherwise(lit(1.0))
+    val invSign = when(col("tax_tag_invert"), lit(-1.0)).otherwise(lit(1.0))
+    facts
+      .join(broadcast(bridge), "fact_id")
+      .join(broadcast(tags), "tag_id")
+      .groupBy(substring(col("tag_name"), 2, 1000).as("tag"))
+      .agg(sum(col("amount") * tagSign * invSign).as("total"))
+  }
+}

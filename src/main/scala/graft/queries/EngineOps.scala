@@ -206,13 +206,58 @@ object EngineOps {
       |WHERE op <> 'write' OR old_value IS DISTINCT FROM new_value
       |ORDER BY res_id, field""".stripMargin
 
+  /** q49 — tax_tags engine: m2m bridge joins + signed aggregation with
+    * stacked tag-polarity × row-invert sign flips (SURVEY §2.5 tax_tags).
+    * Tags are derived from order priority (digit 1-5, alternating polarity)
+    * plus a '-STATUSF' tag on fulfilled orders; orders with key%7=0 carry
+    * tax_tag_invert. */
+  def q49(s: SparkSession, d: String): DataFrame = {
+    val s0 = s; import s0.implicits._
+    val o = Tables.orders(s, d)
+    val facts = o.select(col("o_orderkey").as("fact_id"),
+      col("o_totalprice").as("amount"),
+      (col("o_orderkey") % 7 === 0).as("tax_tag_invert"))
+    val prioBridge = o.select(col("o_orderkey").as("fact_id"),
+      substring(col("o_orderpriority"), 1, 1).cast("int").as("tag_id"))
+    val statusBridge = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("fact_id"), lit(10).as("tag_id"))
+    val bridge = prioBridge.unionByName(statusBridge)
+    val tags = Seq((1, "+P1"), (2, "-P2"), (3, "+P3"), (4, "-P4"), (5, "+P5"),
+      (10, "-STATUSF")).toDF("tag_id", "tag_name")
+    TaxTags.evaluate(facts, bridge, tags)
+      .select(col("tag"), round(col("total"), 2).as("total"))
+      .orderBy(col("tag"))
+  }
+
+  val q49Sql: String =
+    """WITH facts AS (
+      |  SELECT o_orderkey fact_id, o_totalprice amount,
+      |         (o_orderkey % 7 = 0) tax_tag_invert
+      |  FROM orders),
+      |bridge AS (
+      |  SELECT o_orderkey fact_id,
+      |         CAST(substring(o_orderpriority, 1, 1) AS INT) tag_id FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 10 FROM orders WHERE o_orderstatus = 'F'),
+      |tags(tag_id, tag_name) AS (
+      |  VALUES (1, '+P1'), (2, '-P2'), (3, '+P3'), (4, '-P4'), (5, '+P5'),
+      |         (10, '-STATUSF'))
+      |SELECT substring(tag_name, 2) AS tag,
+      |  round(sum(amount
+      |    * (CASE WHEN substring(tag_name, 1, 1) = '-' THEN -1.0 ELSE 1.0 END)
+      |    * (CASE WHEN tax_tag_invert THEN -1.0 ELSE 1.0 END)), 2) AS total
+      |FROM facts JOIN bridge USING (fact_id) JOIN tags USING (tag_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_domain_compiler" -> (q41 _), "q42_date_scopes" -> (q42 _),
     "q43_column_groups" -> (q43 _), "q44_agg_fixpoint" -> (q44 _),
-    "q45_account_codes" -> (q45 _), "q46_cdc_diff" -> (q46 _))
+    "q45_account_codes" -> (q45 _), "q46_cdc_diff" -> (q46 _),
+    "q49_tax_tags" -> (q49 _))
 
   val oracle: Map[String, String] = Map(
     "q41_domain_compiler" -> q41Sql, "q42_date_scopes" -> q42Sql,
     "q43_column_groups" -> q43Sql, "q44_agg_fixpoint" -> q44Sql,
-    "q45_account_codes" -> q45Sql, "q46_cdc_diff" -> q46Sql)
+    "q45_account_codes" -> q45Sql, "q46_cdc_diff" -> q46Sql,
+    "q49_tax_tags" -> q49Sql)
 }
