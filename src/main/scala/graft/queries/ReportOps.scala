@@ -78,9 +78,81 @@ object ReportOps {
       |  round(sum(CASE WHEN bucket = 'b3_gt_730' THEN o_totalprice ELSE 0 END), 2) AS b3_gt_730
       |FROM aged GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q50 — Ledger handler: per-customer running balance over 1996 orders,
+    * seeded with the pre-1996 balance (W1/W2 with the initial-balance seam
+    * the reference threads as `progress`). */
+  def q50(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    Handlers.Ledger.runningDetail(o, col("o_orderdate"), col("o_custkey"),
+        col("o_orderkey"), col("o_totalprice"),
+        LocalDate.of(1996, 1, 1), LocalDate.of(1996, 12, 31))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        round(col("running_bal"), 2).as("running_bal"))
+      .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+  }
+
+  val q50Sql: String =
+    """WITH init AS (
+      |  SELECT o_custkey k, sum(o_totalprice) init_bal FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1),
+      |period AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |    sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00')
+      |SELECT o_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  round(coalesce(init_bal, 0) + cum, 2) AS running_bal
+      |FROM period LEFT JOIN init ON o_custkey = k
+      |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
+
+  /** q51 — drill-down groupby chain (SURVEY §3.2 / A15): the reference
+    * expands region→nation→customer level by level with parent filters
+    * pushed down; here ONE rollup pass with GROUPING() level markers
+    * produces every level of the chain at once. */
+  def q51(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("bal"),
+        (lit(3) - grouping(col("r_name")) - grouping(col("n_name"))
+          - grouping(col("c_mktsegment"))).cast("long").as("level"))
+      .select(
+        col("level"),
+        coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+        col("n_cust"), col("bal"))
+      .orderBy(col("level"), col("region"), col("nation"), col("segment"))
+  }
+
+  val q51Sql: String =
+    """SELECT
+      |  (3 - (CASE WHEN GROUPING(r_name) = 1 THEN 1 ELSE 0 END)
+      |     - (CASE WHEN GROUPING(n_name) = 1 THEN 1 ELSE 0 END)
+      |     - (CASE WHEN GROUPING(c_mktsegment) = 1 THEN 1 ELSE 0 END))::BIGINT AS level,
+      |  coalesce(r_name, '(all)') AS region,
+      |  coalesce(n_name, '(all)') AS nation,
+      |  coalesce(c_mktsegment, '(all)') AS segment,
+      |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name, c_mktsegment)
+      |ORDER BY level, region, nation, segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _))
+    "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
+    "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _))
 
   val oracle: Map[String, String] = Map(
-    "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql)
+    "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
+    "q50_running_ledger" -> q50Sql, "q51_groupby_chain" -> q51Sql)
 }

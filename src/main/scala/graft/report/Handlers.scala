@@ -48,6 +48,31 @@ object Handlers {
       GeneralLedger.accountSummary(journal, dateCol, accountCols, amount, from, to)
   }
 
+  /** Partner/journal ledger detail (SURVEY §2.6 W1/W2,
+    * account_journal_report.py:109-237 `cumulate_balance`,
+    * account_partner_ledger.py:347-409): per-key running balance over the
+    * period's rows, SEEDED with the pre-period balance — the reference
+    * threads `progress` through Python; here the seed is a pre-aggregated
+    * initial-balance join and the cumulation is one window function. */
+  object Ledger {
+    def runningDetail(journal: DataFrame, dateCol: Column, keyCol: Column,
+                      idCol: Column, amount: Column,
+                      from: LocalDate, to: LocalDate): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val initial = journal
+        .filter(DateScope.predicate(DateScope.ToBeginningOfPeriod, dateCol, from, to))
+        .groupBy(keyCol.as("k")).agg(sum(amount).as("init_bal"))
+      val w = Window.partitionBy(keyCol).orderBy(dateCol, idCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      journal
+        .filter(DateScope.predicate(DateScope.StrictRange, dateCol, from, to))
+        .withColumn("cum", sum(amount).over(w))
+        .join(initial, keyCol === col("k"), "left")
+        .withColumn("running_bal", coalesce(col("init_bal"), lit(0.0)) + col("cum"))
+        .drop("k", "cum")
+    }
+  }
+
   /** Aged-balance bucketing (SURVEY §2.3 J6 / §2.6 W6,
     * account_aged_partner_balance.py:82-89): the interval VALUES table
     * folded into a codegen'd when-chain. `bounds` are inclusive upper edges
