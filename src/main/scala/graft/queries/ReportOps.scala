@@ -148,11 +148,39 @@ object ReportOps {
       |GROUP BY ROLLUP (r_name, n_name, c_mktsegment)
       |ORDER BY level, region, nation, segment""".stripMargin
 
+  /** q53 — register pipeline (SURVEY §3.3): the sales-register shape via
+    * graft.registers — order amounts pivoted into per-priority columns
+    * (native `pivot` with an explicit value list ⇒ one scan, fixed schema)
+    * with a '(total)' grand-total row. */
+  def q53(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") =!= "P")
+    graft.registers.Registers.pivotRegister(
+      o, col("o_orderstatus"), col("o_orderpriority"),
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+      col("o_totalprice"))
+  }
+
+  val q53Sql: String =
+    """WITH f AS (SELECT * FROM orders WHERE o_orderstatus <> 'P'),
+      |g AS (
+      |  SELECT o_orderstatus AS group_key, o_orderpriority, o_totalprice FROM f
+      |  UNION ALL
+      |  SELECT '(total)', o_orderpriority, o_totalprice FROM f)
+      |SELECT group_key,
+      |  coalesce(round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2), 0) AS "1-URGENT",
+      |  coalesce(round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2), 0) AS "2-HIGH",
+      |  coalesce(round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2), 0) AS "3-MEDIUM",
+      |  coalesce(round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2), 0) AS "4-NOT SPECIFIED",
+      |  coalesce(round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2), 0) AS "5-LOW"
+      |FROM g GROUP BY group_key ORDER BY group_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
-    "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _))
+    "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
+    "q53_pivot_register" -> (q53 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
-    "q50_running_ledger" -> q50Sql, "q51_groupby_chain" -> q51Sql)
+    "q50_running_ledger" -> q50Sql, "q51_groupby_chain" -> q51Sql,
+    "q53_pivot_register" -> q53Sql)
 }
