@@ -179,8 +179,7 @@ object DedupOps {
     // All 16 bit-plane sums as aggregation buffers of ONE groupBy (no 16×
     // row blowup): bit b = sign of sum(cnt * ±1) over the doc's words.
     val bitCols = (0 until 16).map { b =>
-      when(sum(col("cnt") *
-          (lit(2) * (floor(col("hw") / math.pow(2.0, b)).cast("long") % 2) - lit(1))) > 0,
+      when(sum(col("cnt") * (shiftright(col("hw"), b) % 2 * lit(2) - lit(1))) > 0,
         lit(1L << b)).otherwise(lit(0L)).as(s"p$b")
     }
     val sig = h.groupBy(col("doc_id"))
