@@ -1,0 +1,151 @@
+package graft.engine
+
+import java.time.LocalDate
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The report evaluation lifecycle (SURVEY §3.1,
+  * account_reports/models/account_report.py `get_report_informations` →
+  * `_get_options` → `_compute_expression_totals_for_each_column_group`):
+  * a declarative spec of expressions (one per report cell template) is
+  * batched by engine, evaluated once per column group (comparison period),
+  * and the `aggregation` engine resolves last as a driver-side fixpoint
+  * over the collected totals.
+  *
+  * Spark-first orchestration choices (SURVEY §4.1 "formula batching"):
+  * - ALL domain expressions × ALL column groups evaluate in ONE scan —
+  *   each (group, expression) is a `sum(when(scope ∧ domain, measure))`
+  *   aggregate column of a single job (the reference issues one SQL query
+  *   per engine batch per group).
+  * - account_codes formulas share ONE per-code aggregation scan (again all
+  *   groups at once); the tiny per-code totals are then prefix-matched and
+  *   gated driver-side, like the reference's post-processing.
+  * - external values aggregate per group from the external-values table.
+  * - aggregation formulas never touch row data: [[AggregationEvaluator]]
+  *   fixpoint over the other engines' totals.
+  *
+  * At 100 TB: exactly two fact scans per report (domain batch + codes
+  * batch) regardless of expression or period count; driver state is one
+  * Double per (expression, group). */
+object ReportRunner {
+
+  sealed trait Engine
+  /** Sum `measure` over rows matching the domain (P1) within the scope. */
+  final case class DomainSum(domain: Seq[Any], negate: Boolean = false) extends Engine
+  /** account_codes DSL over per-code balances (§2.5). */
+  final case class CodesFormula(formula: String) extends Engine
+  /** external-values engine, `sum` or `most_recent` mode (§2.5). */
+  final case class External(exprId: String, mostRecent: Boolean = false) extends Engine
+  /** arithmetic over other expressions' codes, fixpoint-resolved (§2.5). */
+  final case class Aggregation(formula: String,
+                               bounds: Seq[AggregationEvaluator.Bound] = Nil) extends Engine
+
+  final case class Expr(code: String, engine: Engine,
+                        scope: DateScope.Scope = DateScope.StrictRange)
+  final case class ColumnGroup(key: String, from: LocalDate, to: LocalDate)
+
+  final case class Ctx(journal: DataFrame, dateCol: Column, codeCol: Column,
+                       measure: Column, external: Option[DataFrame] = None,
+                       fc: DateScope.FiscalConfig = DateScope.FiscalConfig())
+
+  /** Evaluate every expression under every column group.
+    * Returns group key -> expression code -> value. */
+  def run(ctx: Ctx, exprs: Seq[Expr], groups: Seq[ColumnGroup]): Map[String, Map[String, Double]] = {
+    def scopePred(e: Expr, g: ColumnGroup): Column =
+      DateScope.predicate(e.scope, ctx.dateCol, g.from, g.to, ctx.fc)
+
+    val domainExprs = exprs.collect { case e @ Expr(_, _: DomainSum, _) => e }
+    val codesExprs = exprs.collect { case e @ Expr(_, _: CodesFormula, _) => e }
+    val extExprs = exprs.collect { case e @ Expr(_, _: External, _) => e }
+    val aggExprs = exprs.collect { case e @ Expr(_, _: Aggregation, _) => e }
+
+    // ---- batch 1: every (domain expr × group) in ONE scan --------------
+    val domainTotals: Map[(String, String), Double] =
+      if (domainExprs.isEmpty) Map.empty
+      else {
+        val cols = for (g <- groups; e <- domainExprs) yield {
+          val ds = e.engine.asInstanceOf[DomainSum]
+          val sign = if (ds.negate) -1.0 else 1.0
+          coalesce(sum(when(scopePred(e, g) && Domain.compile(ds.domain),
+            ctx.measure * sign).otherwise(lit(0.0))), lit(0.0))
+            .as(s"${g.key}||${e.code}")
+        }
+        val row = ctx.journal.agg(cols.head, cols.tail: _*).head()
+        (for ((g, i) <- groups.zipWithIndex; (e, j) <- domainExprs.zipWithIndex)
+          yield (g.key, e.code) -> row.getDouble(i * domainExprs.size + j)).toMap
+      }
+
+    // ---- batch 2: per-code balances for all codes formulas, ONE scan ---
+    val codesTotals: Map[(String, String), Double] =
+      if (codesExprs.isEmpty) Map.empty
+      else {
+        val scopes = codesExprs.map(_.scope).distinct
+        val cols = for (g <- groups; sc <- scopes) yield
+          sum(when(DateScope.predicate(sc, ctx.dateCol, g.from, g.to, ctx.fc),
+            ctx.measure).otherwise(lit(0.0))).as(s"${g.key}||$sc")
+        val perCode = ctx.journal.groupBy(ctx.codeCol.cast("string").as("code"))
+          .agg(cols.head, cols.tail: _*)
+          .collect() // bounded by the chart of accounts, not the fact table
+        (for (g <- groups; e <- codesExprs) yield {
+          val colName = s"${g.key}||${e.scope}"
+          val balances = perCode.map(r =>
+            r.getString(0) -> r.getDouble(r.fieldIndex(colName)))
+          (g.key, e.code) -> evalCodes(
+            e.engine.asInstanceOf[CodesFormula].formula, balances)
+        }).toMap
+      }
+
+    // ---- batch 3: external values per group ----------------------------
+    val extTotals: Map[(String, String), Double] =
+      (for (g <- groups; e <- extExprs) yield {
+        val ext = ctx.external.getOrElse(
+          throw new IllegalStateException("external exprs need ctx.external"))
+        val eng = e.engine.asInstanceOf[External]
+        val df = if (eng.mostRecent)
+          ExternalValues.mostRecent(ext, g.from.toString, g.to.toString)
+        else ExternalValues.sumMode(ext, g.from.toString, g.to.toString)
+        val v = df.filter(col("expression_id") === eng.exprId)
+          .select(col("value")).collect().headOption.map(_.getDouble(0)).getOrElse(0.0)
+        (g.key, e.code) -> v
+      }).toMap
+
+    // ---- batch 4: aggregation fixpoint per group (resolved LAST) -------
+    groups.map { g =>
+      val leaves = (domainTotals ++ codesTotals ++ extTotals).collect {
+        case ((gk, code), v) if gk == g.key => code -> v
+      }
+      val aggs = aggExprs.map { e =>
+        val a = e.engine.asInstanceOf[Aggregation]
+        e.code -> AggregationEvaluator.Expr(a.formula, a.bounds)
+      }.toMap
+      val resolved = AggregationEvaluator.evaluate(aggs, leaves)
+      g.key -> (leaves ++ resolved)
+    }.toMap
+  }
+
+  /** Driver-side account_codes evaluation over collected (code, balance)
+    * pairs — prefix match, exclusions, D/C gate, term sign (mirrors
+    * [[AccountCodes.evaluate]] for the orchestrated path). */
+  private def evalCodes(formula: String, balances: Seq[(String, Double)]): Double =
+    AccountCodes.parse(formula).map { t =>
+      balances.collect {
+        case (code, bal)
+          if code.startsWith(t.prefix) &&
+            !t.excluded.exists(code.startsWith) &&
+            (t.balanceChar match {
+              case Some('D') => bal >= 0
+              case Some('C') => bal < 0
+              case _ => true
+            }) => bal * t.sign
+      }.sum
+    }.sum
+
+  /** Render totals as a [[graft.report.LineTree.Line]] matrix (one value
+    * per column group, in `groups` order) for tree post-processing. */
+  def toLines(totals: Map[String, Map[String, Double]], exprs: Seq[Expr],
+              groups: Seq[ColumnGroup]): Seq[graft.report.LineTree.Line] =
+    exprs.map { e =>
+      graft.report.LineTree.Line(e.code, None, e.code,
+        groups.map(g => totals(g.key).getOrElse(e.code, 0.0)))
+    }
+}

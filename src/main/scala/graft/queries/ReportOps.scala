@@ -174,13 +174,80 @@ object ReportOps {
       |  coalesce(round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2), 0) AS "5-LOW"
       |FROM g GROUP BY group_key ORDER BY group_key""".stripMargin
 
+  /** q54 — full ReportRunner lifecycle (SURVEY §3.1): domain, account_codes
+    * and aggregation expressions batched and evaluated across two column
+    * groups in two fact scans, fixpoint last. Output = the
+    * (group, expression, value) totals table. */
+  def q54(s: SparkSession, d: String): DataFrame = {
+    import graft.engine.{DateScope, ReportRunner}
+    val s0 = s; import s0.implicits._
+    val journal = Tables.orders(s, d).select(
+      col("o_orderdate").as("d"),
+      (col("o_custkey") % 100).cast("string").as("code"),
+      col("o_orderstatus").as("state"),
+      col("o_totalprice").as("v"))
+    val ctx = ReportRunner.Ctx(journal, col("d"), col("code"), col("v"))
+    val exprs = Seq(
+      ReportRunner.Expr("D1.bal", ReportRunner.DomainSum(Seq(("state", "=", "F")))),
+      ReportRunner.Expr("D2.bal", ReportRunner.DomainSum(Seq(("state", "=", "F"))),
+        scope = DateScope.FromBeginning),
+      ReportRunner.Expr("C1.bal", ReportRunner.CodesFormula("1\\(15) + 2C")),
+      ReportRunner.Expr("A1.bal", ReportRunner.Aggregation(
+        "100 * D1.bal / D2.bal",
+        Seq(graft.engine.AggregationEvaluator.RoundTo(2)))))
+    val groups = Seq(
+      ReportRunner.ColumnGroup("p1995", LocalDate.of(1995, 1, 1), LocalDate.of(1995, 12, 31)),
+      ReportRunner.ColumnGroup("p1996", LocalDate.of(1996, 1, 1), LocalDate.of(1996, 12, 31)))
+    val out = ReportRunner.run(ctx, exprs, groups)
+    (for (g <- groups; e <- exprs) yield {
+      val v = out(g.key)(e.code)
+      val rounded = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (g.key, e.code, rounded)
+    }).toDF("group_key", "expr", "value")
+      .orderBy(col("group_key"), col("expr"))
+  }
+
+  val q54Sql: String =
+    """WITH j AS (
+      |  SELECT o_orderdate d, CAST(o_custkey % 100 AS VARCHAR) code,
+      |         o_orderstatus state, o_totalprice v FROM orders),
+      |g(gk, f, t) AS (VALUES
+      |  ('p1995', TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1995-12-31 00:00:00'),
+      |  ('p1996', TIMESTAMP '1996-01-01 00:00:00', TIMESTAMP '1996-12-31 00:00:00')),
+      |d1 AS (SELECT gk, sum(CASE WHEN d >= f AND d <= t AND state = 'F'
+      |                           THEN v ELSE 0 END) val
+      |       FROM j CROSS JOIN g GROUP BY gk),
+      |d2 AS (SELECT gk, sum(CASE WHEN d <= t AND state = 'F'
+      |                           THEN v ELSE 0 END) val
+      |       FROM j CROSS JOIN g GROUP BY gk),
+      |percode AS (
+      |  SELECT gk, code, sum(CASE WHEN d >= f AND d <= t THEN v ELSE 0 END) bal
+      |  FROM j CROSS JOIN g GROUP BY gk, code),
+      |c1 AS (
+      |  SELECT gk, sum(CASE
+      |    WHEN code LIKE '1%' AND code NOT LIKE '15%' THEN bal
+      |    WHEN code LIKE '2%' AND bal < 0 THEN bal
+      |    ELSE 0 END) val
+      |  FROM percode GROUP BY gk),
+      |rows AS (
+      |  SELECT gk, 'D1.bal' e, round(val, 2) v FROM d1
+      |  UNION ALL SELECT gk, 'D2.bal', round(val, 2) FROM d2
+      |  UNION ALL SELECT gk, 'C1.bal', round(val, 2) FROM c1
+      |  UNION ALL
+      |  SELECT d1.gk, 'A1.bal',
+      |    CASE WHEN d2.val = 0 THEN 0
+      |         ELSE round(round(100 * d1.val / d2.val, 2), 2) END
+      |  FROM d1 JOIN d2 ON d1.gk = d2.gk)
+      |SELECT gk AS group_key, e AS expr, v AS value
+      |FROM rows ORDER BY group_key, expr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
     "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
-    "q53_pivot_register" -> (q53 _))
+    "q53_pivot_register" -> (q53 _), "q54_report_runner" -> (q54 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
     "q50_running_ledger" -> q50Sql, "q51_groupby_chain" -> q51Sql,
-    "q53_pivot_register" -> q53Sql)
+    "q53_pivot_register" -> q53Sql, "q54_report_runner" -> q54Sql)
 }
