@@ -1,0 +1,35 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-aware join (build brief: "salting for skew, AQE for runtime
+  * re-plan"): when a handful of hot keys dominate a shuffle join — e.g.
+  * the no-partner reconciliation lines that the reference's partner ledger
+  * re-attributes (J7) all share partner_id NULL/0 — plain hash
+  * partitioning sends one key's rows to one task.
+  *
+  * Strategy here: explicit salting for the cases AQE's skew handling can't
+  * see (first-shot joins without runtime stats, streaming). The left
+  * (fact) side gets a random-but-deterministic salt in [0, n); the right
+  * (smaller) side is replicated n× with every salt value; the join key
+  * becomes (key, salt), splitting each hot key across n tasks. Results are
+  * identical to the unsalted join. */
+object SkewJoin {
+
+  /** Inner-join `left` and `right` on `key`, salting `left`'s hot keys.
+    * `salts`: fan-out factor. Right side is replicated `salts`×, so keep it
+    * the smaller input. Deterministic: the salt is a hash of the whole left
+    * row's monotonically stable columns — here a hash of all key+payload
+    * columns — mod `salts`. */
+  def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
+                      salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltCol = pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts))
+    val l = left.withColumn("__salt", saltCol)
+    val saltsDf = right.sparkSession.range(salts.toLong)
+      .select(col("id").cast("int").as("__salt"))
+    val r = right.crossJoin(broadcast(saltsDf))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}
