@@ -53,6 +53,58 @@ object EventsStream {
       }
   }
 
+  final case class SessionAgg(startMs: Long, lastMs: Long, n: Long, total: Double)
+  final case class ClosedSession(user_id: Long, start: Timestamp, end: Timestamp,
+                                 n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization with event-time timeouts: a user's session
+    * closes after `gapMinutes` of inactivity (measured in event time under
+    * the watermark), emitting one row per closed session — the
+    * flatMapGroupsWithState shape for custom streaming state. State is one
+    * small struct per active user in the state store; nothing on the
+    * driver. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    def close(uid: Long, s: SessionAgg): ClosedSession =
+      ClosedSession(uid, new Timestamp(s.startMs), new Timestamp(s.lastMs),
+        s.n, math.rint(s.total * 100) / 100)
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(uid, s))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.lastMs <= gapMs =>
+                  cur = Some(SessionAgg(s.startMs, e.ts.getTime, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += close(uid, s)
+                  cur = Some(SessionAgg(e.ts.getTime, e.ts.getTime, 1, e.value))
+                case None =>
+                  cur = Some(SessionAgg(e.ts.getTime, e.ts.getTime, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Wire a parquet-directory stream end-to-end (readStream → transform →
     * writeStream); returns the started query name. Used for manual driving,
     * not by the gate. */

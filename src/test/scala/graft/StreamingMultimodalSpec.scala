@@ -62,6 +62,27 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byUser(9L) == SessionOut(9L, 1L, 0.75, "click"))
   }
 
+  test("sessionize closes a session after the event-time gap passes the watermark") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.sessionize(src.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    // session: two events 10:00 / 10:10
+    src.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "click", 2.0))
+    q.processAllAvailable()
+    // late-batch event far in the future advances the watermark past
+    // 10:40 (session timeout), closing user 7's session
+    src.addData(Event(3, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "click", 5.0))
+    q.processAllAvailable()
+    src.addData(Event(4, Timestamp.valueOf("2024-01-01 13:30:00"), 9, "click", 5.0))
+    q.processAllAvailable()
+    val rows = s.sql("SELECT user_id, n_events, total_value FROM sessions")
+      .as[(Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows.contains((7L, 2L, 3.0)))
+  }
+
   test("multimodal: stub feature extraction is deterministic and batch-shaped") {
     val s = spark; import s.implicits._
     val media = Seq(
