@@ -29,11 +29,12 @@ object LineTree {
     byParent.getOrElse(None, Nil).map(mk)
   }
 
-  /** Tree-aware sort (reference :3436-3542): siblings ordered by column
-    * `colIdx` (descending if `desc`), recursively; total lines pinned to
-    * the bottom of their sibling group; name as deterministic tiebreaker. */
+  /** Tree-aware sort (reference :3436-3542, documented example :3449-3476):
+    * siblings ordered by their OWN value in column `colIdx` (descending if
+    * `desc`), recursively; total lines pinned to the bottom of their
+    * sibling group; name as deterministic tiebreaker. */
   def sortTree(roots: Seq[Node], colIdx: Int, desc: Boolean): Seq[Node] = {
-    def key(n: Node): Double = n.rollup.lift(colIdx).getOrElse(0.0)
+    def key(n: Node): Double = n.line.values.lift(colIdx).getOrElse(0.0)
     def rec(ns: Seq[Node]): Seq[Node] = {
       val (totals, rest) = ns.partition(_.line.isTotal)
       val sorted = rest.sortBy(n => (key(n), n.line.name))(

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+import graft.engine.{AggregationEvaluator, Domain}
+
+/** ScalaCheck properties for the two plan-time DSLs (SURVEY §5 suggests
+  * property tests the reference lacks): the aggregation formula evaluator
+  * against a naive direct interpreter, and the domain parser as a
+  * serialization round-trip. */
+object DslProps extends Properties("graft.dsl") {
+
+  // ---- aggregation formulas vs a naive interpreter ---------------------
+
+  private sealed trait T
+  private case class N(v: Int) extends T
+  private case class L(name: String) extends T
+  private case class B(op: Char, l: T, r: T) extends T
+
+  private val leafNames = Vector("A.bal", "B.bal", "C.bal")
+
+  private def genT(depth: Int): Gen[T] =
+    if (depth <= 0) Gen.oneOf(Gen.choose(-9, 9).map(N),
+      Gen.oneOf(leafNames).map(L))
+    else Gen.frequency(
+      2 -> Gen.choose(-9, 9).map(N),
+      2 -> Gen.oneOf(leafNames).map(L),
+      3 -> (for {
+        op <- Gen.oneOf('+', '-', '*', '/')
+        l <- genT(depth - 1); r <- genT(depth - 1)
+      } yield B(op, l, r)))
+
+  private def render(t: T): String = t match {
+    case N(v) => if (v < 0) s"(0 - ${-v})" else v.toString
+    case L(n) => n
+    case B(op, l, r) => s"(${render(l)} $op ${render(r)})"
+  }
+
+  private def direct(t: T, env: Map[String, Double]): Double = t match {
+    case N(v) => v.toDouble
+    case L(n) => env(n)
+    case B('+', l, r) => direct(l, env) + direct(r, env)
+    case B('-', l, r) => direct(l, env) - direct(r, env)
+    case B('*', l, r) => direct(l, env) * direct(r, env)
+    case B('/', l, r) =>
+      val d = direct(r, env); if (d == 0.0) 0.0 else direct(l, env) / d
+    case B(op, _, _) => sys.error(s"op $op")
+  }
+
+  property("evaluator matches a naive interpreter on random formulas") =
+    Prop.forAll(genT(4), Gen.choose(-50, 50), Gen.choose(-50, 50),
+      Gen.choose(-50, 50)) { (t, a, b, c) =>
+      val env = Map("A.bal" -> a.toDouble, "B.bal" -> b.toDouble, "C.bal" -> c.toDouble)
+      val out = AggregationEvaluator.evaluate(
+        Map("X.bal" -> AggregationEvaluator.Expr(render(t))), env)
+      val expect = direct(t, env)
+      val got = out("X.bal")
+      (got == expect || (got.isNaN && expect.isNaN)) :| s"${render(t)} -> $got vs $expect"
+    }
+
+  property("chained references equal inlined formulas") =
+    Prop.forAll(genT(3), Gen.choose(-20, 20)) { (t, a) =>
+      val env = Map("A.bal" -> a.toDouble, "B.bal" -> 2.0, "C.bal" -> 3.0)
+      val viaChain = AggregationEvaluator.evaluate(
+        Map("M.bal" -> AggregationEvaluator.Expr(render(t)),
+          "Y.bal" -> AggregationEvaluator.Expr("M.bal + 1")), env)("Y.bal")
+      val inlined = AggregationEvaluator.evaluate(
+        Map("Y.bal" -> AggregationEvaluator.Expr(s"(${render(t)}) + 1")), env)("Y.bal")
+      (viaChain == inlined) :| s"${render(t)}"
+    }
+
+  // ---- domain polish-notation round-trip -------------------------------
+
+  private def genDomain(depth: Int): Gen[Domain.Node] =
+    if (depth <= 0)
+      for {
+        f <- Gen.oneOf("state", "amount", "partner_id")
+        op <- Gen.oneOf("=", "!=", "<", ">", "<=", ">=")
+        v <- Gen.choose(0, 99)
+      } yield Domain.Cond(f, op, v)
+    else Gen.frequency(
+      3 -> genDomain(0),
+      2 -> (for { l <- genDomain(depth - 1); r <- genDomain(depth - 1) }
+        yield Domain.And(l, r)),
+      2 -> (for { l <- genDomain(depth - 1); r <- genDomain(depth - 1) }
+        yield Domain.Or(l, r)),
+      1 -> genDomain(depth - 1).map(Domain.Not))
+
+  private def toPolish(n: Domain.Node): List[Any] = n match {
+    case Domain.Cond(f, op, v) => List((f, op, v))
+    case Domain.And(l, r) => "&" :: (toPolish(l) ++ toPolish(r))
+    case Domain.Or(l, r) => "|" :: (toPolish(l) ++ toPolish(r))
+    case Domain.Not(x) => "!" :: toPolish(x)
+    case Domain.TrueLeaf => Nil
+  }
+
+  property("domain parse inverts polish serialization") =
+    Prop.forAll(genDomain(4)) { n =>
+      (Domain.parse(toPolish(n)) == n) :| n.toString
+    }
+}

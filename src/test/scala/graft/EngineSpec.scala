@@ -93,6 +93,27 @@ class EngineSpec extends AnyFunSuite {
     assert(n2 == Or(Cond("a", "=", 1), Not(Cond("b", "=", 2))))
   }
 
+  test("line tree: the reference's documented sort example (:3449-3476)") {
+    import LineTree._
+    // parent_1 balance=11 with children 1,3,2,7,4 + total;
+    // parent_2 balance=10 with children 5,6 + total. Ascending sort.
+    val lines = Seq(
+      Line("p1", None, "parent_line_1", Seq(11.0)),
+      Line("c1", Some("p1"), "child_line_1", Seq(1.0)),
+      Line("c2", Some("p1"), "child_line_2", Seq(3.0)),
+      Line("c3", Some("p1"), "child_line_3", Seq(2.0)),
+      Line("c4", Some("p1"), "child_line_4", Seq(7.0)),
+      Line("c5", Some("p1"), "child_line_5", Seq(4.0)),
+      Line("c6", Some("p1"), "child_line_6", Seq(0.0), isTotal = true),
+      Line("p2", None, "parent_line_2", Seq(10.0)),
+      Line("c7", Some("p2"), "child_line_7", Seq(5.0)),
+      Line("c8", Some("p2"), "child_line_8", Seq(6.0)),
+      Line("c9", Some("p2"), "child_line_9", Seq(0.0), isTotal = true))
+    val sorted = sortTree(build(lines), 0, desc = false)
+    assert(flatten(sorted).map(_._2.id) ==
+      Seq("p2", "c7", "c8", "c9", "p1", "c1", "c3", "c2", "c5", "c4", "c6"))
+  }
+
   test("line tree: rollup, totals pinned, hide-if-zero") {
     import LineTree._
     val lines = Seq(
