@@ -20,19 +20,28 @@ object AggregationEvaluator {
   final case class IfBelow(v: Double) extends Bound
   final case class IfBetween(lo: Double, hi: Double) extends Bound
   final case class RoundTo(n: Int) extends Bound
+  /** Gate on ANOTHER expression's value (reference `if_other_expr_above/
+    * below`, account_report.py:2421-2498): keep this expression's value
+    * only when `other`'s resolved value clears the threshold. */
+  final case class IfOtherAbove(other: String, v: Double) extends Bound
+  final case class IfOtherBelow(other: String, v: Double) extends Bound
 
   final case class Expr(formula: String, bounds: Seq[Bound] = Nil)
 
-  /** Parse a subformula string like "if_above(USD(1000))" / "round(2)". */
+  /** Parse a subformula string like "if_above(USD(1000))" / "round(2)" /
+    * "if_other_expr_above(LINE.bal, USD(3))". */
   def parseBound(s: String): Bound = {
     val cur = """(\w+)\((\w{3})\(([-\d.]+)\)\)""".r
     val rnd = """round\((\d+)\)""".r
-    val btw = """if_between\(\w{3}\(([-\d.]+)\),\s*\w{3}\(([-\d.]+)\)\)""".r
+    val btw = """if_between\(\w{3}\(([-\d.]+)\),\w{3}\(([-\d.]+)\)\)""".r
+    val oth = """(if_other_expr_above|if_other_expr_below)\(([\w.]+),\w{3}\(([-\d.]+)\)\)""".r
     s.replaceAll("\\s", "") match {
       case rnd(n) => RoundTo(n.toInt)
       case btw(lo, hi) => IfBetween(lo.toDouble, hi.toDouble)
       case cur("if_above", _, v) => IfAbove(v.toDouble)
       case cur("if_below", _, v) => IfBelow(v.toDouble)
+      case oth("if_other_expr_above", code, v) => IfOtherAbove(code, v.toDouble)
+      case oth("if_other_expr_below", code, v) => IfOtherBelow(code, v.toDouble)
       case other => throw new IllegalArgumentException(s"bad subformula: $other")
     }
   }
@@ -84,7 +93,9 @@ object AggregationEvaluator {
     * (reference evaluates bounds per-expression, :2421-2498). */
   def evaluate(exprs: Map[String, Expr], leaves: Map[String, Double]): Map[String, Double] = {
     val memoRaw = scala.collection.mutable.Map[String, Double]() // pre-bound values
+    val memoFinal = scala.collection.mutable.Map[String, Double]() // bounded values
     val visiting = scala.collection.mutable.Set[String]()
+    val visitingBounds = scala.collection.mutable.Set[String]()
 
     def applyBounds(v: Double, bounds: Seq[Bound]): Double =
       bounds.foldLeft(v) { (x, b) =>
@@ -92,18 +103,25 @@ object AggregationEvaluator {
           case IfAbove(t) => if (x > t) x else 0.0
           case IfBelow(t) => if (x < t) x else 0.0
           case IfBetween(lo, hi) => if (x >= lo && x <= hi) x else 0.0
+          case IfOtherAbove(o, t) => if (valueOf(o) > t) x else 0.0
+          case IfOtherBelow(o, t) => if (valueOf(o) < t) x else 0.0
           case RoundTo(n) =>
             BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
       }
 
+    // referencing another aggregation line sees its BOUNDED value
     def valueOf(code: String): Double =
-      leaves.getOrElse(code, {
+      leaves.getOrElse(code, memoFinal.getOrElseUpdate(code, {
         val e = exprs.getOrElse(code,
           throw new NoSuchElementException(s"unknown term: $code"))
-        // referencing another aggregation line sees its BOUNDED value
-        applyBounds(raw(code, e), e.bounds)
-      })
+        if (visitingBounds(code))
+          throw new IllegalStateException(s"bound cycle at $code")
+        visitingBounds += code
+        val v = applyBounds(raw(code, e), e.bounds)
+        visitingBounds -= code
+        v
+      }))
 
     def raw(code: String, e: Expr): Double = memoRaw.getOrElseUpdate(code, {
       if (visiting(code)) throw new IllegalStateException(s"cycle at $code")
@@ -125,6 +143,6 @@ object AggregationEvaluator {
       case Bin(op, _, _) => throw new IllegalStateException(s"op $op")
     }
 
-    exprs.map { case (code, e) => code -> applyBounds(raw(code, e), e.bounds) }
+    exprs.map { case (code, _) => code -> valueOf(code) }
   }
 }

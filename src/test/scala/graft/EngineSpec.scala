@@ -50,6 +50,23 @@ class EngineSpec extends AnyFunSuite {
     assert(out("A.b") == 5.0 && out("B.b") == 1.67 && out("C.b") == -5.0)
   }
 
+  test("aggregation: if_other_expr bounds gate on another line's value") {
+    assert(parseBound("if_other_expr_above(T.bal, USD(3))") == IfOtherAbove("T.bal", 3.0))
+    assert(parseBound("if_other_expr_below(T.bal, USD(3))") == IfOtherBelow("T.bal", 3.0))
+    val out = evaluate(Map(
+      "T.bal" -> Expr("X.b * 2"),
+      "A.b" -> Expr("X.b + 1", Seq(IfOtherAbove("T.bal", 3.0))),  // 10>3: keep
+      "B.b" -> Expr("X.b + 1", Seq(IfOtherBelow("T.bal", 3.0)))), // gate to 0
+      Map("X.b" -> 5.0))
+    assert(out("A.b") == 6.0 && out("B.b") == 0.0)
+    // mutual bound references are cycles, not infinite loops
+    assertThrows[IllegalStateException] {
+      evaluate(Map(
+        "P.b" -> Expr("1", Seq(IfOtherAbove("Q.b", 0.0))),
+        "Q.b" -> Expr("1", Seq(IfOtherAbove("P.b", 0.0)))), Map.empty)
+    }
+  }
+
   test("aggregation: precedence and parens") {
     val out = evaluate(Map("A.b" -> Expr("2 + 3 * 4"), "B.b" -> Expr("(2 + 3) * 4"),
       "C.b" -> Expr("-X.b + 1")), Map("X.b" -> 10.0))
