@@ -74,8 +74,41 @@ object Domain {
         case "ilike" => lower(c).contains(lower(toLit(v)))
         case "=like" => c.like(v.toString)
         case "=ilike" => lower(c).like(v.toString.toLowerCase)
+        case "child_of" => throw new IllegalArgumentException(
+          "child_of needs a hierarchy: use compile(n, resolve, descendants)")
         case other => throw new IllegalArgumentException(s"unsupported op: $other")
       }
+  }
+
+  /** Compile with hierarchy support: `child_of` (Odoo: the record and all
+    * its descendants via parent_id) becomes a set-membership predicate over
+    * the precomputed descendant closure — the dimension tree is driver-side
+    * small (account groups, locations), the closure ships as an isin/IN
+    * list (or a broadcast-join DF for big hierarchies). */
+  def compile(n: Node, resolve: String => Column,
+              descendants: Any => Seq[Any]): Column = n match {
+    case Cond(f, "child_of", v) =>
+      val members = (seqOf(v).flatMap(p => descendants(p)) ++ seqOf(v)).distinct
+      resolve(f).isin(members: _*)
+    case And(l, r) => compile(l, resolve, descendants) && compile(r, resolve, descendants)
+    case Or(l, r) => compile(l, resolve, descendants) || compile(r, resolve, descendants)
+    case Not(x) => !compile(x, resolve, descendants)
+    case other => compile(other, resolve)
+  }
+
+  /** Transitive-descendant closure from (child, parent) edges — the
+    * reference's parent_id trees (account.group, stock.location). */
+  def descendantsOf(edges: Seq[(Any, Any)]): Any => Seq[Any] = {
+    val children = edges.groupBy(_._2).map { case (p, es) => p -> es.map(_._1) }
+    (root: Any) => {
+      val out = scala.collection.mutable.ListBuffer[Any]()
+      var frontier = children.getOrElse(root, Nil)
+      while (frontier.nonEmpty) {
+        out ++= frontier
+        frontier = frontier.flatMap(c => children.getOrElse(c, Nil))
+      }
+      out.toSeq
+    }
   }
 
   private def seqOf(v: Any): Seq[Any] = v match {

@@ -33,6 +33,18 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(inDom).select("id").as[Int].collect().sorted.toSeq == Seq(1, 3))
   }
 
+  test("domain child_of resolves through the parent hierarchy") {
+    val s = spark; import s.implicits._
+    // tree: 1 -> (2, 3); 2 -> (4)
+    val desc = Domain.descendantsOf(Seq((2, 1), (3, 1), (4, 2)))
+    assert(desc(1).toSet == Set(2, 3, 4) && desc(4).isEmpty)
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0))
+      .toDF("grp", "v")
+    val dom = Domain.compile(
+      Domain.parse(Seq(("grp", "child_of", 1))), Domain.defaultResolve, desc)
+    assert(df.filter(dom).select("grp").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("column-group planner: one scan, per-group conditional aggregates") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 2024, 10.0), ("a", 2025, 20.0), ("b", 2024, 5.0))
