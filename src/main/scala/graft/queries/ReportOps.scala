@@ -241,13 +241,47 @@ object ReportOps {
       |SELECT gk AS group_key, e AS expr, v AS value
       |FROM rows ORDER BY group_key, expr""".stripMargin
 
+  /** q55 — multicurrency revaluation handler: pseudo-currency = custkey%5,
+    * historic amount_currency = price*(1+cur/10), as-of rates from a
+    * literal dim, provision accounts (custkey%97=0) anti-joined out
+    * (J10 + J8 through the handler). */
+  def q55(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val facts = o.select(
+      col("o_custkey"),
+      (col("o_custkey") % 5).cast("long").as("cur_key"),
+      col("o_totalprice").as("bal"),
+      Parity.fr(col("o_totalprice") * (lit(1.0) + (col("o_custkey") % 5) / lit(10.0)), 2).as("amt_cur"))
+    val excluded = o.select(col("o_custkey")).distinct()
+      .filter(col("o_custkey") % 97 === 0)
+    Handlers.MulticurrencyReval.compute(facts, col("cur_key"), col("bal"),
+        col("amt_cur"), Seq((0L, 1.05), (1L, 1.10), (2L, 0.95), (3L, 1.20), (4L, 1.00)),
+        excluded, "o_custkey")
+      .orderBy(col("currency"))
+  }
+
+  val q55Sql: String =
+    """WITH facts AS (
+      |  SELECT o_custkey, o_custkey % 5 AS cur_key, o_totalprice AS bal,
+      |    floor(o_totalprice * (1.0 + (o_custkey % 5) / 10.0) * 100 + 0.5) / 100 AS amt_cur
+      |  FROM orders WHERE o_custkey % 97 <> 0),
+      |rates(cur, rate) AS (VALUES (0, 1.05), (1, 1.10), (2, 0.95), (3, 1.20), (4, 1.00))
+      |SELECT cur_key AS currency,
+      |  round(sum(bal), 2) AS balance,
+      |  round(sum(amt_cur), 2) AS amount_currency,
+      |  round(sum(amt_cur / rate) - sum(bal), 2) AS adjustment
+      |FROM facts JOIN rates ON cur_key = cur
+      |GROUP BY cur_key ORDER BY currency""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
     "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
-    "q53_pivot_register" -> (q53 _), "q54_report_runner" -> (q54 _))
+    "q53_pivot_register" -> (q53 _), "q54_report_runner" -> (q54 _),
+    "q55_multicurrency_reval" -> (q55 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
     "q50_running_ledger" -> q50Sql, "q51_groupby_chain" -> q51Sql,
-    "q53_pivot_register" -> q53Sql, "q54_report_runner" -> q54Sql)
+    "q53_pivot_register" -> q53Sql, "q54_report_runner" -> q54Sql,
+    "q55_multicurrency_reval" -> q55Sql)
 }

@@ -73,6 +73,30 @@ object Handlers {
     }
   }
 
+  /** Multicurrency revaluation (SURVEY §2.3 J10/J8,
+    * account_multicurrency_revaluation_report.py:170-243): foreign-currency
+    * balances revalued at an as-of rate table (a plan-time literal VALUES
+    * dim, broadcast), minus accounts excluded from revaluation (anti-join).
+    * adjustment = Σamount_currency / rate − Σbalance per currency. */
+  object MulticurrencyReval {
+    def compute(facts: DataFrame, currencyCol: Column, balance: Column,
+                amountCurrency: Column, asOfRates: Seq[(Long, Double)],
+                excludedKeys: DataFrame, keyCol: String): DataFrame = {
+      val spark = facts.sparkSession
+      import spark.implicits._
+      val rates = asOfRates.toDF("cur", "rate")
+      facts
+        .join(excludedKeys, Seq(keyCol), "left_anti")
+        .withColumn("__cur", currencyCol)
+        .join(broadcast(rates), col("__cur") === col("cur"))
+        .groupBy(col("__cur").as("currency"))
+        .agg(
+          round(sum(balance), 2).as("balance"),
+          round(sum(amountCurrency), 2).as("amount_currency"),
+          round(sum(amountCurrency / col("rate")) - sum(balance), 2).as("adjustment"))
+    }
+  }
+
   /** Aged-balance bucketing (SURVEY §2.3 J6 / §2.6 W6,
     * account_aged_partner_balance.py:82-89): the interval VALUES table
     * folded into a codegen'd when-chain. `bounds` are inclusive upper edges
