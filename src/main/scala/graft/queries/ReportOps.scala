@@ -273,15 +273,41 @@ object ReportOps {
       |FROM facts JOIN rates ON cur_key = cur
       |GROUP BY cur_key ORDER BY currency""".stripMargin
 
+  /** q56 — cash-flow handler: three differently-sourced movement sets
+    * (operating = order totals, investing = discounted line amounts,
+    * financing = event values) unioned with category tags, per-category
+    * sums plus the rollup grand total (§2.8 through the handler). */
+  def q56(s: SparkSession, d: String): DataFrame = {
+    val operating = Tables.orders(s, d).select(col("o_totalprice").as("amount"))
+    val investing = Tables.lineitem(s, d)
+      .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("amount"))
+    val financing = Tables.events(s, d).select(col("value").as("amount"))
+    Handlers.CashFlow.compute(Seq(
+        "1_operating" -> operating, "2_investing" -> investing,
+        "3_financing" -> financing))
+      .orderBy(col("category"))
+  }
+
+  val q56Sql: String =
+    """WITH u AS (
+      |  SELECT '1_operating' AS category, o_totalprice AS amount FROM orders
+      |  UNION ALL
+      |  SELECT '2_investing', l_extendedprice * (1 - l_discount) FROM lineitem
+      |  UNION ALL
+      |  SELECT '3_financing', value FROM events)
+      |SELECT coalesce(category, '(total)') AS category,
+      |  count(*) AS n, round(sum(amount), 2) AS total
+      |FROM u GROUP BY ROLLUP (category) ORDER BY category""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
     "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
     "q53_pivot_register" -> (q53 _), "q54_report_runner" -> (q54 _),
-    "q55_multicurrency_reval" -> (q55 _))
+    "q55_multicurrency_reval" -> (q55 _), "q56_cash_flow" -> (q56 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
     "q50_running_ledger" -> q50Sql, "q51_groupby_chain" -> q51Sql,
     "q53_pivot_register" -> q53Sql, "q54_report_runner" -> q54Sql,
-    "q55_multicurrency_reval" -> q55Sql)
+    "q55_multicurrency_reval" -> q55Sql, "q56_cash_flow" -> q56Sql)
 }

@@ -73,6 +73,24 @@ object Handlers {
     }
   }
 
+  /** Cash-flow statement (SURVEY §2.8,
+    * account_cash_flow_report.py:280-360): a three-way UNION ALL of
+    * differently-sourced cash movements, each tagged with its statement
+    * category, aggregated per category plus a grand-total line. Sources
+    * project to a common (category, amount) schema with `unionByName`. */
+  object CashFlow {
+    /** `sources`: (category label, DataFrame with an `amount` column). */
+    def compute(sources: Seq[(String, DataFrame)]): DataFrame = {
+      val tagged = sources.map { case (cat, df) =>
+        df.select(lit(cat).as("category"), col("amount"))
+      }.reduce(_ unionByName _)
+      tagged.rollup(col("category"))
+        .agg(count(lit(1)).as("n"), round(sum(col("amount")), 2).as("total"))
+        .select(coalesce(col("category"), lit("(total)")).as("category"),
+          col("n"), col("total"))
+    }
+  }
+
   /** Multicurrency revaluation (SURVEY §2.3 J10/J8,
     * account_multicurrency_revaluation_report.py:170-243): foreign-currency
     * balances revalued at an as-of rate table (a plan-time literal VALUES
