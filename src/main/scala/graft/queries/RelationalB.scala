@@ -332,7 +332,41 @@ object RelationalB {
       |  event_type, count(*) AS n, round(sum(value), 2) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q57 — as-of join (graft.operators.AsOfJoin): every click joined to
+    * the user's most recent purchase at ts <= click ts, aggregated per
+    * user. Oracle: DuckDB's native ASOF LEFT JOIN. The Spark plan is the
+    * union+window formulation — one key shuffle, no range-join blowup. */
+  def q57(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value").as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("p_value"), col("event_id").as("p_event"))
+    graft.operators.AsOfJoin.asOf(clicks, purchases,
+        key = "user_id", tsCol = "ts", tiebreak = "event_id",
+        payload = Seq("click_value"), rightCols = Seq("p_value", "p_event"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        count(col("p_event")).as("n_matched"),
+        round(sum(coalesce(col("p_value"), lit(0.0))), 2).as("matched_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val q57Sql: String =
+    """WITH clicks AS (
+      |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT user_id, ts, event_id AS p_event, value AS p_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, count(*) AS n_clicks, count(p.p_event) AS n_matched,
+      |  round(sum(coalesce(p.p_value, 0)), 2) AS matched_value
+      |FROM clicks c ASOF LEFT JOIN purch p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_asof_join" -> (q57 _),
     "q16_in_minus_out" -> (q16 _), "q17_multi_period" -> (q17 _),
     "q18_growth" -> (q18 _), "q19_rollup" -> (q19 _),
     "q20_running_balance" -> (q20 _), "q21_most_recent" -> (q21 _),
@@ -343,6 +377,7 @@ object RelationalB {
     "q30_events_hourly" -> (q30 _))
 
   val oracle: Map[String, String] = Map(
+    "q57_asof_join" -> q57Sql,
     "q16_in_minus_out" -> q16Sql, "q17_multi_period" -> q17Sql,
     "q18_growth" -> q18Sql, "q19_rollup" -> q19Sql,
     "q20_running_balance" -> q20Sql, "q21_most_recent" -> q21Sql,
