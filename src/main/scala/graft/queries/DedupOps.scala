@@ -271,13 +271,44 @@ object DedupOps {
       |SELECT doc_id, count(*) AS n_fp, min(wm) AS min_fp, max(wm) AS max_fp
       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q59 — near-dup clustering: the Jaccard pairs (q32) become transitive
+    * clusters via iterative connected components
+    * (graft.operators.DupClusters); output (doc_id, cluster). Oracle:
+    * recursive CTE transitive closure with min-id labeling. */
+  def q59(s: SparkSession, d: String): DataFrame = {
+    val pairs = q32(s, d).select(col("d1").as("a"), col("d2").as("b"))
+    graft.operators.DupClusters.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q59Sql: String =
+    s"""WITH RECURSIVE $shingles3Sql,
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id d1, b.doc_id d2, count(*) inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dup AS (
+      |  SELECT d1, d2 FROM pairs
+      |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |  WHERE round(inter::DOUBLE / (s1.n + s2.n - inter), 4) >= 0.5),
+      |edges AS (SELECT d1 a, d2 b FROM dup UNION SELECT d2, d1 FROM dup),
+      |verts AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (
+      |  SELECT id AS src, id AS node FROM verts
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+      |SELECT src AS doc_id, min(node) AS cluster
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31 _), "q32_ngram_jaccard" -> (q32 _),
     "q33_minhash_lsh" -> (q33 _), "q34_simhash" -> (q34 _),
-    "q40_winnow_fingerprint" -> (q40 _))
+    "q40_winnow_fingerprint" -> (q40 _), "q59_dup_clusters" -> (q59 _))
 
   val oracle: Map[String, String] = Map(
     "q31_dedup_exact" -> q31Sql, "q32_ngram_jaccard" -> q32Sql,
     "q33_minhash_lsh" -> q33Sql, "q34_simhash" -> q34Sql,
-    "q40_winnow_fingerprint" -> q40Sql)
+    "q40_winnow_fingerprint" -> q40Sql, "q59_dup_clusters" -> q59Sql)
 }

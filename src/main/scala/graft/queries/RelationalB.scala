@@ -365,8 +365,37 @@ object RelationalB {
       |  ON c.user_id = p.user_id AND c.ts >= p.ts
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  /** q58 — range join via bucketized equi-join
+    * (graft.operators.RangeJoin): customer balance-mod-100 points matched
+    * to nation intervals [4k, 4k+6]. The bare range predicate would plan a
+    * nested loop; the bucket trick shuffles on the bucket id. */
+  def q58(s: SparkSession, d: String): DataFrame = {
+    val points = Tables.customer(s, d)
+      .select(col("c_custkey"),
+        (col("c_acctbal") - floor(col("c_acctbal") / 100) * 100).as("p"))
+    val intervals = Tables.nation(s, d)
+      .select(col("n_name"),
+        (col("n_nationkey") * lit(4.0)).as("lo"),
+        (col("n_nationkey") * lit(4.0) + lit(6.0)).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi",
+        bucketWidth = 8.0)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), round(sum(col("p")), 2).as("psum"))
+      .orderBy(col("n_name"))
+  }
+
+  val q58Sql: String =
+    """WITH pts AS (
+      |  SELECT c_custkey, c_acctbal - floor(c_acctbal / 100) * 100 AS p
+      |  FROM customer),
+      |iv AS (SELECT n_name, n_nationkey * 4.0 AS lo,
+      |              n_nationkey * 4.0 + 6.0 AS hi FROM nation)
+      |SELECT n_name, count(*) AS n, round(sum(p), 2) AS psum
+      |FROM iv JOIN pts ON p >= lo AND p <= hi
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q57_asof_join" -> (q57 _),
+    "q57_asof_join" -> (q57 _), "q58_range_join" -> (q58 _),
     "q16_in_minus_out" -> (q16 _), "q17_multi_period" -> (q17 _),
     "q18_growth" -> (q18 _), "q19_rollup" -> (q19 _),
     "q20_running_balance" -> (q20 _), "q21_most_recent" -> (q21 _),
@@ -377,7 +406,7 @@ object RelationalB {
     "q30_events_hourly" -> (q30 _))
 
   val oracle: Map[String, String] = Map(
-    "q57_asof_join" -> q57Sql,
+    "q57_asof_join" -> q57Sql, "q58_range_join" -> q58Sql,
     "q16_in_minus_out" -> q16Sql, "q17_multi_period" -> q17Sql,
     "q18_growth" -> q18Sql, "q19_rollup" -> q19Sql,
     "q20_running_balance" -> q20Sql, "q21_most_recent" -> q21Sql,
