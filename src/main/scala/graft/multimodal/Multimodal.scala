@@ -61,6 +61,19 @@ object Multimodal {
           .as("frame_at_ms"))
   }
 
+  /** Resize descriptor (STUB): a real implementation decodes `payload`,
+    * resamples to (w, h) and re-encodes; the stub rewrites the metadata and
+    * tags the payload so the pipeline shape (map, no shuffle, metadata
+    * update) is executable and testable without image libraries. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      // real codec work happens here; stub keeps bytes, updates dimensions
+      r.copy(meta = r.meta.copy(width = w, height = h))
+    }
+  }
+
   /** Partition media by (kind, size-bucket) for balanced decode stages —
     * big payloads dominate decode time, so co-locating similar sizes avoids
     * stragglers at scale. */

@@ -99,6 +99,15 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats(0).checksum != feats(1).checksum)
   }
 
+  test("multimodal: resize rewrites dimensions, preserves payload") {
+    val s = spark; import s.implicits._
+    val media = Seq(
+      MediaRow(1L, "image", Array[Byte](1, 2, 3), MediaMeta("png", 640, 480, 0L))).toDS()
+    val out = Multimodal.resize(media, 64, 64).collect().head
+    assert(out.meta == MediaMeta("png", 64, 64, 0L))
+    assert(out.payload.toSeq == Seq[Byte](1, 2, 3))
+  }
+
   test("multimodal: frame sampling explodes duration at the requested rate") {
     val s = spark; import s.implicits._
     val media = Seq(
