@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The reference's `tax_tags` formula engine
@@ -21,14 +21,21 @@ object TaxTags {
     * `bridge`: (fact_id, tag_id).
     * `tags`: (tag_id, tag_name) with signed names ('+BASE', '-BASE', ...).
     * Output: one row per unsigned tag name with the signed total. */
-  def evaluate(facts: DataFrame, bridge: DataFrame, tags: DataFrame): DataFrame = {
+  def evaluate(facts: DataFrame, bridge: DataFrame, tags: DataFrame): DataFrame =
+    evaluateBy(facts, bridge, tags, Nil)
+
+  /** Same engine with extra grouping keys (columns of `facts`) — the EC
+    * sales shape: tag totals per partner country
+    * (account_sales_report in the reference family). */
+  def evaluateBy(facts: DataFrame, bridge: DataFrame, tags: DataFrame,
+                 extraKeys: Seq[Column]): DataFrame = {
     val tagSign = when(substring(col("tag_name"), 1, 1) === "-", lit(-1.0))
       .otherwise(lit(1.0))
     val invSign = when(col("tax_tag_invert"), lit(-1.0)).otherwise(lit(1.0))
     facts
       .join(broadcast(bridge), "fact_id")
       .join(broadcast(tags), "tag_id")
-      .groupBy(substring(col("tag_name"), 2, 1000).as("tag"))
+      .groupBy(extraKeys :+ substring(col("tag_name"), 2, 1000).as("tag"): _*)
       .agg(sum(col("amount") * tagSign * invSign).as("total"))
   }
 }

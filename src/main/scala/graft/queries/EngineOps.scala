@@ -249,15 +249,59 @@ object EngineOps {
       |FROM facts JOIN bridge USING (fact_id) JOIN tags USING (tag_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q60 — EC-sales shape: the tax_tags engine grouped by partner country
+    * (TaxTags.evaluateBy): tagged order amounts per (nation, tag), sign
+    * algebra as in q49, country from the customer→nation dims. */
+  def q60(s: SparkSession, d: String): DataFrame = {
+    val s0 = s; import s0.implicits._
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    val facts = o
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey").as("fact_id"),
+        col("o_totalprice").as("amount"),
+        (col("o_orderkey") % 7 === 0).as("tax_tag_invert"),
+        col("n_name"))
+    val bridge = o.select(col("o_orderkey").as("fact_id"),
+      substring(col("o_orderpriority"), 1, 1).cast("int").as("tag_id"))
+    val tags = Seq((1, "+P1"), (2, "-P2"), (3, "+P3"), (4, "-P4"), (5, "+P5"))
+      .toDF("tag_id", "tag_name")
+    TaxTags.evaluateBy(facts, bridge, tags, Seq(col("n_name")))
+      .select(col("n_name"), col("tag"), round(col("total"), 2).as("total"))
+      .orderBy(col("n_name"), col("tag"))
+  }
+
+  val q60Sql: String =
+    """WITH facts AS (
+      |  SELECT o_orderkey fact_id, o_totalprice amount,
+      |         (o_orderkey % 7 = 0) tax_tag_invert, n_name
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |bridge AS (
+      |  SELECT o_orderkey fact_id,
+      |         CAST(substring(o_orderpriority, 1, 1) AS INT) tag_id FROM orders),
+      |tags(tag_id, tag_name) AS (
+      |  VALUES (1, '+P1'), (2, '-P2'), (3, '+P3'), (4, '-P4'), (5, '+P5'))
+      |SELECT n_name, substring(tag_name, 2) AS tag,
+      |  round(sum(amount
+      |    * (CASE WHEN substring(tag_name, 1, 1) = '-' THEN -1.0 ELSE 1.0 END)
+      |    * (CASE WHEN tax_tag_invert THEN -1.0 ELSE 1.0 END)), 2) AS total
+      |FROM facts JOIN bridge USING (fact_id) JOIN tags USING (tag_id)
+      |GROUP BY n_name, substring(tag_name, 2)
+      |ORDER BY n_name, tag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_domain_compiler" -> (q41 _), "q42_date_scopes" -> (q42 _),
     "q43_column_groups" -> (q43 _), "q44_agg_fixpoint" -> (q44 _),
     "q45_account_codes" -> (q45 _), "q46_cdc_diff" -> (q46 _),
-    "q49_tax_tags" -> (q49 _))
+    "q49_tax_tags" -> (q49 _), "q60_ec_sales" -> (q60 _))
 
   val oracle: Map[String, String] = Map(
     "q41_domain_compiler" -> q41Sql, "q42_date_scopes" -> q42Sql,
     "q43_column_groups" -> q43Sql, "q44_agg_fixpoint" -> q44Sql,
     "q45_account_codes" -> q45Sql, "q46_cdc_diff" -> q46Sql,
-    "q49_tax_tags" -> q49Sql)
+    "q49_tax_tags" -> q49Sql, "q60_ec_sales" -> q60Sql)
 }

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, DupClusters, RangeJoin}
+
+/** Edge-case specs for the standalone operators (gate queries cover the
+  * happy paths against DuckDB; these pin the corners). */
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(sec: Int): Timestamp = new Timestamp(1700000000000L + sec * 1000L)
+
+  test("as-of join: no-earlier-right yields null, equal ts matches") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, ts(10), 100L, 1.0), (1L, ts(5), 101L, 2.0), (2L, ts(1), 102L, 3.0))
+      .toDF("k", "ts", "event_id", "lv")
+    val right = Seq((1L, ts(5), 900L, 50.0), (1L, ts(8), 901L, 60.0))
+      .toDF("k", "ts", "event_id", "rv")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "event_id",
+        payload = Seq("lv"), rightCols = Seq("rv"))
+      .select("k", "lv", "rv").as[(Long, Double, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, 1.0, Some(60.0)), // ts=10 → latest right at ts=8
+      (1L, 2.0, Some(50.0)), // ts=5 → equal-ts right matches (<=)
+      (2L, 3.0, None)))      // no right rows for key 2
+  }
+
+  test("range join: bucket-boundary intervals and points match exactly") {
+    val s = spark; import s.implicits._
+    val points = Seq((1L, 8.0), (2L, 7.999), (3L, 16.0), (4L, 24.1)).toDF("id", "p")
+    // [8, 16] spans buckets 1..2 at width 8; 24.1 outside
+    val intervals = Seq(("iv", 8.0, 16.0)).toDF("name", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 8.0)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L)) // inclusive bounds; 7.999 below, 24.1 outside
+  }
+
+  test("dup clusters: transitivity across a chain, isolated pairs separate") {
+    val s = spark; import s.implicits._
+    // chain 1-2-3-4 plus pair 10-11
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = DupClusters.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_) == 1L))
+    assert(out(10L) == 10L && out(11L) == 10L)
+  }
+
+  test("streaming hourly twin agrees with the batch hourly query") {
+    val s = spark; import s.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.events(s, sfDir)
+    val streamShaped = graft.streaming.EventsStream.hourlyCounts(ev)
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"), col("total"))
+    val batch = graft.queries.RelationalB.q30(s, sfDir)
+    val a = streamShaped.as[(String, String, Long, Double)].collect().toSet
+    val b = batch.as[(String, String, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+}
