@@ -62,10 +62,11 @@ object DedupOps {
     * 3-shingles, |A∩B| / (|A|+|B|-|A∩B|) >= 0.5. Scale: the join key is the
     * shingle, so pair enumeration is bounded by shingle document frequency
     * (hot shingles would be dropped by a df-cap filter at 100 TB). */
-  def q32(s: SparkSession, d: String): DataFrame = {
-    // join on the 8-byte shingle hash, not the string — same pairs (64-bit
-    // collisions are negligible), much cheaper shuffle at scale
-    val sh = shingles3(Tables.documents(s, d))
+  /** Reusable exact-Jaccard pair detection over any documents frame —
+    * joins on the 8-byte shingle hash, not the string (same pairs, 64-bit
+    * collisions negligible, much cheaper shuffle at scale). */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles3(docs)
       .select(col("doc_id"), xxhash64(col("s")).as("s")).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -77,10 +78,13 @@ object DedupOps {
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
-      .orderBy(col("d1"), col("d2"))
   }
+
+  def q32(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(Tables.documents(s, d), 0.5)
+      .orderBy(col("d1"), col("d2"))
 
   val q32Sql: String =
     s"""WITH $shingles3Sql,
@@ -276,11 +280,58 @@ object DedupOps {
     * (graft.operators.DupClusters); output (doc_id, cluster). Oracle:
     * recursive CTE transitive closure with min-id labeling. */
   def q59(s: SparkSession, d: String): DataFrame = {
-    val pairs = q32(s, d).select(col("d1").as("a"), col("d2").as("b"))
+    val pairs = jaccardPairs(Tables.documents(s, d), 0.5)
+      .select(col("d1").as("a"), col("d2").as("b"))
     graft.operators.DupClusters.connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("cluster"))
       .orderBy(col("doc_id"))
   }
+
+  /** q62 — the composed curation pipeline
+    * (graft.pipelines.TrainingDataPipeline): quality band → exact dedup →
+    * Jaccard near-dup clusters on the survivors → one doc per cluster →
+    * per-language corpus stats. */
+  def q62(s: SparkSession, d: String): DataFrame =
+    graft.pipelines.TrainingDataPipeline.curate(
+        Tables.documents(s, d), docs => jaccardPairs(docs, 0.5),
+        minWords = 20, maxWords = 80)
+      .orderBy(col("lang"))
+
+  val q62Sql: String =
+    """WITH RECURSIVE q AS (
+      |  SELECT * FROM documents
+      |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 80),
+      |surv AS (
+      |  SELECT * FROM q WHERE doc_id IN (
+      |    SELECT min(doc_id) FROM q GROUP BY md5(text))),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') ws FROM surv),
+      |       generate_series(1, 400) t(i)
+      |  WHERE i + 2 <= len(ws)),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |prs AS (
+      |  SELECT a.doc_id d1, b.doc_id d2, count(*) inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dup AS (
+      |  SELECT d1, d2 FROM prs
+      |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |  WHERE round(inter::DOUBLE / (s1.n + s2.n - inter), 4) >= 0.5),
+      |edges AS (SELECT d1 a, d2 b FROM dup UNION SELECT d2, d1 FROM dup),
+      |verts AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (
+      |  SELECT id AS src, id AS node FROM verts
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+      |clus AS (SELECT src AS id, min(node) AS cluster FROM reach GROUP BY src),
+      |keep AS (
+      |  SELECT s.* FROM surv s LEFT JOIN clus c ON s.doc_id = c.id
+      |  WHERE c.cluster IS NULL OR c.cluster = s.doc_id)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  floor(sum(n_chars)::DOUBLE / count(*) * 100 + 0.5) / 100 AS avg_chars
+      |FROM keep GROUP BY lang ORDER BY lang""".stripMargin
 
   val q59Sql: String =
     s"""WITH RECURSIVE $shingles3Sql,
@@ -305,10 +356,12 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31 _), "q32_ngram_jaccard" -> (q32 _),
     "q33_minhash_lsh" -> (q33 _), "q34_simhash" -> (q34 _),
-    "q40_winnow_fingerprint" -> (q40 _), "q59_dup_clusters" -> (q59 _))
+    "q40_winnow_fingerprint" -> (q40 _), "q59_dup_clusters" -> (q59 _),
+    "q62_curation_pipeline" -> (q62 _))
 
   val oracle: Map[String, String] = Map(
     "q31_dedup_exact" -> q31Sql, "q32_ngram_jaccard" -> q32Sql,
     "q33_minhash_lsh" -> q33Sql, "q34_simhash" -> q34Sql,
-    "q40_winnow_fingerprint" -> q40Sql, "q59_dup_clusters" -> q59Sql)
+    "q40_winnow_fingerprint" -> q40Sql, "q59_dup_clusters" -> q59Sql,
+    "q62_curation_pipeline" -> q62Sql)
 }

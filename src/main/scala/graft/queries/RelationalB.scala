@@ -394,8 +394,30 @@ object RelationalB {
       |FROM iv JOIN pts ON p >= lo AND p <= hi
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** q61 — A3 ARRAY_AGG(DISTINCT): multi-valued group results as a
+    * deterministically sorted set, joined to a string for the compare
+    * (collect_set + sort_array — the reference's aged-report partner-id
+    * aggregation, account_aged_partner_balance.py:166-174). */
+  def q61(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+      .orderBy(col("n_name"))
+  }
+
+  val q61Sql: String =
+    """SELECT n_name,
+      |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+      |  count(DISTINCT c_mktsegment) AS n_segments
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_asof_join" -> (q57 _), "q58_range_join" -> (q58 _),
+    "q61_array_agg" -> (q61 _),
     "q16_in_minus_out" -> (q16 _), "q17_multi_period" -> (q17 _),
     "q18_growth" -> (q18 _), "q19_rollup" -> (q19 _),
     "q20_running_balance" -> (q20 _), "q21_most_recent" -> (q21 _),
@@ -407,6 +429,7 @@ object RelationalB {
 
   val oracle: Map[String, String] = Map(
     "q57_asof_join" -> q57Sql, "q58_range_join" -> q58Sql,
+    "q61_array_agg" -> q61Sql,
     "q16_in_minus_out" -> q16Sql, "q17_multi_period" -> q17Sql,
     "q18_growth" -> q18Sql, "q19_rollup" -> q19Sql,
     "q20_running_balance" -> q20Sql, "q21_most_recent" -> q21Sql,
