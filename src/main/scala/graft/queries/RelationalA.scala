@@ -403,7 +403,42 @@ object RelationalA {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** q64 — TPC-H Q5 shape (local-supplier revenue): the classic 6-table
+    * join where the supplier's nation must equal the customer's nation —
+    * exercises the supplier dimension and a cross-dimension equality the
+    * optimizer can't collapse. Scale: all dims broadcast; lineitem⋈orders
+    * co-partitions on orderkey; one final small shuffle. */
+  def q64(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q64Sql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_local_supplier" -> (q64 _),
     "q1_agg" -> (q1 _), "q2_date_scope" -> (q2 _), "q3_star_join" -> (q3 _),
     "q4_rate_round" -> (q4 _), "q5_bridge_join" -> (q5 _),
     "q6_or_join_union" -> (q6 _), "q7_decorrelated_lateral" -> (q7 _),
@@ -413,6 +448,7 @@ object RelationalA {
     "q14_sum_if_pos" -> (q14 _), "q15_weighted_avg" -> (q15 _))
 
   val oracle: Map[String, String] = Map(
+    "q64_local_supplier" -> q64Sql,
     "q1_agg" -> q1Sql, "q2_date_scope" -> q2Sql, "q3_star_join" -> q3Sql,
     "q4_rate_round" -> q4Sql, "q5_bridge_join" -> q5Sql,
     "q6_or_join_union" -> q6Sql, "q7_decorrelated_lateral" -> q7Sql,

@@ -105,6 +105,27 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream join: each click matched to same-user purchases within
+    * the following hour. Both sides are watermarked and the join condition
+    * carries the event-time range, so the state store only retains one
+    * hour of either stream — the bounded-state formulation. Works on batch
+    * frames too (the range condition is ordinary column logic). */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("click_value"), col("p_value"))
+  }
+
   /** Wire a parquet-directory stream end-to-end (readStream → transform →
     * writeStream); returns the started query name. Used for manual driving,
     * not by the gate. */

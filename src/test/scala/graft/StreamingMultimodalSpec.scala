@@ -62,6 +62,24 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byUser(9L) == SessionOut(9L, 1L, 0.75, "click"))
   }
 
+  test("stream-stream join matches purchases within the hour after a click") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.clickToPurchase(src.toDF())
+      .writeStream.format("memory").queryName("cp").outputMode("append").start()
+    src.addData(
+      Event(1, ts(0), 7, "click", 1.0),
+      Event(2, ts(30), 7, "purchase", 9.0),                              // in window
+      Event(3, Timestamp.valueOf("2024-01-01 12:30:00"), 7, "purchase", 8.0), // outside
+      Event(4, ts(10), 9, "click", 2.0))                                 // no purchase
+    q.processAllAvailable()
+    val rows = s.sql("SELECT user_id, click_id, p_value FROM cp")
+      .as[(Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set((7L, 1L, 9.0)))
+  }
+
   test("sessionize closes a session after the event-time gap passes the watermark") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
