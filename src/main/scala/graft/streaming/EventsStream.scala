@@ -105,6 +105,13 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact dedup: drop duplicate event_ids arriving within the
+    * watermark horizon — the streaming twin of the batch content-hash
+    * dedup (q31); state holds only the watermark window's keys. */
+  def dedupeStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream-stream join: each click matched to same-user purchases within
     * the following hour. Both sides are watermarked and the join condition
     * carries the event-time range, so the state store only retains one

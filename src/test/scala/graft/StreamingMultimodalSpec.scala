@@ -62,6 +62,22 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byUser(9L) == SessionOut(9L, 1L, 0.75, "click"))
   }
 
+  test("streaming dedup drops repeated event ids within the watermark") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.dedupeStream(src.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    src.addData(Event(1, ts(0), 7, "click", 1.0), Event(1, ts(0), 7, "click", 1.0))
+    q.processAllAvailable()
+    src.addData(Event(1, ts(5), 7, "click", 1.0), Event(2, ts(6), 8, "click", 2.0))
+    q.processAllAvailable()
+    val n = s.sql("SELECT DISTINCT event_id FROM dedup").count()
+    val total = s.sql("SELECT * FROM dedup").count()
+    q.stop()
+    assert(n == 2 && total == 2) // event 1 emitted once despite 3 arrivals
+  }
+
   test("stream-stream join matches purchases within the hour after a click") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
