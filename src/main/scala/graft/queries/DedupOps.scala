@@ -9,15 +9,16 @@ import graft.Tables
   * exact (q31), n-gram Jaccard (q32), MinHash+LSH (q33), SimHash (q34),
   * winnowing fingerprints (q40). Each has a DuckDB oracle.
   *
-  * Scale posture (100 TB): the shingle→id dictionary below is built with a
-  * global `dense_rank` so the DuckDB oracle can reproduce the exact same
-  * ids; at production scale you would replace the dictionary join with
-  * `xxhash64(shingle)` directly (no global sort, no dictionary shuffle) —
-  * the surrounding plan (explode → distinct → min-per-hash → band join) is
-  * unchanged and is the standard distributed MinHash/LSH shape: every step
-  * is a key-partitioned shuffle, no driver-side state, no cross join of the
-  * full corpus. Pair enumeration only ever happens WITHIN an LSH bucket /
-  * shared shingle, never globally.
+  * Scale posture (100 TB): tokens (shingles/words/grams) are id-ed by
+  * [[Parity.strHash]] — a pure map-side positional hash computed identically
+  * in Spark and DuckDB, so there is NO token dictionary, no global sort, no
+  * dictionary shuffle anywhere. The surrounding plan (explode → distinct →
+  * min-per-hash → band join) is the standard distributed MinHash/LSH shape:
+  * every step is a key-partitioned shuffle, no driver-side state, no cross
+  * join of the full corpus. Pair enumeration only ever happens WITHIN an
+  * LSH bucket / shared shingle, never globally, and the Jaccard inverted
+  * index drops shingles above a document-frequency cap so no single hot
+  * shingle (boilerplate, near-empty docs) can form a quadratic bucket.
   */
 object DedupOps {
 
@@ -42,6 +43,30 @@ object DedupOps {
       |       generate_series(1, 400) t(i)
       |  WHERE i + 2 <= len(ws))""".stripMargin
 
+  /** [[shingles3Sql]] over an arbitrary source CTE, then df-capped: shingles
+    * present in more than max(MinDfCap, n_docs/DfCapDivisor) documents are
+    * dropped from the inverted index (mirrors [[jaccardPairs]]' cap). */
+  private def cappedShSql(source: String): String =
+    s"""sh0 AS (
+       |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') ws FROM $source),
+       |       generate_series(1, 400) t(i)
+       |  WHERE i + 2 <= len(ws)),
+       |sh AS (SELECT doc_id, s FROM (
+       |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) df FROM sh0)
+       |  WHERE df <= greatest($MinDfCap, (SELECT count(*) FROM $source) // $DfCapDivisor))""".stripMargin
+
+  /** Document-frequency cap for the Jaccard inverted index:
+    * max(MinDfCap, corpus_size / DfCapDivisor), i.e. "a shingle present in
+    * more than 1% of all documents is boilerplate". Proportional, not fixed:
+    * a fixed cap that bites on a 500-doc fixture would shred the index at
+    * 100 TB (and vice versa). On the sf0.01 gate fixture this evaluates to
+    * 5 and provably drops hot shingles (max df there is 7); the point at
+    * scale is that any cap is FINITE, bounding a bucket's pair count at
+    * cap² regardless of how hot a boilerplate shingle gets. */
+  val MinDfCap = 5
+  val DfCapDivisor = 100
+
   /** q31 — exact dedup: group by content hash, keep min doc_id
     * (hash-groupBy dedup; cf. the reference's bulk data-repair dedup jobs,
     * etl_stock/models/company.py:657-890 which dedups uploaded rows by key).
@@ -59,15 +84,28 @@ object DedupOps {
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
   /** q32 — n-gram Jaccard near-dup: inverted-index self-join on shared
-    * 3-shingles, |A∩B| / (|A|+|B|-|A∩B|) >= 0.5. Scale: the join key is the
-    * shingle, so pair enumeration is bounded by shingle document frequency
-    * (hot shingles would be dropped by a df-cap filter at 100 TB). */
+    * 3-shingles, |A∩B| / (|A|+|B|-|A∩B|) >= 0.5, over the df-capped shingle
+    * universe. Scale: the join key is the shingle, so pair enumeration is
+    * bounded by cap² per shingle — no hot key can go quadratic. */
   /** Reusable exact-Jaccard pair detection over any documents frame —
     * joins on the 8-byte shingle hash, not the string (same pairs, 64-bit
-    * collisions negligible, much cheaper shuffle at scale). */
+    * collisions negligible, much cheaper shuffle at scale). Shingles with
+    * document frequency > max(MinDfCap, n_docs/DfCapDivisor) are dropped
+    * from the index entirely (both from the intersection AND the sizes,
+    * i.e. Jaccard over the capped universe — the oracle mirrors with a
+    * windowed df filter). The df is one partitioned window over the shingle
+    * key; the cap scalar is a 1-row broadcast, so the whole cap costs one
+    * extra shuffle-free sort within the existing shingle partitioning. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles3(docs)
-      .select(col("doc_id"), xxhash64(col("s")).as("s")).cache()
+    val sh0 = shingles3(docs)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val cap = docs.agg(greatest(lit(MinDfCap.toLong),
+      floor(count(lit(1)) / lit(DfCapDivisor)).cast("long")).as("cap"))
+    val sh = sh0
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .crossJoin(broadcast(cap))
+      .filter(col("df") <= col("cap")).drop("df", "cap")
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -87,7 +125,7 @@ object DedupOps {
       .orderBy(col("d1"), col("d2"))
 
   val q32Sql: String =
-    s"""WITH $shingles3Sql,
+    s"""WITH ${cappedShSql("documents")},
       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id d1, b.doc_id d2, count(*) inter
@@ -109,15 +147,15 @@ object DedupOps {
   def q33(s: SparkSession, d: String): DataFrame = {
     val P = 99991L
     val K = 12
-    val sh = shingles3(Tables.documents(s, d)).cache() // dict build + hash join
-    val dict = sh.select(col("s")).distinct()
-      .withColumn("sid", dense_rank().over(Window.orderBy(col("s"))))
+    // Token ids are map-side strHash — no dictionary, no global sort.
+    val sh = shingles3(Tables.documents(s, d))
+      .select(col("doc_id"), Parity.strHash(col("s")).as("sid"))
     // All K minhashes as aggregation buffers of ONE groupBy — a map-side-
     // combinable shuffle of the shingle rows, instead of a K× row blowup
     // (the scale-correct distributed MinHash plan).
     val minCols = (0 until K).map(k =>
       min((lit(53L * k + 7L) * col("sid") + lit(97L * k + 13L)) % P).as(s"m$k"))
-    val sig = sh.join(broadcast(dict), "s")
+    val sig = sh
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
     // unpivot to (doc_id, k, m) for banding + the estimate join
@@ -143,12 +181,11 @@ object DedupOps {
 
   val q33Sql: String =
     s"""WITH $shingles3Sql,
-      |dict AS (SELECT s, dense_rank() OVER (ORDER BY s) sid
-      |         FROM (SELECT DISTINCT s FROM sh)),
+      |hs AS (SELECT doc_id, ${Parity.strHashSql("s")} AS sid FROM sh),
       |hk AS (SELECT k, 53*k+7 AS a, 97*k+13 AS b FROM generate_series(0, 11) t(k)),
       |mh AS (
-      |  SELECT sh.doc_id, hk.k, min((hk.a * dict.sid + hk.b) % 99991) m
-      |  FROM sh JOIN dict USING (s) CROSS JOIN hk GROUP BY 1, 2),
+      |  SELECT hs.doc_id, hk.k, min((hk.a * hs.sid + hk.b) % 99991) m
+      |  FROM hs CROSS JOIN hk GROUP BY 1, 2),
       |bands AS (
       |  SELECT doc_id, k // 3 AS band,
       |    sum(m * CAST(power(10, 5 * (2 - k % 3)) AS BIGINT)) sig
@@ -175,11 +212,9 @@ object DedupOps {
     val wc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-      .cache() // feeds the word dictionary AND the hash join
-    val dict = wc.select(col("w")).distinct()
-      .withColumn("wid", dense_rank().over(Window.orderBy(col("w"))))
-    val h = wc.join(broadcast(dict), "w")
-      .withColumn("hw", (col("wid") * lit(2654435761L)) % 65536L)
+    // Word ids are map-side strHash — no dictionary, no global sort.
+    val h = wc
+      .withColumn("hw", (Parity.strHash(col("w")) * lit(2654435761L)) % 65536L)
     // All 16 bit-plane sums as aggregation buffers of ONE groupBy (no 16×
     // row blowup): bit b = sign of sum(cnt * ±1) over the doc's words.
     val bitCols = (0 until 16).map { b =>
@@ -206,14 +241,12 @@ object DedupOps {
   }
 
   val q34Sql: String =
-    """WITH wc AS (
+    s"""WITH wc AS (
       |  SELECT doc_id, w, count(*) cnt
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)
       |  WHERE w <> '' GROUP BY 1, 2),
-      |dict AS (SELECT w, dense_rank() OVER (ORDER BY w) wid
-      |         FROM (SELECT DISTINCT w FROM wc)),
-      |h AS (SELECT wc.doc_id, wc.cnt, (dict.wid * 2654435761) % 65536 AS hw
-      |      FROM wc JOIN dict USING (w)),
+      |h AS (SELECT doc_id, cnt, (${Parity.strHashSql("w")} * 2654435761) % 65536 AS hw
+      |      FROM wc),
       |bits AS (
       |  SELECT doc_id, b,
       |    CASE WHEN sum(cnt * (2 * (CAST(floor(hw / power(2, b)) AS BIGINT) % 2) - 1)) > 0
@@ -230,7 +263,7 @@ object DedupOps {
   /** q40 — winnowing document fingerprints (Schleimer et al.): char 5-gram
     * hashes, window-min over 4 consecutive grams, distinct mins per doc.
     * Scale: one window function partitioned by doc — embarrassingly
-    * parallel; the dictionary again stands in for xxhash64. */
+    * parallel; gram ids are map-side strHash (no dictionary). */
   def q40(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val grams = docs.filter(length(col("text")) >= 8)
@@ -238,11 +271,8 @@ object DedupOps {
         posexplode(transform(sequence(lit(1), length(col("text")) - lit(4)),
           i => col("text").substr(i, lit(5)))))
       .withColumnRenamed("col", "g")
-      .cache() // feeds the gram dictionary AND the hash join
-    val dict = grams.select(col("g")).distinct()
-      .withColumn("gid", dense_rank().over(Window.orderBy(col("g"))))
-    val hashed = grams.join(broadcast(dict), "g")
-      .withColumn("hg", (col("gid") * lit(2654435761L)) % 1000003L)
+    val hashed = grams
+      .withColumn("hg", (Parity.strHash(col("g")) * lit(2654435761L)) % 1000003L)
     val wMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, 3)
     val wAll = Window.partitionBy(col("doc_id"))
@@ -257,14 +287,12 @@ object DedupOps {
   }
 
   val q40Sql: String =
-    """WITH grams AS (
+    s"""WITH grams AS (
       |  SELECT doc_id, i - 1 AS pos, substring(text, i, 5) AS g
       |  FROM documents, generate_series(1, 2000) t(i)
       |  WHERE length(text) >= 8 AND i <= length(text) - 4),
-      |dict AS (SELECT g, dense_rank() OVER (ORDER BY g) gid
-      |         FROM (SELECT DISTINCT g FROM grams)),
-      |hashed AS (SELECT grams.doc_id, grams.pos, (dict.gid * 2654435761) % 1000003 AS hg
-      |           FROM grams JOIN dict USING (g)),
+      |hashed AS (SELECT doc_id, pos, (${Parity.strHashSql("g")} * 2654435761) % 1000003 AS hg
+      |           FROM grams),
       |wins AS (
       |  SELECT doc_id, pos,
       |    min(hg) OVER (PARTITION BY doc_id ORDER BY pos
@@ -298,17 +326,13 @@ object DedupOps {
       .orderBy(col("lang"))
 
   val q62Sql: String =
-    """WITH RECURSIVE q AS (
+    s"""WITH RECURSIVE q AS (
       |  SELECT * FROM documents
       |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 80),
       |surv AS (
       |  SELECT * FROM q WHERE doc_id IN (
       |    SELECT min(doc_id) FROM q GROUP BY md5(text))),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-      |  FROM (SELECT doc_id, string_split(text, ' ') ws FROM surv),
-      |       generate_series(1, 400) t(i)
-      |  WHERE i + 2 <= len(ws)),
+      |${cappedShSql("surv")},
       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
       |prs AS (
       |  SELECT a.doc_id d1, b.doc_id d2, count(*) inter
@@ -334,7 +358,7 @@ object DedupOps {
       |FROM keep GROUP BY lang ORDER BY lang""".stripMargin
 
   val q59Sql: String =
-    s"""WITH RECURSIVE $shingles3Sql,
+    s"""WITH RECURSIVE ${cappedShSql("documents")},
       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id d1, b.doc_id d2, count(*) inter

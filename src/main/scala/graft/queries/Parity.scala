@@ -21,4 +21,30 @@ object Parity {
     val p = math.pow(10, scale)
     floor(c * lit(p) + lit(0.5)) / lit(p)
   }
+
+  /** Modulus of [[strHash]] — the Mersenne prime 2^31-1. */
+  val HashM = 2147483647L
+
+  /** Portable token hash: positional-LCG-weighted codepoint sum mod 2^31-1.
+    * Pure map-side compute — replaces the round-1 `dense_rank` dictionary
+    * (which was a single-partition global sort, the one plan that cannot
+    * survive 100 TB). Both engines evaluate it exactly in 64-bit integers:
+    *   h(s) = ( Σ_{i=1..len} code(s_i) · ((1103515245·i + 12345) mod M) ) mod M
+    * Spark folds with mod at each step; DuckDB sums then mods — identical
+    * because modular addition is associative. ASCII fixture ⇒ `ascii` (Spark)
+    * and `ord` (DuckDB) agree. Collisions (~n²/2³¹) hit BOTH engines
+    * identically, so parity is unaffected. */
+  def strHash(c: Column): Column =
+    aggregate(
+      sequence(lit(1), length(c)),
+      lit(0L),
+      (acc, i) => (acc + ascii(c.substr(i, lit(1))) *
+        ((lit(1103515245L) * i + lit(12345L)) % lit(HashM))) % lit(HashM))
+
+  /** DuckDB rendering of [[strHash]] for oracle SQL; `e` must be a simple
+    * column reference. */
+  def strHashSql(e: String): String =
+    s"CAST(list_sum(list_transform(range(1, length($e)+1), " +
+      s"i -> ord($e[i]) * ((1103515245*i + 12345) % 2147483647))) " +
+      "% 2147483647 AS BIGINT)"
 }
