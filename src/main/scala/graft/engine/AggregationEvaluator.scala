@@ -28,6 +28,12 @@ object AggregationEvaluator {
 
   final case class Expr(formula: String, bounds: Seq[Bound] = Nil)
 
+  /** Control-flow signal for the reference's formula-wide ZeroDivisionError
+    * semantics; never escapes [[evaluate]]. */
+  private object DivByZero extends RuntimeException("division by zero") {
+    override def fillInStackTrace(): Throwable = this
+  }
+
   /** Parse a subformula string like "if_above(USD(1000))" / "round(2)" /
     * "if_other_expr_above(LINE.bal, USD(3))". */
   def parseBound(s: String): Bound = {
@@ -106,7 +112,12 @@ object AggregationEvaluator {
           case IfOtherAbove(o, t) => if (valueOf(o) > t) x else 0.0
           case IfOtherBelow(o, t) => if (valueOf(o) < t) x else 0.0
           case RoundTo(n) =>
-            BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+            // Python round() is banker's rounding (half-to-even): the
+            // reference's round(2.5) subformula yields 2, not 3. (Python
+            // actually rounds the shortest-repr decimal of the float; for
+            // the 2-decimal money values seen here HALF_EVEN on BigDecimal
+            // matches.)
+            BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_EVEN).toDouble
         }
       }
 
@@ -126,7 +137,11 @@ object AggregationEvaluator {
     def raw(code: String, e: Expr): Double = memoRaw.getOrElseUpdate(code, {
       if (visiting(code)) throw new IllegalStateException(s"cycle at $code")
       visiting += code
-      val v = eval(parseAst(tokenize(e.formula)))
+      // The reference wraps the WHOLE formula eval in a ZeroDivisionError
+      // handler (account_report.py:2371-2375): any zero denominator zeroes
+      // the entire expression — 'A + B/C' with C=0 is 0, not A.
+      val v = try eval(parseAst(tokenize(e.formula)))
+              catch { case DivByZero => 0.0 }
       visiting -= code
       v
     })
@@ -139,7 +154,7 @@ object AggregationEvaluator {
       case Bin('-', l, r) => eval(l) - eval(r)
       case Bin('*', l, r) => eval(l) * eval(r)
       case Bin('/', l, r) =>
-        val d = eval(r); if (d == 0.0) 0.0 else eval(l) / d
+        val d = eval(r); if (d == 0.0) throw DivByZero else eval(l) / d
       case Bin(op, _, _) => throw new IllegalStateException(s"op $op")
     }
 

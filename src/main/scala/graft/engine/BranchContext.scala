@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * branch-partitioned table skips entire directories at 100 TB. */
 final case class BranchContext(allowed: Seq[Long], branchCol: String = "branch_id") {
 
+  /** Rows without a branch are ALWAYS visible — the reference injects
+    * `['|', (branch_id, '=', False), (branch_id, 'in', branch_ids)]`
+    * (branch/models/account_move.py:38-39) even for a user with no
+    * branches, so a NULL branch never hides data. */
   def predicate: Column =
-    if (allowed.isEmpty) lit(false)
-    else col(branchCol).isin(allowed: _*) || col(branchCol).isNull
+    col(branchCol).isNull || col(branchCol).isin(allowed: _*)
 
   /** Apply to a scan. No-op for tables without the branch dimension. */
   def apply(df: DataFrame): DataFrame =

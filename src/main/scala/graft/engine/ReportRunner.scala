@@ -95,19 +95,31 @@ object ReportRunner {
         }).toMap
       }
 
-    // ---- batch 3: external values per group ----------------------------
+    // ---- batch 3: every (external expr × group) in ONE scan ------------
+    // sum mode is a conditional sum; most_recent is max_by over the
+    // (date, value_id) struct — all of them aggregation buffers of a single
+    // job over the external-values table (same pattern as batches 1-2),
+    // instead of one job + collect per (group × expression).
     val extTotals: Map[(String, String), Double] =
-      (for (g <- groups; e <- extExprs) yield {
+      if (extExprs.isEmpty) Map.empty
+      else {
         val ext = ctx.external.getOrElse(
           throw new IllegalStateException("external exprs need ctx.external"))
-        val eng = e.engine.asInstanceOf[External]
-        val df = if (eng.mostRecent)
-          ExternalValues.mostRecent(ext, g.from.toString, g.to.toString)
-        else ExternalValues.sumMode(ext, g.from.toString, g.to.toString)
-        val v = df.filter(col("expression_id") === eng.exprId)
-          .select(col("value")).collect().headOption.map(_.getDouble(0)).getOrElse(0.0)
-        (g.key, e.code) -> v
-      }).toMap
+        val cols = for (g <- groups; e <- extExprs) yield {
+          val eng = e.engine.asInstanceOf[External]
+          val inRange = col("date") >= lit(g.from.toString) &&
+            col("date") <= lit(g.to.toString) &&
+            col("expression_id") === lit(eng.exprId)
+          val agg =
+            if (eng.mostRecent)
+              max_by(col("value"), when(inRange, struct(col("date"), col("value_id"))))
+            else sum(when(inRange, col("value")))
+          coalesce(agg, lit(0.0)).as(s"${g.key}||${e.code}")
+        }
+        val row = ext.agg(cols.head, cols.tail: _*).head()
+        (for ((g, i) <- groups.zipWithIndex; (e, j) <- extExprs.zipWithIndex)
+          yield (g.key, e.code) -> row.getDouble(i * extExprs.size + j)).toMap
+      }
 
     // ---- batch 4: aggregation fixpoint per group (resolved LAST) -------
     groups.map { g =>

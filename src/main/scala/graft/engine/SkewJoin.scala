@@ -17,18 +17,24 @@ import org.apache.spark.sql.functions._
   * identical to the unsalted join. */
 object SkewJoin {
 
+  /** Left-side salt: round-robin on the row's position id, NOT a hash of
+    * the row's columns — identical duplicate rows of a hot key (precisely
+    * the skew case) must spread across salts, and a content hash would land
+    * them all on ONE salt. Any salt assignment yields identical join output
+    * (the right side carries every salt), so a task-retry recompute of the
+    * position id is harmless. */
+  def saltExpr(salts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salts.toLong))
+
   /** Inner-join `left` and `right` on `key`, salting `left`'s hot keys.
     * `salts`: fan-out factor. Right side is replicated `salts`×, so keep it
-    * the smaller input. Deterministic: the salt is a hash of the whole left
-    * row's monotonically stable columns — here a hash of all key+payload
-    * columns — mod `salts`. */
+    * the smaller input. */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
                       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltCol = pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(salts))
-    val l = left.withColumn("__salt", saltCol)
+    val l = left.withColumn("__salt", saltExpr(salts))
     val saltsDf = right.sparkSession.range(salts.toLong)
-      .select(col("id").cast("int").as("__salt"))
+      .select(col("id").as("__salt"))
     val r = right.crossJoin(broadcast(saltsDf))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }

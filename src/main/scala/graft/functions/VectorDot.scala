@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics match the composed form bit-for-bit: elements are widened
   * float→double and accumulated strictly left-to-right (same IEEE sum as
   * DuckDB's list_dot_product on DOUBLE[]), so oracle parity is preserved.
-  * Null if either side is null; requires equal lengths. */
+  * Null if either side is null; requires equal lengths. A NULL ELEMENT
+  * contributes 0.0 to the sum — checked explicitly (isNullAt) in BOTH the
+  * interpreted and codegen paths, so parquet's default containsNull=true
+  * arrays evaluate identically everywhere (toFloatArray would NPE
+  * interpreted while unsafe getFloat silently read 0.0f). */
 final case class VectorDotExpr(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -36,13 +40,19 @@ final case class VectorDotExpr(left: Expression, right: Expression)
   override def prettyName: String = "vector_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toFloatArray()
-    val y = b.asInstanceOf[ArrayData].toFloatArray()
-    require(x.length == y.length,
-      s"vector_dot: length mismatch ${x.length} vs ${y.length}")
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    require(n == y.numElements(),
+      s"vector_dot: length mismatch $n vs ${y.numElements()}")
     var acc = 0.0
     var i = 0
-    while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+    while (i < n) {
+      val xv = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      val yv = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      acc += xv * yv
+      i += 1
+    }
     acc
   }
 
@@ -59,7 +69,9 @@ final case class VectorDotExpr(left: Expression, right: Expression)
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  double ${acc}_x = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+         |  double ${acc}_y = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+         |  $acc += ${acc}_x * ${acc}_y;
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -19,24 +19,34 @@ object AsOfJoin {
   /** `key`, `tsCol`, `tiebreak` must exist in BOTH frames; `payload` are
     * the remaining left columns to keep; `rightCols` the right value
     * columns to carry (no name collisions with the kept left columns).
-    * Right rows at the same timestamp as a left row DO match (<=). */
+    * Right rows at the same timestamp as a left row DO match (<=).
+    *
+    * The right columns are carried as ONE struct with a single
+    * `last(_, ignoreNulls)` — carrying each column independently would mix
+    * fields of different right rows whenever the latest right row has a
+    * NULL in one carried column (that column would fall back to an older
+    * row). All carried values always come from the same right row; NULLs
+    * in that row stay NULL. */
   def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
            tiebreak: String, payload: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val rStruct = struct(rightCols.map(col): _*)
+    val rType = right.select(rStruct.as("__r")).schema("__r").dataType
     val l = left.select(Seq(col(key), col(tsCol), col(tiebreak), lit(1).as("__side")) ++
       payload.map(col) ++
-      rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      Seq(lit(null).cast(rType).as("__r")): _*)
     val r = right.select(Seq(col(key), col(tsCol), col(tiebreak), lit(0).as("__side")) ++
       payload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-      rightCols.map(c => col(c).as(s"__r_$c")): _*)
+      Seq(rStruct.as("__r")): _*)
     // right rows sort BEFORE left rows at the same ts (side 0 < 1) so
     // equal-ts rights are visible to the left row (<= semantics)
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol), col("__side"), col(tiebreak))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select(Seq(col("__side"), col(key), col(tsCol), col(tiebreak)) ++
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(key), col(tsCol), col(tiebreak)) ++
         payload.map(col) ++
-        rightCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)): _*)
-      .filter(col("__side") === 1).drop("__side")
+        rightCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

@@ -25,6 +25,22 @@ class EngineSpec extends AnyFunSuite {
     assert(out("R.b") == 0.0)
   }
 
+  test("aggregation: zero denominator zeroes the WHOLE formula, not just the node") {
+    // reference catches ZeroDivisionError around the whole eval
+    // (account_report.py:2371-2375): 'A + B/C' with C=0 is 0, not A
+    val out = evaluate(Map("R.b" -> Expr("A.b + B.b / C.b")),
+      Map("A.b" -> 7.0, "B.b" -> 3.0, "C.b" -> 0.0))
+    assert(out("R.b") == 0.0)
+  }
+
+  test("aggregation: round() is banker's rounding like Python round()") {
+    val out = evaluate(Map(
+      "A.b" -> Expr("X.b", Seq(RoundTo(0))),       // round(2.5) -> 2
+      "B.b" -> Expr("X.b + 1", Seq(RoundTo(0)))),  // round(3.5) -> 4
+      Map("X.b" -> 2.5))
+    assert(out("A.b") == 2.0 && out("B.b") == 4.0)
+  }
+
   test("aggregation: cycles are detected") {
     assertThrows[IllegalStateException] {
       evaluate(Map("A.b" -> Expr("B.b"), "B.b" -> Expr("A.b")), Map.empty)

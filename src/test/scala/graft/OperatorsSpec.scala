@@ -37,6 +37,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 3.0, None)))      // no right rows for key 2
   }
 
+  test("as-of join: carried columns all come from the SAME latest right row") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, ts(10), 100L, 1.0)).toDF("k", "ts", "event_id", "lv")
+    // latest right row (ts=8) has a NULL rv — it must stay NULL, not be
+    // backfilled from the older ts=5 row (struct carry, not per-column)
+    val right = Seq(
+      (1L, ts(5), 900L, Option(50.0), Option("old")),
+      (1L, ts(8), 901L, Option.empty[Double], Option("new")))
+      .toDF("k", "ts", "event_id", "rv", "tag")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "event_id",
+        payload = Seq("lv"), rightCols = Seq("rv", "tag"))
+      .select("rv", "tag").as[(Option[Double], Option[String])].collect().toSeq
+    assert(out == Seq((None, Some("new"))))
+  }
+
   test("range join: bucket-boundary intervals and points match exactly") {
     val s = spark; import s.implicits._
     val points = Seq((1L, 8.0), (2L, 7.999), (3L, 16.0), (4L, 24.1)).toDF("id", "p")

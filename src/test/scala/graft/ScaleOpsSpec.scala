@@ -34,6 +34,16 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.count(_._1 == 7L) == 900)
   }
 
+  test("skew salting: identical rows of one hot key fan out across salts") {
+    val s = spark; import s.implicits._
+    // 64 BYTE-IDENTICAL rows of one key — a content-hash salt would send
+    // them all to one salt (i.e. one task), defeating the whole point
+    val left = Seq.fill(64)((7L, "dup")).toDF("k", "payload")
+    val distinctSalts = left.withColumn("__salt", SkewJoin.saltExpr(8))
+      .select("__salt").distinct().count()
+    assert(distinctSalts > 1)
+  }
+
   test("partitioned sink: day partitions land and retention drops old ones") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_sink").toFile.getPath + "/log"

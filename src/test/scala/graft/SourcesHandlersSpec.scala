@@ -49,6 +49,18 @@ class SourcesHandlersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ctx(noBranch).count() == 1) // pass-through
   }
 
+  test("branch context: NULL-branch rows stay visible even with no branches") {
+    val s = spark; import s.implicits._
+    // reference always ORs (branch_id, '=', False) into the injected domain
+    // (branch/models/account_move.py:38-39) — branch-less rows never hide
+    val facts = Seq((1L, Option(1L), 10.0), (2L, Option.empty[Long], 20.0))
+      .toDF("id", "branch_id", "v")
+    assert(BranchContext(Seq.empty)(facts)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(BranchContext(Seq(1L))(facts)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("external values: sum and most_recent modes + carryover round-trip") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_ext").toFile.getPath + "/ext"

@@ -63,6 +63,19 @@ class VectorDotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[Exception](bad.select(VectorDot.dot(col("a"), col("b"))).collect())
   }
 
+  test("null ELEMENTS contribute 0.0, identically in both eval paths") {
+    val s = spark; import s.implicits._
+    val df = Seq((
+      Seq(Option(1.0f), Option.empty[Float], Option(3.0f)),
+      Seq(Option(2.0f), Option(5.0f), Option(1.0f))))
+      .toDF("a", "b")
+    val expected = 1.0 * 2.0 + 0.0 + 3.0 * 1.0
+    val codegen = df.select(VectorDot.dot(col("a"), col("b"))).head.getDouble(0)
+    val interp = withCodegenOff(
+      df.select(VectorDot.dot(col("a"), col("b"))).head.getDouble(0))
+    assert(codegen == expected && interp == expected)
+  }
+
   test("vector_dot available from SQL after extension install") {
     val s = spark; import s.implicits._
     GraftExtensions.install(s)
