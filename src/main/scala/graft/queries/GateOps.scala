@@ -1,0 +1,279 @@
+package graft.queries
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.Tables
+import graft.engine.{BranchContext, Domain, ExternalValues, ReportRunner => RR}
+import graft.report.LineTree
+
+/** Correctness gates for the components that round 1 left spec-only
+  * (VERDICT "Next round" item 3): the external-values engine with a real
+  * carryover round-trip (q65), the rendered LineTree golden matrix (q66),
+  * CSV ingestion (q67), branch row-level security (q68), the
+  * SQL-expressible half of the multimodal module (q69), and `=like`/
+  * `ilike`/`like` domain operators (q70). Each pairs a Spark query with a
+  * DuckDB oracle over the same parquet fixtures.
+  */
+object GateOps {
+
+  /** floor(x·100+0.5)/100 — deterministic 2-decimal rounding computed the
+    * same way driver-side and in DuckDB (see [[Parity.fr]]). */
+  private def r2(v: Double): Double = math.floor(v * 100 + 0.5) / 100
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
+  /** q65 — external engine (§2.5) end-to-end WITH carryover
+    * (account_report.py:2866-2943 sum/most_recent, :2971-3057 carryover):
+    * external values derived from `orders` (expression_id = priority,
+    * value = total price, date = order date); evaluate H1-1995, persist
+    * H1's sum as a carryover value dated at H2's first day via the real
+    * parquet append path, then evaluate both halves over the unioned
+    * external table. The oracle recomputes the whole chain in SQL. */
+  def q65(s: SparkSession, d: String): DataFrame = {
+    val ext0 = Tables.orders(s, d).select(
+      col("o_orderpriority").as("expression_id"),
+      col("o_totalprice").as("value"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"),
+      col("o_orderkey").as("value_id"))
+    val groups = Seq(
+      RR.ColumnGroup("h1", LocalDate.parse("1995-01-01"), LocalDate.parse("1995-06-30")),
+      RR.ColumnGroup("h2", LocalDate.parse("1995-07-01"), LocalDate.parse("1995-12-31")))
+    val exprs = Seq(
+      RR.Expr("SUM.val", RR.External("1-URGENT")),
+      RR.Expr("LAST.val", RR.External("2-HIGH", mostRecent = true)))
+    val ctx = RR.Ctx(journal = ext0, dateCol = col("date"),
+      codeCol = col("expression_id"), measure = col("value"),
+      external = Some(ext0))
+    // period-1 run, then the carryover round-trip through parquet
+    val t1 = RR.run(ctx, exprs, groups.take(1))
+    val dir = new java.io.File("/root/repo/target/gate_ext_carry")
+    deleteRec(dir)
+    ExternalValues.carryover(s, Map("CARRY.val" -> t1("h1")("SUM.val")),
+      "1995-07-01", dir.getPath)
+    val extAll = ext0.unionByName(ExternalValues.load(s, dir.getPath)
+      .select("expression_id", "value", "date", "value_id"))
+    val t2 = RR.run(ctx.copy(external = Some(extAll)),
+      exprs :+ RR.Expr("CARRY.val", RR.External("CARRY.val")), groups)
+    import s.implicits._
+    groups.flatMap(g => Seq("SUM.val", "LAST.val", "CARRY.val").map(c =>
+        (g.key, c, r2(t2(g.key)(c)))))
+      .toDF("grp", "code", "val").orderBy("grp", "code")
+  }
+
+  val q65Sql: String =
+    """WITH ext AS (
+      |  SELECT o_orderpriority eid, o_totalprice v,
+      |         strftime(o_orderdate, '%Y-%m-%d') dt, o_orderkey vid
+      |  FROM orders),
+      |h1u AS (SELECT coalesce(sum(v), 0) t FROM ext
+      |        WHERE eid = '1-URGENT' AND dt BETWEEN '1995-01-01' AND '1995-06-30'),
+      |h2u AS (SELECT coalesce(sum(v), 0) t FROM ext
+      |        WHERE eid = '1-URGENT' AND dt BETWEEN '1995-07-01' AND '1995-12-31'),
+      |l1 AS (SELECT coalesce((SELECT v FROM ext
+      |        WHERE eid = '2-HIGH' AND dt BETWEEN '1995-01-01' AND '1995-06-30'
+      |        ORDER BY dt DESC, vid DESC LIMIT 1), 0) t),
+      |l2 AS (SELECT coalesce((SELECT v FROM ext
+      |        WHERE eid = '2-HIGH' AND dt BETWEEN '1995-07-01' AND '1995-12-31'
+      |        ORDER BY dt DESC, vid DESC LIMIT 1), 0) t)
+      |SELECT 'h1' grp, 'SUM.val' code, floor((SELECT t FROM h1u)*100+0.5)/100 val
+      |UNION ALL SELECT 'h1', 'LAST.val', floor((SELECT t FROM l1)*100+0.5)/100
+      |UNION ALL SELECT 'h1', 'CARRY.val', 0.0
+      |UNION ALL SELECT 'h2', 'SUM.val', floor((SELECT t FROM h2u)*100+0.5)/100
+      |UNION ALL SELECT 'h2', 'LAST.val', floor((SELECT t FROM l2)*100+0.5)/100
+      |UNION ALL SELECT 'h2', 'CARRY.val', floor((SELECT t FROM h1u)*100+0.5)/100
+      |ORDER BY grp, code""".stripMargin
+
+  /** q66 — the rendered report tree (A16 rollup + O2 tree sort + hide-if-
+    * zero), the reference's dominant golden-matrix test pattern
+    * (account_reports/tests/common.py:129-192 assertLinesValues):
+    * region→nation hierarchy over high-balance customer sums, empty
+    * nations pruned, siblings value-sorted desc with the grand-total line
+    * pinned last, flattened to (display order, id, label, depth, value). */
+  def q66(s: SparkSession, d: String): DataFrame = {
+    val sums = Tables.customer(s, d).filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey")).agg(sum(col("c_acctbal")).as("v"))
+    // LEFT join keeps empty nations as zero lines so hideZero really prunes
+    val nat = Tables.nation(s, d)
+      .join(sums, col("n_nationkey") === col("c_nationkey"), "left")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"),
+        coalesce(col("v"), lit(0.0)).as("v"))
+      .collect() // bounded by the dimension (25 nations), the LineTree contract
+    val regions = Tables.region(s, d)
+      .select(col("r_regionkey").cast("long"), col("r_name")).collect()
+    val natLines = nat.toSeq.map(r => LineTree.Line(s"N${r.getLong(0)}",
+      Some(s"R${r.getLong(2)}"), r.getString(1), Seq(r.getDouble(3))))
+    val regLines = regions.toSeq.map(r => LineTree.Line(s"R${r.getLong(0)}",
+      None, r.getString(1), Seq(0.0)))
+    val total = LineTree.Line("TOTAL", None, "Total",
+      Seq(nat.map(_.getDouble(3)).sum), isTotal = true)
+    val rendered = LineTree.sortTree(
+      LineTree.hideZero(LineTree.build((regLines :+ total) ++ natLines)),
+      colIdx = 0, desc = true)
+    def walk(ns: Seq[LineTree.Node], depth: Int): Seq[(String, String, Int, Double)] =
+      ns.flatMap(n => (n.line.id, n.line.name, depth, n.rollup.head) +: walk(n.children, depth + 1))
+    import s.implicits._
+    walk(rendered, 0).zipWithIndex.map { case ((id, label, depth, v), i) =>
+      (i.toLong + 1, id, label, depth.toLong, r2(v))
+    }.toDF("ord", "line_id", "lbl", "depth", "val")
+  }
+
+  val q66Sql: String =
+    """WITH cs AS (SELECT c_nationkey k, sum(c_acctbal) v FROM customer
+      |            WHERE c_acctbal > 9900 GROUP BY 1),
+      |nat AS (SELECT n.n_regionkey rk, 'N' || n.n_nationkey id, n.n_name lbl, cs.v v
+      |        FROM nation n JOIN cs ON cs.k = n.n_nationkey),
+      |reg AS (SELECT r.r_regionkey rk, 'R' || r.r_regionkey id, r.r_name lbl,
+      |               (SELECT sum(v) FROM nat WHERE nat.rk = r.r_regionkey) v
+      |        FROM region r
+      |        WHERE EXISTS (SELECT 1 FROM nat WHERE nat.rk = r.r_regionkey)),
+      |rows_ AS (
+      |  SELECT 0 istotal, lbl rlbl, 0 depth, 0.0 sortv, id, lbl, v FROM reg
+      |  UNION ALL
+      |  SELECT 0, (SELECT lbl FROM reg WHERE reg.rk = nat.rk), 1, -v, id, lbl, v FROM nat
+      |  UNION ALL
+      |  SELECT 1, '', 0, 0.0, 'TOTAL', 'Total', (SELECT sum(v) FROM nat))
+      |SELECT CAST(row_number() OVER (ORDER BY istotal, rlbl, depth, sortv, lbl) AS BIGINT) ord,
+      |       id line_id, lbl, CAST(depth AS BIGINT) depth,
+      |       floor(v*100+0.5)/100 val
+      |FROM rows_ ORDER BY ord""".stripMargin
+
+  /** q67 — CSV ingestion S4 (etl_stock read_csv_file*, company.py:396-413):
+    * the nation dim is round-tripped parquet → CSV file (+1 corrupt row) →
+    * [[graft.sources.CsvSource.ingest]] (schema-enforced PERMISSIVE read,
+    * valid/corrupt split, parquet landing) → aggregate. The oracle
+    * aggregates `nation` directly; valid/corrupt counts ride along as
+    * columns. */
+  def q67(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File("/root/repo/target/gate_csv")
+    deleteRec(dir); dir.mkdirs()
+    val rows = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .orderBy("n_nationkey").collect() // dim table: 25 rows at every SF
+    val csv = new java.io.File(dir, "nation.csv")
+    val pw = new java.io.PrintWriter(csv)
+    try {
+      pw.println("n_nationkey,n_name,n_regionkey")
+      rows.foreach(r => pw.println(s"${r.getLong(0)},${r.getString(1)},${r.getLong(2)}"))
+      pw.println("oops,CORRUPT,notanumber") // exercises the bad-row split
+    } finally pw.close()
+    val schema = StructType(Seq(StructField("n_nationkey", LongType),
+      StructField("n_name", StringType), StructField("n_regionkey", LongType)))
+    val dest = new java.io.File(dir, "landed").getPath
+    val (valid, corrupt) = graft.sources.CsvSource.ingest(s, csv.getPath, schema, dest)
+    s.read.parquet(dest)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_nation"))
+      .withColumn("n_valid", lit(valid))
+      .withColumn("n_corrupt", lit(corrupt))
+      .orderBy("n_regionkey")
+  }
+
+  val q67Sql: String =
+    """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations, min(n_name) AS first_nation,
+      |  (SELECT count(*) FROM nation) AS n_valid, CAST(1 AS BIGINT) AS n_corrupt
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  /** q68 — branch row-level security P4 (branch/models/account_move.py:
+    * 31-51): customers get a branch (NULL for every 7th nation), the
+    * context filter keeps allowed branches PLUS branch-less rows, then a
+    * normal aggregate. The oracle mirrors the injected OR-domain. */
+  def q68(s: SparkSession, d: String): DataFrame = {
+    val facts = Tables.customer(s, d).withColumn("branch_id",
+      when(col("c_nationkey") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("c_nationkey").cast("long")))
+    BranchContext(Seq(1L, 2L, 3L))(facts)
+      .groupBy("branch_id")
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("c_acctbal")) * 100 + 0.5) / 100).as("bal"))
+      .orderBy("branch_id")
+  }
+
+  val q68Sql: String =
+    """SELECT CAST(CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS BIGINT) AS branch_id,
+      |  count(*) AS n, floor(sum(c_acctbal)*100+0.5)/100 AS bal
+      |FROM customer
+      |WHERE c_nationkey % 7 = 0 OR c_nationkey IN (1, 2, 3)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q69 — the SQL-expressible half of the multimodal module: documents
+    * become media rows (payload = text bytes, kind by doc_id mod 3, video
+    * duration from n_chars), run through the real plumbing —
+    * [[graft.multimodal.Multimodal.extractFeatures]] (per-partition codec,
+    * n_bytes from the payload) and `sampleFrames` (one row per 500 ms) —
+    * and aggregated per kind. The oracle computes payload sizes via
+    * octet_length and the frame count closed-form. */
+  def q69(s: SparkSession, d: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    import s.implicits._
+    val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("kind"),
+        col("text").cast("binary").as("payload"),
+        struct(lit("stub").as("format"), lit(64).as("width"), lit(64).as("height"),
+          when(col("doc_id") % 3 === 2, col("n_chars") * 10)
+            .otherwise(lit(0L)).as("durationMs")).as("meta"))
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"), sum("n_bytes").as("n_bytes"))
+    val frames = Multimodal.sampleFrames(media, everyMs = 500)
+      .agg(count(lit(1)).as("n_frames")).withColumn("kind", lit("video"))
+    feats.join(frames, Seq("kind"), "left")
+      .na.fill(0L, Seq("n_frames"))
+      .orderBy("kind")
+  }
+
+  val q69Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END kind,
+      |    octet_length(encode(text)) nb,
+      |    CASE WHEN doc_id % 3 = 2 THEN n_chars * 10 ELSE 0 END dur
+      |  FROM documents)
+      |SELECT kind, count(*) AS n_media, CAST(sum(nb) AS BIGINT) AS n_bytes,
+      |  CAST(sum(CASE WHEN dur > 0 THEN (dur - 1) // 500 + 1 ELSE 0 END) AS BIGINT) AS n_frames
+      |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** q70 — `=like` / `ilike` / `like` domain operators compiled to pushed-
+    * down predicates (reference operator set account_report.py:606-620;
+    * Odoo `like` = contains, `=like` = raw pattern, `ilike` =
+    * case-insensitive contains). */
+  def q70(s: SparkSession, d: String): DataFrame = {
+    val dom = Seq("|",
+      ("p_type", "=like", "PROMO%"),
+      "&", ("p_brand", "ilike", "Brand#1"), ("p_name", "like", "green"))
+    Tables.part(s, d).filter(Domain.compile(dom))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("p_retailprice")) * 100 + 0.5) / 100).as("price"))
+      .orderBy("p_brand")
+  }
+
+  val q70Sql: String =
+    """SELECT p_brand, count(*) AS n, floor(sum(p_retailprice)*100+0.5)/100 AS price
+      |FROM part
+      |WHERE p_type LIKE 'PROMO%'
+      |   OR (lower(p_brand) LIKE '%' || lower('Brand#1') || '%'
+      |       AND p_name LIKE '%green%')
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_external_carryover" -> (q65 _), "q66_line_tree_render" -> (q66 _),
+    "q67_csv_ingest" -> (q67 _), "q68_branch_security" -> (q68 _),
+    "q69_multimodal_meta" -> (q69 _), "q70_like_domain" -> (q70 _))
+
+  val oracle: Map[String, String] = Map(
+    "q65_external_carryover" -> q65Sql, "q66_line_tree_render" -> q66Sql,
+    "q67_csv_ingest" -> q67Sql, "q68_branch_security" -> q68Sql,
+    "q69_multimodal_meta" -> q69Sql, "q70_like_domain" -> q70Sql)
+}
