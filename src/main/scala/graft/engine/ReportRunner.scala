@@ -42,7 +42,12 @@ object ReportRunner {
 
   final case class Expr(code: String, engine: Engine,
                         scope: DateScope.Scope = DateScope.StrictRange)
-  final case class ColumnGroup(key: String, from: LocalDate, to: LocalDate)
+  /** `forced` is the column group's forced_domain (reference
+    * `_get_column_group_options`, account_report.py:2162-2169): the
+    * horizontal-group membership predicates from [[ReportSpec]], AND-ed
+    * into every fact predicate of this group. */
+  final case class ColumnGroup(key: String, from: LocalDate, to: LocalDate,
+                               forced: Seq[Any] = Nil)
 
   final case class Ctx(journal: DataFrame, dateCol: Column, codeCol: Column,
                        measure: Column, external: Option[DataFrame] = None,
@@ -52,7 +57,8 @@ object ReportRunner {
     * Returns group key -> expression code -> value. */
   def run(ctx: Ctx, exprs: Seq[Expr], groups: Seq[ColumnGroup]): Map[String, Map[String, Double]] = {
     def scopePred(e: Expr, g: ColumnGroup): Column =
-      DateScope.predicate(e.scope, ctx.dateCol, g.from, g.to, ctx.fc)
+      DateScope.predicate(e.scope, ctx.dateCol, g.from, g.to, ctx.fc) &&
+        Domain.compile(g.forced)
 
     val domainExprs = exprs.collect { case e @ Expr(_, _: DomainSum, _) => e }
     val codesExprs = exprs.collect { case e @ Expr(_, _: CodesFormula, _) => e }
@@ -81,7 +87,8 @@ object ReportRunner {
       else {
         val scopes = codesExprs.map(_.scope).distinct
         val cols = for (g <- groups; sc <- scopes) yield
-          sum(when(DateScope.predicate(sc, ctx.dateCol, g.from, g.to, ctx.fc),
+          sum(when(DateScope.predicate(sc, ctx.dateCol, g.from, g.to, ctx.fc) &&
+              Domain.compile(g.forced),
             ctx.measure).otherwise(lit(0.0))).as(s"${g.key}||$sc")
         val perCode = ctx.journal.groupBy(ctx.codeCol.cast("string").as("code"))
           .agg(cols.head, cols.tail: _*)

@@ -267,13 +267,78 @@ object GateOps {
       |       AND p_name LIKE '%green%')
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** q71 — the typed options/spec pipeline (§1.2, the reference's
+    * initializer chain account_report.py:1389-1456 + column-group cartesian
+    * :1193-1290): journals ∧ partner-category ∧ posted-state compose into
+    * ONE pushed-down base predicate; 2 comparison periods × 2 horizontal-
+    * group members make 4 column groups, each with its forced date +
+    * forced_domain; 2 domain engines + 1 aggregation engine evaluate over
+    * them in a single fact scan (all 8 domain totals are aggregation
+    * buffers of one job). */
+  def q71(s: SparkSession, d: String): DataFrame = {
+    import graft.engine.{ReportSpec => RS}
+    val journal = Tables.orders(s, d).join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"),
+        col("o_orderpriority"), col("o_orderstatus"),
+        col("c_mktsegment"), col("c_nationkey"))
+    val opts = RS.Options(
+      date = RS.Period("1994", LocalDate.parse("1994-01-01"), LocalDate.parse("1994-12-31")),
+      comparisons = Seq(RS.Period("1993", LocalDate.parse("1993-01-01"), LocalDate.parse("1993-12-31"))),
+      journals = Seq("1-URGENT", "2-HIGH"),
+      partnerCategories = Seq("BUILDING", "AUTOMOBILE"),
+      horizontalGroups = Seq(RS.HorizontalGroup("c_nationkey",
+        Seq("N1" -> 1L, "N2" -> 2L))))
+    val fields = RS.FieldMap(journal = "o_orderpriority",
+      partnerCategory = "c_mktsegment", state = "o_orderstatus",
+      postedValue = "F", cancelValue = "X")
+    val (basePred, groups) = RS.compile(opts, fields)
+    val exprs = Seq(
+      RR.Expr("SALES.total", RR.DomainSum(Nil)),
+      RR.Expr("BIG.total", RR.DomainSum(Seq(("o_totalprice", ">", 150000.0)))),
+      RR.Expr("SHARE.pct", RR.Aggregation("BIG.total / SALES.total")))
+    val ctx = RR.Ctx(journal = journal.filter(basePred), dateCol = col("dt"),
+      codeCol = col("o_orderpriority"), measure = col("o_totalprice"))
+    val t = RR.run(ctx, exprs, groups)
+    import s.implicits._
+    groups.flatMap(g => Seq(
+        (g.key, "SALES.total", r2(t(g.key)("SALES.total"))),
+        (g.key, "BIG.total", r2(t(g.key)("BIG.total"))),
+        (g.key, "SHARE.pct", math.floor(t(g.key)("SHARE.pct") * 10000 + 0.5) / 10000)))
+      .toDF("grp", "code", "val").orderBy("grp", "code")
+  }
+
+  val q71Sql: String =
+    """WITH j AS (
+      |  SELECT o_totalprice v, strftime(o_orderdate, '%Y-%m-%d') dt, c_nationkey nk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      |    AND o_orderstatus = 'F'),
+      |grp_ AS (SELECT pk || '|' || nl gk, pf, pt, nv
+      |        FROM (VALUES ('1994','1994-01-01','1994-12-31'),
+      |                     ('1993','1993-01-01','1993-12-31')) p(pk, pf, pt)
+      |        CROSS JOIN (VALUES ('N1', 1), ('N2', 2)) n(nl, nv)),
+      |tot AS (SELECT gk,
+      |  (SELECT coalesce(sum(v), 0) FROM j WHERE dt BETWEEN pf AND pt AND nk = nv) sales,
+      |  (SELECT coalesce(sum(v), 0) FROM j WHERE dt BETWEEN pf AND pt AND nk = nv AND v > 150000) big
+      |  FROM grp_)
+      |SELECT gk grp, 'SALES.total' code, floor(sales*100+0.5)/100 val FROM tot
+      |UNION ALL SELECT gk, 'BIG.total', floor(big*100+0.5)/100 FROM tot
+      |UNION ALL SELECT gk, 'SHARE.pct',
+      |  floor((CASE WHEN sales = 0 THEN 0 ELSE big / sales END)*10000+0.5)/10000 FROM tot
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_external_carryover" -> (q65 _), "q66_line_tree_render" -> (q66 _),
     "q67_csv_ingest" -> (q67 _), "q68_branch_security" -> (q68 _),
-    "q69_multimodal_meta" -> (q69 _), "q70_like_domain" -> (q70 _))
+    "q69_multimodal_meta" -> (q69 _), "q70_like_domain" -> (q70 _),
+    "q71_report_spec" -> (q71 _))
 
   val oracle: Map[String, String] = Map(
     "q65_external_carryover" -> q65Sql, "q66_line_tree_render" -> q66Sql,
     "q67_csv_ingest" -> q67Sql, "q68_branch_security" -> q68Sql,
-    "q69_multimodal_meta" -> q69Sql, "q70_like_domain" -> q70Sql)
+    "q69_multimodal_meta" -> q69Sql, "q70_like_domain" -> q70Sql,
+    "q71_report_spec" -> q71Sql)
 }

@@ -70,6 +70,58 @@ class ReportRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("p2023")("RATIO.bal") == 100.0)
   }
 
+  test("report spec: initializer domain + comparison × horizontal cartesian") {
+    import ReportSpec._
+    val opts = Options(
+      date = Period("p1", LocalDate.of(2024, 1, 1), LocalDate.of(2024, 12, 31)),
+      comparisons = Seq(Period("p0", LocalDate.of(2023, 1, 1), LocalDate.of(2023, 12, 31))),
+      journals = Seq("BNK", "INV"),
+      accountTypes = Seq("trade_receivable", "trade_payable"),
+      unreconciled = true,
+      horizontalGroups = Seq(
+        HorizontalGroup("branch", Seq("B1" -> 1L, "B2" -> 2L)),
+        HorizontalGroup("cc", Seq("CC9" -> 9L))))
+    // base domain: journals AND posted AND unreconciled AND (tr OR tp)
+    val dom = baseDomain(opts)
+    assert(dom.head == (("journal_id", "in", Seq("BNK", "INV"))))
+    assert(dom.contains(("parent_state", "=", "posted")))
+    assert(dom.contains(("reconciled", "=", false)))
+    assert(dom.count(_ == "|") == 1 && dom.count(_ == "&") == 2)
+    // cartesian: 2 periods × 2 branches × 1 cc = 4 groups, ordered
+    // period-major like the reference's recursive header expansion
+    val groups = columnGroups(opts)
+    assert(groups.map(_.key) == Seq("p1|B1|CC9", "p1|B2|CC9", "p0|B1|CC9", "p0|B2|CC9"))
+    assert(groups.head.forced == Seq(("branch", "=", 1L), ("cc", "=", 9L)))
+    assert(groups.head.from == LocalDate.of(2024, 1, 1))
+    assert(groups.last.from == LocalDate.of(2023, 1, 1))
+    // the composed domain parses + compiles through the Domain engine
+    Domain.compile(dom)
+  }
+
+  test("report spec drives the runner: forced domains split the fact rows") {
+    val s = spark; import s.implicits._
+    import ReportSpec._
+    val facts = Seq(
+      ("2024-02-01", "posted", 1L, 10.0),
+      ("2024-03-01", "posted", 2L, 20.0),
+      ("2024-04-01", "draft", 1L, 99.0),  // dropped by the base domain
+      ("2023-05-01", "posted", 1L, 5.0))
+      .toDF("d", "parent_state", "branch", "v")
+      .withColumn("d", col("d").cast("timestamp"))
+    val opts = Options(
+      date = Period("p1", LocalDate.of(2024, 1, 1), LocalDate.of(2024, 12, 31)),
+      comparisons = Seq(Period("p0", LocalDate.of(2023, 1, 1), LocalDate.of(2023, 12, 31))),
+      horizontalGroups = Seq(HorizontalGroup("branch", Seq("B1" -> 1L, "B2" -> 2L))))
+    val (pred, groups) = compile(opts)
+    val ctx = ReportRunner.Ctx(facts.filter(pred), col("d"), col("branch"), col("v"))
+    val out = ReportRunner.run(ctx,
+      Seq(ReportRunner.Expr("T.bal", ReportRunner.DomainSum(Nil))), groups)
+    assert(out("p1|B1")("T.bal") == 10.0)
+    assert(out("p1|B2")("T.bal") == 20.0)
+    assert(out("p0|B1")("T.bal") == 5.0)
+    assert(out("p0|B2")("T.bal") == 0.0)
+  }
+
   test("external engine + toLines matrix") {
     val s = spark; import s.implicits._
     val ext = Seq(
