@@ -26,7 +26,15 @@ object AggregationEvaluator {
   final case class IfOtherAbove(other: String, v: Double) extends Bound
   final case class IfOtherBelow(other: String, v: Double) extends Bound
 
-  final case class Expr(formula: String, bounds: Seq[Bound] = Nil)
+  /** `crossLeaves` is the cross_report namespace (account_report.py:
+    * 2279-2419): term values computed from ANOTHER report under this
+    * expression's forced date scope. They are consulted FIRST when
+    * resolving THIS formula's terms (the reference merges
+    * `{**current_report_eval_dict, **other_reports_eval_dict[scope]}`, so
+    * the other report's codes shadow same-named local ones) and are scoped
+    * to this expression only — nested local references resolve normally. */
+  final case class Expr(formula: String, bounds: Seq[Bound] = Nil,
+                        crossLeaves: Map[String, Double] = Map.empty)
 
   /** Control-flow signal for the reference's formula-wide ZeroDivisionError
     * semantics; never escapes [[evaluate]]. */
@@ -140,21 +148,21 @@ object AggregationEvaluator {
       // The reference wraps the WHOLE formula eval in a ZeroDivisionError
       // handler (account_report.py:2371-2375): any zero denominator zeroes
       // the entire expression — 'A + B/C' with C=0 is 0, not A.
-      val v = try eval(parseAst(tokenize(e.formula)))
+      val v = try eval(parseAst(tokenize(e.formula)), e.crossLeaves)
               catch { case DivByZero => 0.0 }
       visiting -= code
       v
     })
 
-    def eval(a: Ast): Double = a match {
+    def eval(a: Ast, env: Map[String, Double]): Double = a match {
       case Num(v) => v
-      case Neg(x) => -eval(x)
-      case Term(c) => valueOf(c)
-      case Bin('+', l, r) => eval(l) + eval(r)
-      case Bin('-', l, r) => eval(l) - eval(r)
-      case Bin('*', l, r) => eval(l) * eval(r)
+      case Neg(x) => -eval(x, env)
+      case Term(c) => env.getOrElse(c, valueOf(c))
+      case Bin('+', l, r) => eval(l, env) + eval(r, env)
+      case Bin('-', l, r) => eval(l, env) - eval(r, env)
+      case Bin('*', l, r) => eval(l, env) * eval(r, env)
       case Bin('/', l, r) =>
-        val d = eval(r); if (d == 0.0) throw DivByZero else eval(l) / d
+        val d = eval(r, env); if (d == 0.0) throw DivByZero else eval(l, env) / d
       case Bin(op, _, _) => throw new IllegalStateException(s"op $op")
     }
 

@@ -36,9 +36,15 @@ object ReportRunner {
   final case class CodesFormula(formula: String) extends Engine
   /** external-values engine, `sum` or `most_recent` mode (§2.5). */
   final case class External(exprId: String, mostRecent: Boolean = false) extends Engine
-  /** arithmetic over other expressions' codes, fixpoint-resolved (§2.5). */
+  /** arithmetic over other expressions' codes, fixpoint-resolved (§2.5).
+    * `crossScope` marks a cross_report formula (account_report.py:
+    * 2279-2419): its terms resolve against `Ctx.crossExprs` — ANOTHER
+    * report's expressions — re-evaluated under this forced date scope
+    * (the reference's forced_date_scope), shadowing same-named local
+    * codes. */
   final case class Aggregation(formula: String,
-                               bounds: Seq[AggregationEvaluator.Bound] = Nil) extends Engine
+                               bounds: Seq[AggregationEvaluator.Bound] = Nil,
+                               crossScope: Option[DateScope.Scope] = None) extends Engine
 
   final case class Expr(code: String, engine: Engine,
                         scope: DateScope.Scope = DateScope.StrictRange)
@@ -49,37 +55,58 @@ object ReportRunner {
   final case class ColumnGroup(key: String, from: LocalDate, to: LocalDate,
                                forced: Seq[Any] = Nil)
 
+  /** `crossExprs`: the OTHER report's expression set for cross_report
+    * aggregations (domain engines only — the reference's referenced-report
+    * leaves); evaluated inside the same batch-1 scan under each forced
+    * scope actually used. */
   final case class Ctx(journal: DataFrame, dateCol: Column, codeCol: Column,
                        measure: Column, external: Option[DataFrame] = None,
-                       fc: DateScope.FiscalConfig = DateScope.FiscalConfig())
+                       fc: DateScope.FiscalConfig = DateScope.FiscalConfig(),
+                       crossExprs: Seq[Expr] = Nil)
 
   /** Evaluate every expression under every column group.
     * Returns group key -> expression code -> value. */
   def run(ctx: Ctx, exprs: Seq[Expr], groups: Seq[ColumnGroup]): Map[String, Map[String, Double]] = {
-    def scopePred(e: Expr, g: ColumnGroup): Column =
-      DateScope.predicate(e.scope, ctx.dateCol, g.from, g.to, ctx.fc) &&
-        Domain.compile(g.forced)
-
     val domainExprs = exprs.collect { case e @ Expr(_, _: DomainSum, _) => e }
     val codesExprs = exprs.collect { case e @ Expr(_, _: CodesFormula, _) => e }
     val extExprs = exprs.collect { case e @ Expr(_, _: External, _) => e }
     val aggExprs = exprs.collect { case e @ Expr(_, _: Aggregation, _) => e }
 
     // ---- batch 1: every (domain expr × group) in ONE scan --------------
+    // Cross-report leaves ride in the SAME scan: for each forced scope a
+    // cross_report aggregation actually uses, the other report's domain
+    // expressions become extra aggregation buffers evaluated under that
+    // scope (reference: other_cross_report_expr_totals_by_scope).
+    val crossScopes: Seq[DateScope.Scope] = aggExprs
+      .map(_.engine.asInstanceOf[Aggregation]).flatMap(_.crossScope).distinct
+    val crossDomainExprs = ctx.crossExprs.collect { case e @ Expr(_, _: DomainSum, _) => e }
+
+    def domainCol(e: Expr, g: ColumnGroup, scope: DateScope.Scope, name: String): Column = {
+      val ds = e.engine.asInstanceOf[DomainSum]
+      val sign = if (ds.negate) -1.0 else 1.0
+      coalesce(sum(when(
+        DateScope.predicate(scope, ctx.dateCol, g.from, g.to, ctx.fc) &&
+          Domain.compile(g.forced) && Domain.compile(ds.domain),
+        ctx.measure * sign).otherwise(lit(0.0))), lit(0.0)).as(name)
+    }
+
+    val ownCols = for (g <- groups; e <- domainExprs)
+      yield domainCol(e, g, e.scope, s"${g.key}||${e.code}")
+    val crossCols = for (g <- groups; sc <- crossScopes; e <- crossDomainExprs)
+      yield domainCol(e, g, sc, s"${g.key}||cross|$sc||${e.code}")
+
+    val batch1 = ownCols ++ crossCols
+    val batch1Row = if (batch1.isEmpty) null
+      else ctx.journal.agg(batch1.head, batch1.tail: _*).head()
+
     val domainTotals: Map[(String, String), Double] =
-      if (domainExprs.isEmpty) Map.empty
-      else {
-        val cols = for (g <- groups; e <- domainExprs) yield {
-          val ds = e.engine.asInstanceOf[DomainSum]
-          val sign = if (ds.negate) -1.0 else 1.0
-          coalesce(sum(when(scopePred(e, g) && Domain.compile(ds.domain),
-            ctx.measure * sign).otherwise(lit(0.0))), lit(0.0))
-            .as(s"${g.key}||${e.code}")
-        }
-        val row = ctx.journal.agg(cols.head, cols.tail: _*).head()
-        (for ((g, i) <- groups.zipWithIndex; (e, j) <- domainExprs.zipWithIndex)
-          yield (g.key, e.code) -> row.getDouble(i * domainExprs.size + j)).toMap
-      }
+      (for (g <- groups; e <- domainExprs) yield (g.key, e.code) ->
+        batch1Row.getDouble(batch1Row.fieldIndex(s"${g.key}||${e.code}"))).toMap
+    // (group key, forced scope) -> other-report code -> value
+    val crossTotals: Map[(String, DateScope.Scope), Map[String, Double]] =
+      (for (g <- groups; sc <- crossScopes) yield (g.key, sc) ->
+        crossDomainExprs.map(e => e.code ->
+          batch1Row.getDouble(batch1Row.fieldIndex(s"${g.key}||cross|$sc||${e.code}"))).toMap).toMap
 
     // ---- batch 2: per-code balances for all codes formulas, ONE scan ---
     val codesTotals: Map[(String, String), Double] =
@@ -135,7 +162,9 @@ object ReportRunner {
       }
       val aggs = aggExprs.map { e =>
         val a = e.engine.asInstanceOf[Aggregation]
-        e.code -> AggregationEvaluator.Expr(a.formula, a.bounds)
+        val crossLeaves = a.crossScope
+          .map(sc => crossTotals((g.key, sc))).getOrElse(Map.empty)
+        e.code -> AggregationEvaluator.Expr(a.formula, a.bounds, crossLeaves)
       }.toMap
       val resolved = AggregationEvaluator.evaluate(aggs, leaves)
       g.key -> (leaves ++ resolved)

@@ -330,15 +330,123 @@ object GateOps {
       |  floor((CASE WHEN sales = 0 THEN 0 ELSE big / sales END)*10000+0.5)/10000 FROM tot
       |ORDER BY 1, 2""".stripMargin
 
+  /** q72 — cross_report aggregation (account_report.py:2279-2419): the
+    * main report's share-of-cumulative formula references another report's
+    * expression (CUM.total), re-evaluated under the referencing
+    * expression's forced FromBeginning scope — both reports' totals come
+    * out of the SAME single fact scan. */
+  def q72(s: SparkSession, d: String): DataFrame = {
+    import graft.engine.DateScope
+    val journal = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"),
+        col("o_orderpriority"))
+    val groups = Seq(
+      RR.ColumnGroup("1994", LocalDate.parse("1994-01-01"), LocalDate.parse("1994-12-31")),
+      RR.ColumnGroup("1993", LocalDate.parse("1993-01-01"), LocalDate.parse("1993-12-31")))
+    val exprs = Seq(
+      RR.Expr("SALES.total", RR.DomainSum(Nil)),
+      RR.Expr("CUMSHARE.pct", RR.Aggregation("SALES.total / CUM.total",
+        crossScope = Some(DateScope.FromBeginning))))
+    val ctx = RR.Ctx(journal, col("dt"), col("o_orderpriority"), col("o_totalprice"),
+      crossExprs = Seq(RR.Expr("CUM.total", RR.DomainSum(Nil))))
+    val t = RR.run(ctx, exprs, groups)
+    import s.implicits._
+    groups.flatMap(g => Seq(
+        (g.key, "SALES.total", r2(t(g.key)("SALES.total"))),
+        (g.key, "CUMSHARE.pct", math.floor(t(g.key)("CUMSHARE.pct") * 10000 + 0.5) / 10000)))
+      .toDF("grp", "code", "val").orderBy("grp", "code")
+  }
+
+  val q72Sql: String =
+    """WITH j AS (SELECT o_totalprice v, strftime(o_orderdate, '%Y-%m-%d') dt
+      |           FROM orders WHERE o_orderstatus = 'F'),
+      |grp_ AS (SELECT * FROM (VALUES ('1994','1994-01-01','1994-12-31'),
+      |                               ('1993','1993-01-01','1993-12-31')) p(gk, pf, pt)),
+      |tot AS (SELECT gk,
+      |  (SELECT coalesce(sum(v), 0) FROM j WHERE dt BETWEEN pf AND pt) sales,
+      |  (SELECT coalesce(sum(v), 0) FROM j WHERE dt <= pt) cum
+      |  FROM grp_)
+      |SELECT gk grp, 'SALES.total' code, floor(sales*100+0.5)/100 val FROM tot
+      |UNION ALL SELECT gk, 'CUMSHARE.pct',
+      |  floor((CASE WHEN cum = 0 THEN 0 ELSE sales / cum END)*10000+0.5)/10000 FROM tot
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q73 — recursive threshold prefix regrouping (O5, account_report.py:
+    * 3934-4065): the fully-unfolded prefix-group tree over part names at
+    * threshold 10 — the sf0.01 fixture recurses 12 levels deep. The oracle
+    * enumerates prefixes closed-form and applies the same emission rule
+    * (parent-prefix count >= threshold). */
+  def q73(s: SparkSession, d: String): DataFrame =
+    graft.operators.PrefixRegroup.recursiveGroups(
+        Tables.part(s, d), "p_name", "p_retailprice", threshold = 10)
+      .withColumn("total", floor(col("total") * 100 + 0.5) / 100)
+      .orderBy("p", "lvl")
+
+  val q73Sql: String =
+    """WITH items AS (SELECT lower(p_name) nm, p_retailprice v FROM part),
+      |pl AS (SELECT nm, v, L FROM items, generate_series(1, 60) t(L)
+      |       WHERE length(nm) >= L),
+      |cnt AS (SELECT substring(nm, 1, L) p, L lvl, count(*) n_lines, sum(v) total
+      |        FROM pl GROUP BY 1, 2)
+      |SELECT c.p, CAST(c.lvl AS BIGINT) lvl, c.n_lines,
+      |       floor(c.total*100+0.5)/100 total
+      |FROM cnt c
+      |WHERE (c.lvl = 1 AND (SELECT count(*) FROM items) >= 10)
+      |   OR EXISTS (SELECT 1 FROM cnt pp WHERE pp.lvl = c.lvl - 1
+      |              AND pp.p = substring(c.p, 1, CAST(c.lvl AS INT) - 1)
+      |              AND pp.n_lines >= 10)
+      |ORDER BY p, lvl""".stripMargin
+
+  /** q74 — the composed journal report (W1 running balance + W4 month
+    * sections + tax summary, account_journal_report.py:109-237,728-756):
+    * one handler call renders month headers, seeded running-balance move
+    * lines, and the tax-group section for the 1-URGENT "journal" over
+    * 1995. */
+  def q74(s: SparkSession, d: String): DataFrame =
+    graft.report.Handlers.JournalReport.render(
+        Tables.orders(s, d), dateCol = col("o_orderdate"),
+        journalCol = col("o_orderpriority"), journalKey = "1-URGENT",
+        idCol = col("o_orderkey"), amount = col("o_totalprice"),
+        taxGroupCol = col("o_orderstatus"),
+        from = LocalDate.parse("1995-01-01"), to = LocalDate.parse("1995-12-31"))
+      .withColumn("amount", floor(col("amount") * 100 + 0.5) / 100)
+      .withColumn("run_bal", floor(col("run_bal") * 100 + 0.5) / 100)
+      .orderBy("sect", "mth", "line_id", "grp")
+
+  val q74Sql: String =
+    """WITH j AS (SELECT o_orderkey id, o_totalprice v, o_orderdate dt, o_orderstatus st
+      |           FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |per AS (SELECT * FROM j WHERE dt BETWEEN '1995-01-01' AND '1995-12-31'),
+      |init AS (SELECT coalesce(sum(v), 0) b FROM j WHERE dt < '1995-01-01')
+      |SELECT CAST(0 AS BIGINT) sect, strftime(dt, '%Y-%m') mth,
+      |       CAST(NULL AS DOUBLE) line_id, CAST(NULL AS VARCHAR) grp,
+      |       floor(sum(v)*100+0.5)/100 amount, CAST(NULL AS DOUBLE) run_bal
+      |FROM per GROUP BY 2
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), strftime(dt, '%Y-%m'), CAST(id AS DOUBLE),
+      |       CAST(NULL AS VARCHAR), floor(v*100+0.5)/100,
+      |       floor(((SELECT b FROM init) +
+      |              sum(v) OVER (ORDER BY dt, id ROWS UNBOUNDED PRECEDING))*100+0.5)/100
+      |FROM per
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), st,
+      |       floor(sum(v)*100+0.5)/100, CAST(NULL AS DOUBLE)
+      |FROM per GROUP BY st
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_external_carryover" -> (q65 _), "q66_line_tree_render" -> (q66 _),
     "q67_csv_ingest" -> (q67 _), "q68_branch_security" -> (q68 _),
     "q69_multimodal_meta" -> (q69 _), "q70_like_domain" -> (q70 _),
-    "q71_report_spec" -> (q71 _))
+    "q71_report_spec" -> (q71 _), "q72_cross_report" -> (q72 _),
+    "q73_prefix_regroup" -> (q73 _), "q74_journal_report" -> (q74 _))
 
   val oracle: Map[String, String] = Map(
     "q65_external_carryover" -> q65Sql, "q66_line_tree_render" -> q66Sql,
     "q67_csv_ingest" -> q67Sql, "q68_branch_security" -> q68Sql,
     "q69_multimodal_meta" -> q69Sql, "q70_like_domain" -> q70Sql,
-    "q71_report_spec" -> q71Sql)
+    "q71_report_spec" -> q71Sql, "q72_cross_report" -> q72Sql,
+    "q73_prefix_regroup" -> q73Sql, "q74_journal_report" -> q74Sql)
 }

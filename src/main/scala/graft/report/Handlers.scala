@@ -73,6 +73,47 @@ object Handlers {
     }
   }
 
+  /** Journal report, composed (account_journal_report.py:109-237 move
+    * lines with cumulated balance threaded through `progress`, :728-756
+    * `_query_months` month sectioning, :205-237 tax summary section): for
+    * ONE journal, render
+    *   sect 0 — month header rows with monthly subtotals (W4 pattern),
+    *   sect 1 — per-move lines carrying a running balance seeded from the
+    *            pre-period balance ([[Ledger.runningDetail]], W1/W2),
+    *   sect 2 — the per-tax-group summary section.
+    * All three sections read the SAME filtered journal frame; the running
+    * balance's single-partition window is per-journal by nature (a bank
+    * statement's cumulative display is inherently sequential and bounded
+    * by one journal's lines — the reference threads it row by row too). */
+  object JournalReport {
+    def render(journal: DataFrame, dateCol: Column, journalCol: Column,
+               journalKey: Any, idCol: Column, amount: Column,
+               taxGroupCol: Column, from: LocalDate, to: LocalDate): DataFrame = {
+      val j = journal.filter(journalCol === lit(journalKey))
+      val inPeriod = j.filter(DateScope.predicate(DateScope.StrictRange, dateCol, from, to))
+      val month = date_format(dateCol, "yyyy-MM")
+      val lines = Ledger.runningDetail(j, dateCol, journalCol, idCol, amount, from, to)
+        .select(lit(1L).as("sect"), month.as("mth"),
+          idCol.cast("double").as("line_id"),
+          lit(null).cast("string").as("grp"),
+          amount.as("amount"), col("running_bal").as("run_bal"))
+      val months = inPeriod
+        .groupBy(month.as("mth"))
+        .agg(sum(amount).as("amount"))
+        .select(lit(0L).as("sect"), col("mth"),
+          lit(null).cast("double").as("line_id"),
+          lit(null).cast("string").as("grp"),
+          col("amount"), lit(null).cast("double").as("run_bal"))
+      val tax = inPeriod
+        .groupBy(taxGroupCol.cast("string").as("grp"))
+        .agg(sum(amount).as("amount"))
+        .select(lit(2L).as("sect"), lit(null).cast("string").as("mth"),
+          lit(null).cast("double").as("line_id"), col("grp"),
+          col("amount"), lit(null).cast("double").as("run_bal"))
+      months.unionByName(lines).unionByName(tax)
+    }
+  }
+
   /** Cash-flow statement (SURVEY §2.8,
     * account_cash_flow_report.py:280-360): a three-way UNION ALL of
     * differently-sourced cash movements, each tagged with its statement

@@ -62,6 +62,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq(1L, 3L)) // inclusive bounds; 7.999 below, 24.1 outside
   }
 
+  test("prefix regroup: recursion stops below threshold; short names stay put") {
+    val s = spark; import s.implicits._
+    // root n=4 >= 3 -> level 1 'a' (4 lines); 'a' >= 3 -> level 2 'ab'
+    // (3 lines; the bare "a" is too short to extend); 'ab' >= 3 but no
+    // name reaches level 3 -> stop. "xy" never groups (root is the only
+    // sibling set and x-group has 1 line... emitted at level 1 since the
+    // ROOT count gates level 1).
+    val items = Seq(("a", 1.0), ("ab", 2.0), ("ab!", 3.0), ("abc", 4.0))
+      .toDF("name", "v")
+    val out = graft.operators.PrefixRegroup
+      .recursiveGroups(items, "name", "v", threshold = 3)
+      .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      ("a", 1L, 4L, 10.0),   // all four share 'a'
+      ("ab", 2L, 3L, 9.0),   // "a" itself too short to reach level 2
+      ("ab!", 3L, 1L, 3.0),  // 'ab' had 3 >= T, so level-3 groups emit
+      ("abc", 3L, 1L, 4.0)))
+    // below-threshold root: nothing groups
+    val tiny = Seq(("a", 1.0), ("b", 2.0)).toDF("name", "v")
+    assert(graft.operators.PrefixRegroup
+      .recursiveGroups(tiny, "name", "v", threshold = 3).count() == 0)
+  }
+
   test("dup clusters: transitivity across a chain, isolated pairs separate") {
     val s = spark; import s.implicits._
     // chain 1-2-3-4 plus pair 10-11

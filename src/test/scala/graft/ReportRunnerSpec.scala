@@ -122,6 +122,36 @@ class ReportRunnerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("p0|B2")("T.bal") == 0.0)
   }
 
+  test("cross_report: terms resolve against the other report under a forced scope") {
+    val ctx = ReportRunner.Ctx(fixture, col("d"), col("code"), col("v"),
+      crossExprs = Seq(
+        ReportRunner.Expr("OTH.bal",
+          ReportRunner.DomainSum(Seq(("state", "=", "posted")))),
+        // same code as a LOCAL expression — must shadow it (reference merges
+        // other_reports_eval_dict OVER current_report_eval_dict)
+        ReportRunner.Expr("POSTED.bal", ReportRunner.DomainSum(Nil))))
+    val exprs = Seq(
+      ReportRunner.Expr("POSTED.bal",
+        ReportRunner.DomainSum(Seq(("state", "=", "posted")))),
+      // cross formula under FromBeginning: OTH.bal cumulative = 87,
+      // local POSTED.bal keeps its own strict-range value = -13
+      ReportRunner.Expr("X.bal", ReportRunner.Aggregation("OTH.bal",
+        crossScope = Some(DateScope.FromBeginning))),
+      // shadowing: POSTED.bal here is the CROSS one (no state filter,
+      // strict range: 10 + 99 - 30 + 7 = 86), not the local -13
+      ReportRunner.Expr("Y.bal", ReportRunner.Aggregation("POSTED.bal",
+        crossScope = Some(DateScope.StrictRange))),
+      // no crossScope -> plain local resolution
+      ReportRunner.Expr("Z.bal", ReportRunner.Aggregation("POSTED.bal + 1")))
+    val groups = Seq(ReportRunner.ColumnGroup("p2024",
+      LocalDate.of(2024, 1, 1), LocalDate.of(2024, 12, 31)))
+    val out = ReportRunner.run(ctx, exprs, groups)
+    assert(out("p2024")("POSTED.bal") == -13.0)
+    assert(out("p2024")("X.bal") == 87.0)
+    assert(out("p2024")("Y.bal") == 86.0)
+    assert(out("p2024")("Z.bal") == -12.0)
+  }
+
   test("external engine + toLines matrix") {
     val s = spark; import s.implicits._
     val ext = Seq(
