@@ -18,8 +18,12 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query caches so later queries aren't penalized by GC/evict
+      // drop per-query caches so later queries aren't penalized by GC/evict;
+      // localCheckpoint blocks are only released via the ContextCleaner on
+      // GC, so nudge it — otherwise iterative queries' checkpoint RDDs pile
+      // up and later queries pay their eviction at random times
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

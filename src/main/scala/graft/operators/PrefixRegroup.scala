@@ -46,9 +46,17 @@ object PrefixRegroup {
     if (head.isNullAt(0) || head.getLong(1) < threshold) return empty
     val maxLen = head.getInt(0)
 
+    // Each level is localCheckpoint-ed (materialized once, lineage cut):
+    // level L's scope depends on level L-1's frontier, so a fully lazy
+    // plan would re-execute the whole ancestry per level — O(depth²)
+    // shuffles. Checkpointing makes it O(depth) small jobs, and lets the
+    // loop stop as soon as the frontier drains (groups all below
+    // threshold) instead of running to the longest name.
     var acc: DataFrame = null
     var frontier: DataFrame = null // null = root sibling set (all items)
-    for (lvl <- 1 to maxLen) {
+    var lvl = 1
+    var exhausted = false
+    while (lvl <= maxLen && !exhausted) {
       val scoped =
         if (frontier == null) it
         else it.join(broadcast(frontier),
@@ -58,10 +66,14 @@ object PrefixRegroup {
         .agg(count(lit(1)).as("n_lines"), sum(col("v")).as("total"))
         .withColumn("lvl", lit(lvl.toLong))
         .select("p", "lvl", "n_lines", "total")
+        .localCheckpoint()
       acc = if (acc == null) grp else acc.unionByName(grp)
       frontier = grp.filter(col("n_lines") >= threshold)
         .select(col("p").as("p_prev"))
+      exhausted = frontier.isEmpty
+      lvl += 1
     }
-    acc
+    it.unpersist()
+    if (acc == null) empty else acc
   }
 }

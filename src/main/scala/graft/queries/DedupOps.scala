@@ -22,8 +22,10 @@ import graft.Tables
   */
 object DedupOps {
 
-  /** Distinct word-level 3-shingles per doc. */
-  private def shingles3(docs: DataFrame): DataFrame = {
+  /** Word-level 3-shingles per doc, WITH positional duplicates — callers
+    * that need distinct sets dedup AFTER hashing so the dedup shuffle
+    * carries 8-byte keys, not shingle strings. */
+  private def shingles3Raw(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), " ")
     docs
       .filter(size(ws) >= 3)
@@ -33,8 +35,13 @@ object DedupOps {
             element_at(ws, i + lit(1)),
             element_at(ws, i + lit(2)),
             element_at(ws, i + lit(3))))).as("s"))
-      .distinct()
   }
+
+  /** Distinct 8-byte shingle hashes per doc (the Jaccard index unit). */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    shingles3Raw(docs)
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .distinct()
 
   private val shingles3Sql =
     """sh AS (
@@ -97,8 +104,7 @@ object DedupOps {
     * key; the cap scalar is a 1-row broadcast, so the whole cap costs one
     * extra shuffle-free sort within the existing shingle partitioning. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh0 = shingles3(docs)
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val sh0 = shingleHashes(docs)
     val cap = docs.agg(greatest(lit(MinDfCap.toLong),
       floor(count(lit(1)) / lit(DfCapDivisor)).cast("long")).as("cap"))
     val sh = sh0
@@ -147,8 +153,11 @@ object DedupOps {
   def q33(s: SparkSession, d: String): DataFrame = {
     val P = 99991L
     val K = 12
-    // Token ids are map-side strHash — no dictionary, no global sort.
-    val sh = shingles3(Tables.documents(s, d))
+    // Token ids are map-side strHash — no dictionary, no global sort. No
+    // distinct either: duplicate shingles cannot change a min, so the rows
+    // flow straight from the explode into the partial min-aggregation
+    // (zero full-width shuffles before the per-doc signature).
+    val sh = shingles3Raw(Tables.documents(s, d))
       .select(col("doc_id"), Parity.strHash(col("s")).as("sid"))
     // All K minhashes as aggregation buffers of ONE groupBy — a map-side-
     // combinable shuffle of the shingle rows, instead of a K× row blowup

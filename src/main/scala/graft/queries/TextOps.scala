@@ -24,7 +24,9 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(1), length(col("text")) - lit(2)),
           i => col("text").substr(i, lit(3)))).as("t"))
-      .cache() // feeds both the train profile and the test scoring
+    // deliberately NOT cached: train/test read disjoint doc_id slices, and
+    // at scale recomputing the map-side explode per branch is cheaper than
+    // pinning an exploded corpus in memory
     val train = tg.filter(col("doc_id") % 5 =!= 0)
       .groupBy(col("lang").as("p_lang"), col("t")).agg(count(lit(1)).as("cnt"))
     val profile = train
