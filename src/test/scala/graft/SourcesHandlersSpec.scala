@@ -75,6 +75,39 @@ class SourcesHandlersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(latest == Map("T1.bal" -> 9.0, "T2.bal" -> 7.0))
   }
 
+  test("xlsx sink writes a valid OOXML package; html render escapes") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "alpha <&>", 10.5), (2L, "beta", -3.0))
+      .toDF("id", "name", "bal")
+    val path = Files.createTempDirectory("graft_xlsx").toFile.getPath + "/report.xlsx"
+    graft.sinks.ResultSink.writeXlsx(df, path, sheetName = "GL")
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val names = {
+        val e = zf.entries(); val b = Seq.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result()
+      }
+      assert(names.contains("[Content_Types].xml") &&
+        names.contains("xl/workbook.xml") &&
+        names.contains("xl/worksheets/sheet1.xml"))
+      val sheet = new String(
+        zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // header row + numeric cell + escaped inline string
+      assert(sheet.contains("""<c r="A1" t="inlineStr"><is><t xml:space="preserve">id</t></is></c>"""))
+      assert(sheet.contains("""<c r="C2"><v>10.5</v></c>"""))
+      assert(sheet.contains("alpha &lt;&amp;&gt;"))
+      val wb = new String(
+        zf.getInputStream(zf.getEntry("xl/workbook.xml")).readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(wb.contains("""<sheet name="GL""""))
+    } finally zf.close()
+    val html = graft.sinks.ResultSink.toHtml(df.orderBy("id"), caption = "x<y")
+    assert(html.contains("<th>name</th>") && html.contains("<td>alpha &lt;&amp;&gt;</td>")
+      && html.contains("<caption>x&lt;y</caption>"))
+  }
+
   test("general ledger handler: initial/period/closing in one pass") {
     val s = spark; import s.implicits._
     val j = Seq(
