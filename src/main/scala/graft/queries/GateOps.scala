@@ -436,17 +436,42 @@ object GateOps {
       |FROM per GROUP BY st
       |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  /** q75 — batch sessionization (the streaming sessionizer's replayable
+    * twin): user sessions over `events` with a 30-minute inactivity gap,
+    * one row per session. */
+  def q75(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.sessions(
+        Tables.events(s, d), userCol = col("user_id"), tsCol = col("ts"),
+        idCol = col("event_id"), gapSec = 1800L)
+      .orderBy("user_id", "sess_start")
+
+  val q75Sql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) t FROM events),
+      |x AS (SELECT user_id, event_id, t, epoch_us(t) us,
+      |  CASE WHEN epoch_us(t) - lag(epoch_us(t)) OVER
+      |         (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+      |       THEN 1 ELSE 0 END f
+      |  FROM e),
+      |s AS (SELECT user_id, t, us, sum(f) OVER
+      |        (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) sid
+      |      FROM x)
+      |SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S') sess_start,
+      |       count(*) n_events, CAST(max(us) - min(us) AS BIGINT) dur_us
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_external_carryover" -> (q65 _), "q66_line_tree_render" -> (q66 _),
     "q67_csv_ingest" -> (q67 _), "q68_branch_security" -> (q68 _),
     "q69_multimodal_meta" -> (q69 _), "q70_like_domain" -> (q70 _),
     "q71_report_spec" -> (q71 _), "q72_cross_report" -> (q72 _),
-    "q73_prefix_regroup" -> (q73 _), "q74_journal_report" -> (q74 _))
+    "q73_prefix_regroup" -> (q73 _), "q74_journal_report" -> (q74 _),
+    "q75_sessionize" -> (q75 _))
 
   val oracle: Map[String, String] = Map(
     "q65_external_carryover" -> q65Sql, "q66_line_tree_render" -> q66Sql,
     "q67_csv_ingest" -> q67Sql, "q68_branch_security" -> q68Sql,
     "q69_multimodal_meta" -> q69Sql, "q70_like_domain" -> q70Sql,
     "q71_report_spec" -> q71Sql, "q72_cross_report" -> q72Sql,
-    "q73_prefix_regroup" -> q73Sql, "q74_journal_report" -> q74Sql)
+    "q73_prefix_regroup" -> q73Sql, "q74_journal_report" -> q74Sql,
+    "q75_sessionize" -> q75Sql)
 }
