@@ -117,6 +117,38 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains((7L, 2L, 3.0)))
   }
 
+  test("streaming sessionize agrees with the batch Sessionize twin") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = s.sqlContext
+    // two users, three sessions, deterministic gaps (30-min threshold)
+    val evs = Seq(
+      Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "click", 2.0),
+      Event(3, ts(55), 7, "click", 3.0), // >30min after 10:10 -> new session
+      Event(4, ts(5), 9, "view", 4.0))
+    val src = MemoryStream[Event]
+    val q = EventsStream.sessionize(src.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_twin").outputMode("append").start()
+    src.addData(evs: _*)
+    q.processAllAvailable()
+    // watermark pushers: close everything (far-future events for user 99)
+    src.addData(Event(90, Timestamp.valueOf("2024-01-02 10:00:00"), 99, "x", 0.0))
+    q.processAllAvailable()
+    src.addData(Event(91, Timestamp.valueOf("2024-01-02 12:00:00"), 99, "x", 0.0))
+    q.processAllAvailable()
+    val streamed = s.sql(
+        "SELECT user_id, CAST(start AS STRING) ss, n_events FROM sess_twin WHERE user_id IN (7, 9)")
+      .as[(Long, String, Long)].collect().toSet
+    q.stop()
+    val batch = graft.operators.Sessionize.sessions(
+        evs.toDF(), userCol = col("user_id"), tsCol = col("ts"),
+        idCol = col("event_id"), gapSec = 1800L)
+      .select(col("user_id"),
+        concat(col("sess_start"), lit("")).as("ss"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("multimodal: stub feature extraction is deterministic and batch-shaped") {
     val s = spark; import s.implicits._
     val media = Seq(
