@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vectorDotDescriptor)
+    ext.injectFunction(GraftExtensions.topKDescriptor)
   }
 }
 
@@ -26,9 +27,18 @@ object GraftExtensions {
       VectorDotExpr(children.head, children(1))
     })
 
+  private val topKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k_by_score"),
+    new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3, "top_k_by_score takes exactly 3 arguments")
+      TopKByScore(children(0), children(1), children(2))
+    })
+
   /** Imperative registration on an existing session. */
   def install(spark: SparkSession): Unit = {
-    val (id, info, builder) = vectorDotDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(vectorDotDescriptor, topKDescriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }

@@ -85,6 +85,33 @@ class VectorDotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 200)
   }
 
+  test("top_k_by_score == window row_number formulation, across partitions") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // ties included: scores drawn from a tiny set so equal scores occur
+    val rows = (1 to 5000).map(i =>
+      (i % 7L, math.floor(rnd.nextDouble() * 20) / 20, i.toLong))
+    val df = rows.toDF("g", "score", "id").repartition(13) // force merges
+    val viaAgg = df.groupBy("g")
+      .agg(graft.functions.TopKByScore.topK(col("score"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rk"),
+        col("col.score").as("score"), col("col.id").as("id"))
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5).select("g", "rk", "score", "id")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+    // SQL registration path
+    GraftExtensions.install(s)
+    df.createOrReplaceTempView("topk_in")
+    val n = s.sql(
+      "SELECT g, top_k_by_score(score, id, 2) t FROM topk_in GROUP BY g").count()
+    assert(n == 7)
+  }
+
   private def withCodegenOff[T](body: => T): T = {
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
