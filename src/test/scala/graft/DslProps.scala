@@ -36,16 +36,22 @@ object DslProps extends Properties("graft.dsl") {
     case B(op, l, r) => s"(${render(l)} $op ${render(r)})"
   }
 
-  private def direct(t: T, env: Map[String, Double]): Double = t match {
+  /** Reference semantics (account_report.py:2371-2375): a zero denominator
+    * anywhere zeroes the WHOLE formula, not just the division node. */
+  private object DivZero extends RuntimeException
+  private def directRaw(t: T, env: Map[String, Double]): Double = t match {
     case N(v) => v.toDouble
     case L(n) => env(n)
-    case B('+', l, r) => direct(l, env) + direct(r, env)
-    case B('-', l, r) => direct(l, env) - direct(r, env)
-    case B('*', l, r) => direct(l, env) * direct(r, env)
+    case B('+', l, r) => directRaw(l, env) + directRaw(r, env)
+    case B('-', l, r) => directRaw(l, env) - directRaw(r, env)
+    case B('*', l, r) => directRaw(l, env) * directRaw(r, env)
     case B('/', l, r) =>
-      val d = direct(r, env); if (d == 0.0) 0.0 else direct(l, env) / d
+      val d = directRaw(r, env)
+      if (d == 0.0) throw DivZero else directRaw(l, env) / d
     case B(op, _, _) => sys.error(s"op $op")
   }
+  private def direct(t: T, env: Map[String, Double]): Double =
+    try directRaw(t, env) catch { case DivZero => 0.0 }
 
   property("evaluator matches a naive interpreter on random formulas") =
     Prop.forAll(genT(4), Gen.choose(-50, 50), Gen.choose(-50, 50),
@@ -58,15 +64,19 @@ object DslProps extends Properties("graft.dsl") {
       (got == expect || (got.isNaN && expect.isNaN)) :| s"${render(t)} -> $got vs $expect"
     }
 
-  property("chained references equal inlined formulas") =
+  /** Div-by-zero is caught PER formula, so a referenced line that zeroed out
+    * contributes 0 to its referrer — chaining is NOT the same as inlining
+    * when the inner formula divides by zero (reference evaluates each
+    * expression's formula under its own ZeroDivisionError handler). */
+  property("references see the referenced formula's caught value") =
     Prop.forAll(genT(3), Gen.choose(-20, 20)) { (t, a) =>
       val env = Map("A.bal" -> a.toDouble, "B.bal" -> 2.0, "C.bal" -> 3.0)
       val viaChain = AggregationEvaluator.evaluate(
         Map("M.bal" -> AggregationEvaluator.Expr(render(t)),
           "Y.bal" -> AggregationEvaluator.Expr("M.bal + 1")), env)("Y.bal")
-      val inlined = AggregationEvaluator.evaluate(
-        Map("Y.bal" -> AggregationEvaluator.Expr(s"(${render(t)}) + 1")), env)("Y.bal")
-      (viaChain == inlined) :| s"${render(t)}"
+      val expect = direct(t, env) + 1.0
+      (viaChain == expect ||
+        (viaChain.isNaN && expect.isNaN)) :| s"${render(t)} -> $viaChain vs $expect"
     }
 
   // ---- domain polish-notation round-trip -------------------------------

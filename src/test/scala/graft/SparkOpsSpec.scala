@@ -21,6 +21,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("portable strHash column equals the documented pure formula") {
+    val s = spark; import s.implicits._
+    // the cross-engine contract: h(s) = (Σ code(s_i)·((1103515245·i+12345)
+    // mod M)) mod M with M = 2^31-1 — any drift here silently breaks the
+    // DuckDB oracle parity of q33/q34/q40
+    def model(str: String): Long = {
+      val M = 2147483647L
+      var acc = 0L
+      var i = 1
+      while (i <= str.length) {
+        val w = (1103515245L * i + 12345L) % M
+        acc = (acc + str.charAt(i - 1).toLong * w) % M
+        i += 1
+      }
+      acc
+    }
+    val rnd = new scala.util.Random(23)
+    val strs = (1 to 300).map(_ =>
+      (1 to (1 + rnd.nextInt(40))).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    val got = strs.toDF("s")
+      .select(col("s"), graft.queries.Parity.strHash(col("s")).as("h"))
+      .as[(String, Long)].collect().toMap
+    assert(strs.forall(x => got(x) == model(x)))
+    assert(got.values.forall(h => h >= 0 && h < 2147483647L))
+    // position sensitivity: a transposition changes the hash
+    assert(model("ab") != model("ba"))
+  }
+
   test("domain compiler filters like the reference's polish notation") {
     val s = spark; import s.implicits._
     val df = Seq((1, "posted", 50.0), (2, "draft", 500.0), (3, "posted", 500.0))
