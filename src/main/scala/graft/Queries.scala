@@ -11,11 +11,13 @@ object Queries {
     queries.RelationalA.queries ++ queries.RelationalB.queries ++
       queries.DedupOps.queries ++ queries.TextOps.queries ++
       queries.SimilarityOps.queries ++ queries.EngineOps.queries ++
-      queries.ReportOps.queries ++ queries.GateOps.queries
+      queries.ReportOps.queries ++ queries.GateOps.queries ++
+      queries.StockOps.queries
 
   def oracle: Map[String, String] =
     queries.RelationalA.oracle ++ queries.RelationalB.oracle ++
       queries.DedupOps.oracle ++ queries.TextOps.oracle ++
       queries.SimilarityOps.oracle ++ queries.EngineOps.oracle ++
-      queries.ReportOps.oracle ++ queries.GateOps.oracle
+      queries.ReportOps.oracle ++ queries.GateOps.oracle ++
+      queries.StockOps.oracle
 }

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.FifoValuation
+
+/** Inventory-valuation gates (reference `etl_stock`): the FIFO
+  * valuation-layer family of `stock.valuation.layer`
+  * (`etl_stock/models/svl.py:34-120` — remaining_qty / remaining_value /
+  * unit_cost per layer) re-expressed as the running-sum interval algebra in
+  * [[graft.operators.FifoValuation]].
+  *
+  * Fixture mapping: `lineitem` plays the valuation ledger — odd line
+  * numbers are incoming layers (unit cost = extendedprice/quantity), even
+  * line numbers are outgoing consumption, FIFO order is
+  * (l_shipdate, l_orderkey, l_linenumber) per part.
+  *
+  * Parity: quantities are integral doubles → BIGINT, so every cumulative
+  * sum is exact; unit costs go through cents (`floor(x·100+0.5)` BIGINT) so
+  * all value sums are integer arithmetic, divided by 100 only at the end.
+  */
+object StockOps {
+
+  private val fifoOrd: Seq[Column] =
+    Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+
+  private def qtyL: Column = col("l_quantity").cast("long")
+
+  /** Unit cost in integer cents, half-up — same IEEE ops in DuckDB. */
+  private def ucCents: Column =
+    floor(col("l_extendedprice") / col("l_quantity") * 100 + 0.5).cast("long")
+
+  /** q78 — per-part remaining FIFO quantity and value (svl.py:54-57
+    * `_compute_rem_value`: remaining_qty · unit_cost, here against the
+    * part's total consumption). One window pass over layers + one grouped
+    * consumption total joined per key — no pair join needed. */
+  def q78(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ins0 = li.filter(col("l_linenumber") % 2 === 1)
+      .select((Seq(col("l_partkey").as("partkey"), qtyL.as("q"),
+        ucCents.as("ucc")) ++ fifoOrd): _*)
+    val ins = FifoValuation.cumInterval(ins0, col("partkey"), fifoOrd, col("q"))
+    val cons = li.filter(col("l_linenumber") % 2 === 0)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(qtyL).as("consumed"))
+    FifoValuation.remaining(ins, "partkey", cons, "consumed")
+      .groupBy("partkey")
+      .agg(sum("__rem").as("rem_qty"),
+        (sum(col("__rem") * col("ucc")).cast("double") / 100).as("rem_value"),
+        count(lit(1)).as("n_layers"))
+      .orderBy("partkey")
+  }
+
+  val q78Sql: String =
+    """WITH ins AS (
+      |  SELECT l_partkey k, CAST(l_quantity AS BIGINT) q,
+      |         CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT) ucc,
+      |         sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey
+      |           ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |           ROWS UNBOUNDED PRECEDING) ce
+      |  FROM lineitem WHERE l_linenumber % 2 = 1),
+      |cons AS (
+      |  SELECT l_partkey k, sum(CAST(l_quantity AS BIGINT)) c
+      |  FROM lineitem WHERE l_linenumber % 2 = 0 GROUP BY 1)
+      |SELECT i.k AS partkey,
+      |  CAST(sum(greatest(0, least(i.q, i.ce - coalesce(c.c, 0)))) AS BIGINT) AS rem_qty,
+      |  CAST(sum(greatest(0, least(i.q, i.ce - coalesce(c.c, 0))) * i.ucc) AS DOUBLE) / 100 AS rem_value,
+      |  count(*) AS n_layers
+      |FROM ins i LEFT JOIN cons c ON i.k = c.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q79 — FIFO cost allocation: every (out, in-layer) matched pair with
+    * its consumed quantity and FIFO cost (Odoo's sequential `remaining_qty`
+    * consumption, svl.py:34-120, as pure interval overlap). Spark side is
+    * the bucketized equi-join ([[FifoValuation.allocate]], width 64 ≥ the
+    * max layer size so each interval spans ≤ 2 buckets); the oracle is the
+    * naive inequality join DuckDB can afford at gate scale. */
+  def q79(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).filter(col("l_partkey") <= 500)
+    val lineId = col("l_orderkey") * 8 + col("l_linenumber")
+    def cum(parity: Int, idName: String, qName: String) = {
+      val side0 = li.filter(col("l_linenumber") % 2 === parity)
+        .select((Seq(col("l_partkey").as("partkey"), lineId.as(idName),
+          qtyL.as(qName)) ++ (if (parity == 1) Seq(ucCents.as("ucc")) else Nil)
+          ++ fifoOrd): _*)
+      FifoValuation.cumInterval(side0, col("partkey"), fifoOrd, col(qName))
+        .drop("l_shipdate", "l_orderkey", "l_linenumber")
+    }
+    val ins = cum(1, "in_id", "iq").drop("iq")
+    val outs = cum(0, "out_id", "oq").drop("oq")
+    FifoValuation.allocate(ins, outs, "partkey", bucketWidth = 64)
+      .select(col("partkey"), col("out_id"), col("in_id"),
+        col("__matched").as("matched"),
+        (col("__matched") * col("ucc")).cast("double")./(100).as("cost"))
+      .orderBy("partkey", "out_id", "in_id")
+  }
+
+  val q79Sql: String =
+    """WITH base AS (
+      |  SELECT l_partkey k, l_orderkey * 8 + l_linenumber lid,
+      |         CAST(l_quantity AS BIGINT) q,
+      |         CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT) ucc,
+      |         l_shipdate sd, l_orderkey ok, l_linenumber ln
+      |  FROM lineitem WHERE l_partkey <= 500),
+      |ins AS (
+      |  SELECT k, lid, q, ucc, sum(q) OVER (PARTITION BY k
+      |    ORDER BY sd, ok, ln ROWS UNBOUNDED PRECEDING) ce
+      |  FROM base WHERE ln % 2 = 1),
+      |outs AS (
+      |  SELECT k, lid, q, sum(q) OVER (PARTITION BY k
+      |    ORDER BY sd, ok, ln ROWS UNBOUNDED PRECEDING) oe
+      |  FROM base WHERE ln % 2 = 0)
+      |SELECT i.k AS partkey, o.lid AS out_id, i.lid AS in_id,
+      |  CAST(least(i.ce, o.oe) - greatest(i.ce - i.q, o.oe - o.q) AS BIGINT) AS matched,
+      |  CAST((least(i.ce, o.oe) - greatest(i.ce - i.q, o.oe - o.q)) * i.ucc
+      |       AS DOUBLE) / 100 AS cost
+      |FROM ins i JOIN outs o
+      |  ON i.k = o.k AND i.ce - i.q < o.oe AND o.oe - o.q < i.ce
+      |ORDER BY partkey, out_id, in_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_fifo_remaining" -> (q78 _), "q79_fifo_allocation" -> (q79 _))
+
+  def oracle: Map[String, String] = Map(
+    "q78_fifo_remaining" -> q78Sql, "q79_fifo_allocation" -> q79Sql)
+}

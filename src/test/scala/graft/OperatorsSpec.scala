@@ -95,6 +95,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(10L) == 10L && out(11L) == 10L)
   }
 
+  test("fifo valuation: allocation matches hand-walked FIFO, pairs exactly once") {
+    val s = spark; import s.implicits._
+    import graft.operators.FifoValuation
+    // key 7: layers 5@$1, 3@$2, 4@$3 (in that order); outs consume 6 then 4.
+    // Hand FIFO: out A(6) <- 5 from L1 + 1 from L2; out B(4) <- 2 from L2 +
+    // 2 from L3; remaining: L3 keeps 2.
+    val ins0 = Seq((7L, 1L, 5L, 100L), (7L, 2L, 3L, 200L), (7L, 3L, 4L, 300L))
+      .toDF("k", "in_id", "q", "ucc")
+    val outs0 = Seq((7L, 10L, 6L), (7L, 11L, 4L)).toDF("k", "out_id", "q")
+    val ins = FifoValuation.cumInterval(ins0, col("k"), Seq(col("in_id")), col("q"))
+    val outs = FifoValuation.cumInterval(outs0, col("k"), Seq(col("out_id")), col("q"))
+      .drop("ucc")
+    // bucketWidth 2 << interval lengths forces multi-bucket spans; the
+    // overlap-start rule must still emit each pair exactly once
+    val pairs = FifoValuation.allocate(ins.drop("q"), outs.drop("q"), "k", bucketWidth = 2)
+      .select($"out_id", $"in_id", $"__matched").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(pairs == Set((10L, 1L, 5L), (10L, 2L, 1L), (11L, 2L, 2L), (11L, 3L, 2L)))
+    // remaining: consumed=10 of 12 -> L3 keeps 2 => value 2*3.00
+    val rem = FifoValuation.remaining(ins, "k",
+      outs0.groupBy($"k").agg(sum($"q").as("consumed")), "consumed")
+      .select($"in_id", $"__rem").as[(Long, Long)].collect().toMap
+    assert(rem == Map(1L -> 0L, 2L -> 0L, 3L -> 2L))
+    // over-consumption clamps to zero everywhere
+    val over = FifoValuation.remaining(ins, "k",
+      Seq((7L, 99L)).toDF("k", "consumed"), "consumed")
+      .agg(sum($"__rem")).as[Long].head()
+    assert(over == 0L)
+    // a key with no outs at all keeps every layer (left join semantics)
+    val keep = FifoValuation.remaining(ins, "k",
+      Seq((8L, 5L)).toDF("k", "consumed"), "consumed")
+      .agg(sum($"__rem")).as[Long].head()
+    assert(keep == 12L)
+  }
+
   test("streaming hourly twin agrees with the batch hourly query") {
     val s = spark; import s.implicits._
     val sfDir = "/root/testdata/sf0.001"
