@@ -119,9 +119,53 @@ object StockOps {
       |  ON i.k = o.k AND i.ce - i.q < o.oe AND o.oe - o.q < i.ce
       |ORDER BY partkey, out_id, in_id""".stripMargin
 
+  /** q80 — lot/serial traceability ([[graft.operators.Traceability]],
+    * reference `stock.traceability.report` / `mrp.py:1089+`): downstream
+    * walk part → orders that shipped it → customers → nations, as BFS over
+    * a typed-node edge table (type·10⁹ + id keeps the id spaces disjoint).
+    * Depth = shortest hop count; the oracle's recursive CTE takes
+    * min(depth) over all paths — identical by BFS. */
+  def q80(s: SparkSession, d: String): DataFrame = {
+    val T = 1000000000L
+    val li = Tables.lineitem(s, d).filter(col("l_partkey") <= 20)
+    val e1 = li.select((col("l_partkey") + lit(T)).as("src"),
+      (col("l_orderkey") + lit(2 * T)).as("dst")).distinct()
+    val e2 = Tables.orders(s, d).select(
+      (col("o_orderkey") + lit(2 * T)).as("src"),
+      (col("o_custkey") + lit(3 * T)).as("dst"))
+    val e3 = Tables.customer(s, d).select(
+      (col("c_custkey") + lit(3 * T)).as("src"),
+      (col("c_nationkey") + lit(4 * T)).as("dst"))
+    val seeds = li.select((col("l_partkey") + lit(T)).as("id")).distinct()
+    graft.operators.Traceability
+      .reach(e1.unionByName(e2).unionByName(e3), seeds, maxHops = 5)
+      .orderBy("root", "node")
+  }
+
+  val q80Sql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT 1000000000 + l_partkey AS src,
+      |         2000000000 + l_orderkey AS dst
+      |  FROM lineitem WHERE l_partkey <= 20
+      |  UNION ALL
+      |  SELECT 2000000000 + o_orderkey, 3000000000 + o_custkey FROM orders
+      |  UNION ALL
+      |  SELECT 3000000000 + c_custkey, 4000000000 + c_nationkey FROM customer),
+      |seeds AS (SELECT DISTINCT 1000000000 + l_partkey AS id
+      |          FROM lineitem WHERE l_partkey <= 20),
+      |reach AS (
+      |  SELECT id AS root, id AS node, 0 AS depth FROM seeds
+      |  UNION
+      |  SELECT r.root, e.dst, r.depth + 1
+      |  FROM reach r JOIN edges e ON r.node = e.src WHERE r.depth < 5)
+      |SELECT root, node, CAST(min(depth) AS BIGINT) AS depth
+      |FROM reach GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q78_fifo_remaining" -> (q78 _), "q79_fifo_allocation" -> (q79 _))
+    "q78_fifo_remaining" -> (q78 _), "q79_fifo_allocation" -> (q79 _),
+    "q80_traceability" -> (q80 _))
 
   def oracle: Map[String, String] = Map(
-    "q78_fifo_remaining" -> q78Sql, "q79_fifo_allocation" -> q79Sql)
+    "q78_fifo_remaining" -> q78Sql, "q79_fifo_allocation" -> q79Sql,
+    "q80_traceability" -> q80Sql)
 }

@@ -130,6 +130,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keep == 12L)
   }
 
+  test("traceability: BFS shortest depth, cycle-safe, maxHops honored") {
+    val s = spark; import s.implicits._
+    import graft.operators.Traceability
+    // diamond 1->2->4, 1->3->4 (4 first reached at depth 2 via both), plus
+    // a cycle 4->1 back to the seed, and a long tail 4->5->6
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 1L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val out = Traceability.reach(edges, Seq(Tuple1(1L)).toDF("id"), maxHops = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (1L, 4L, 2L), (1L, 5L, 3L), (1L, 6L, 4L)))
+    // maxHops truncates the walk
+    val shallow = Traceability.reach(edges, Seq(Tuple1(1L)).toDF("id"), maxHops = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(shallow.map(_._2) == Set(1L, 2L, 3L, 4L))
+    // two seeds trace independently (per-root visited)
+    val two = Traceability.reach(edges,
+      Seq(Tuple1(1L), Tuple1(5L)).toDF("id"), maxHops = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(two.filter(_._1 == 5L) == Set((5L, 5L, 0L), (5L, 6L, 1L)))
+    assert(two.filter(_._1 == 1L).size == 6)
+  }
+
+  test("changelog apply: create/write/unlink algebra, zero-count keys drop") {
+    val s = spark; import s.implicits._
+    import graft.cdc.ChangelogApply
+    val base = Seq((1L, 100L, 2L), (2L, 50L, 1L), (3L, 10L, 1L))
+      .toDF("k", "total", "n")
+    val log = Seq(
+      (1L, "write", 40L, 55L),   // +15, n unchanged
+      (2L, "unlink", 50L, 0L),   // key 2 drops entirely
+      (3L, "create", 0L, 5L),    // +5, +1
+      (9L, "create", 0L, 77L))   // brand-new key
+      .toDF("k", "op", "old_value", "new_value")
+    val out = ChangelogApply.applySums(base, log, "k")
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, t, n) => k -> ((t, n)) }.toMap
+    assert(out == Map(1L -> ((115L, 2L)), 3L -> ((15L, 2L)), 9L -> ((77L, 1L))))
+  }
+
   test("streaming hourly twin agrees with the batch hourly query") {
     val s = spark; import s.implicits._
     val sfDir = "/root/testdata/sf0.001"
