@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vectorDotDescriptor)
     ext.injectFunction(GraftExtensions.topKDescriptor)
+    ext.injectFunction(GraftExtensions.portableHashDescriptor)
   }
 }
 
@@ -35,10 +36,19 @@ object GraftExtensions {
       TopKByScore(children(0), children(1), children(2))
     })
 
+  private val portableHashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("portable_hash"),
+    new ExpressionInfo(classOf[PortableHashExpr].getName, "portable_hash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "portable_hash takes exactly 1 argument")
+      PortableHashExpr(children.head)
+    })
+
   /** Imperative registration on an existing session. */
   def install(spark: SparkSession): Unit = {
-    Seq(vectorDotDescriptor, topKDescriptor).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    }
+    Seq(vectorDotDescriptor, topKDescriptor, portableHashDescriptor)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
   }
 }

@@ -167,24 +167,29 @@ object DedupOps {
     val sig = sh
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
-    // unpivot to (doc_id, k, m) for banding + the estimate join
-    val mh = sig.select(col("doc_id"),
-        explode(array((0 until K).map(k =>
-          struct(lit(k).as("k"), col(s"m$k").as("m"))): _*)).as("t"))
-      .select(col("doc_id"), col("t.k").as("k"), col("t.m").as("m"))
-      .cache() // feeds banding AND both sides of the estimate join
-    val bands = mh
-      .groupBy(col("doc_id"), floor(col("k") / 3).as("band"))
-      .agg(sum(col("m") * pow(lit(10.0), lit(5) * (lit(2) - col("k") % 3)).cast("long")).as("sig"))
+    // Keep the signature WIDE: band ids and the similarity estimate are
+    // row-local functions of the 12 minhashes, so banding explodes only 4
+    // (band, sig) rows per doc and the estimate join moves ONE array row
+    // per doc per side — no 12-way unpivot, no cache, no (doc, k) join.
+    val sigArr = sig.select(col("doc_id"),
+      array((0 until K).map(k => col(s"m$k")): _*).as("ms"))
+    val bands = sigArr.select(col("doc_id"),
+      explode(array((0 until K / 3).map(b => struct(lit(b).as("band"),
+        (element_at(col("ms"), 3 * b + 1) * lit(10000000000L) +
+          element_at(col("ms"), 3 * b + 2) * lit(100000L) +
+          element_at(col("ms"), 3 * b + 3)).as("sig"))): _*)).as("t"))
+      .select(col("doc_id"), col("t.band").as("band"), col("t.sig").as("sig"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
     cand
-      .join(mh.select(col("doc_id").as("d1"), col("k"), col("m").as("m1")), Seq("d1"))
-      .join(mh.select(col("doc_id").as("d2"), col("k"), col("m").as("m2")), Seq("d2", "k"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(round(avg(when(col("m1") === col("m2"), 1.0).otherwise(0.0)), 3).as("est_sim"))
+      .join(sigArr.select(col("doc_id").as("d1"), col("ms").as("ms1")), Seq("d1"))
+      .join(sigArr.select(col("doc_id").as("d2"), col("ms").as("ms2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(size(filter(zip_with(col("ms1"), col("ms2"), (a, b) =>
+          when(a === b, lit(1)).otherwise(lit(0))), x => x === 1))
+          .cast("double") / K, 3).as("est_sim"))
       .orderBy(col("d1"), col("d2"))
   }
 

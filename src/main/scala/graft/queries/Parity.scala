@@ -33,13 +33,13 @@ object Parity {
     * Spark folds with mod at each step; DuckDB sums then mods — identical
     * because modular addition is associative. ASCII fixture ⇒ `ascii` (Spark)
     * and `ord` (DuckDB) agree. Collisions (~n²/2³¹) hit BOTH engines
-    * identically, so parity is unaffected. */
-  def strHash(c: Column): Column =
-    aggregate(
-      sequence(lit(1), length(c)),
-      lit(0L),
-      (acc, i) => (acc + ascii(c.substr(i, lit(1))) *
-        ((lit(1103515245L) * i + lit(12345L)) % lit(HashM))) % lit(HashM))
+    * identically, so parity is unaffected.
+    *
+    * Evaluated by the native O(len) codegen kernel
+    * [[graft.functions.PortableHashExpr]] — the Column `aggregate`/`substr`
+    * formulation it replaces re-scanned the string per character (O(len²)),
+    * and this hash sits under every shingle of q33/q34/q40. */
+  def strHash(c: Column): Column = graft.functions.PortableHash.hash(c)
 
   /** DuckDB rendering of [[strHash]] for oracle SQL; `e` must be a simple
     * column reference. */

@@ -150,4 +150,43 @@ object EventsStream {
       .start()
     q.name
   }
+
+  /** Streaming twin of [[graft.cdc.ChangelogApply]]: maintain a
+    * materialized grouped aggregate from a STREAM of changelog rows
+    * (`op`, key, `old_value`, `new_value`). Each micro-batch folds its
+    * deltas into the last persisted snapshot and writes a new immutable
+    * version directory — the snapshot-versioned incremental
+    * materialization shape (a real deployment swaps the version-dir dance
+    * for Delta MERGE; the fold itself is identical). Deltas are abelian,
+    * so maintaining per batch equals one batch apply of the whole log. */
+  def maintainAggregate(changelog: DataFrame, keyCol: String,
+                        storeDir: String, checkpoint: String) = {
+    changelog.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val base = latestVersion(storeDir) match {
+          case Some(dir) => spark.read.parquet(dir)
+          case None => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              batch.schema(keyCol),
+              org.apache.spark.sql.types.StructField("total", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType))))
+        }
+        graft.cdc.ChangelogApply.applySums(base, batch, keyCol)
+          .write.mode("overwrite").parquet(f"$storeDir/v$batchId%09d")
+        ()
+      }
+      .start()
+  }
+
+  /** Latest snapshot directory written by [[maintainAggregate]], if any. */
+  def latestVersion(storeDir: String): Option[String] = {
+    val d = new java.io.File(storeDir)
+    Option(d.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .sortBy(_.getName).lastOption.map(_.getPath)
+  }
 }

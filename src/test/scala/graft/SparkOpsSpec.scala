@@ -47,6 +47,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.forall(h => h >= 0 && h < 2147483647L))
     // position sensitivity: a transposition changes the hash
     assert(model("ab") != model("ba"))
+    // non-ASCII falls back to char-at-i semantics (same as the model)
+    val uni = Seq("héllo wörld", "日本語テキスト", "mixed-αβγ-123")
+    val gotU = uni.toDF("s")
+      .select(col("s"), graft.queries.Parity.strHash(col("s")).as("h"))
+      .as[(String, Long)].collect().toMap
+    assert(uni.forall(x => gotU(x) == model(x)))
+    // registered for SQL users too
+    graft.functions.GraftExtensions.install(s)
+    assert(s.sql("SELECT portable_hash('ab') = portable_hash('ab'), " +
+      "portable_hash('ab') = portable_hash('ba')")
+      .as[(Boolean, Boolean)].head() == ((true, false)))
   }
 
   test("domain compiler filters like the reference's polish notation") {

@@ -149,6 +149,32 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("streaming changelog apply maintains the same aggregate as one batch apply") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_maintain").toFile
+    val store = new java.io.File(dir, "store").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val src = MemoryStream[(Long, String, Long, Long)]
+    val toLog = (df: org.apache.spark.sql.DataFrame) => df
+      .toDF("k", "op", "old_value", "new_value")
+    val q = EventsStream.maintainAggregate(toLog(src.toDF()), "k", store, ckpt)
+    val b1 = Seq((1L, "create", 0L, 10L), (2L, "create", 0L, 20L))
+    val b2 = Seq((1L, "write", 10L, 25L), (2L, "unlink", 20L, 0L),
+      (3L, "create", 0L, 5L))
+    src.addData(b1: _*); q.processAllAvailable()
+    src.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val maintained = s.read.parquet(EventsStream.latestVersion(store).get)
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = graft.cdc.ChangelogApply.applySums(
+      Seq.empty[(Long, Long, Long)].toDF("k", "total", "n"),
+      toLog((b1 ++ b2).toDF()), "k")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(maintained == oneShot)
+    assert(maintained == Set((1L, 25L, 1L), (3L, 5L, 1L)))
+  }
+
   test("multimodal: stub feature extraction is deterministic and batch-shaped") {
     val s = spark; import s.implicits._
     val media = Seq(
