@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine Lloyd's k-means — the trainer for the IVF coarse quantizer
+  * (the `SimilarityOps` IVF queries assign vectors to fixed cells; a real
+  * 100 TB ANN pipeline first TRAINS those cells on a sample, re-trains on
+  * drift, and re-buckets. Cf. the IVF literature referenced in PAPERS.md).
+  *
+  * Determinism contract (what makes this gate-able against DuckDB, and —
+  * the same property — makes training REPRODUCIBLE across cluster sizes):
+  *  - seeding is data-deterministic (the k smallest `vec_id`s), no RNG;
+  *  - assignment distance is a strict left-to-right IEEE fold, ties go to
+  *    the smaller centroid id;
+  *  - centroid updates sum the QUANTIZED coordinates (floor(x·10⁶ + 0.5))
+  *    in BIGINT — exact and order-free, where a float sum would depend on
+  *    partition/merge order — and divide once at the end.
+  *
+  * Scale: assignment is a broadcast of k tiny centroid rows against the
+  * vector table (map-side, no shuffle of the vectors); the update is one
+  * groupBy on (cid, dim) with map-side partial sums. Each round's centroid
+  * table is localCheckpoint-ed, so `iterations` rounds build flat plans. */
+object KMeansQuantizer {
+
+  private val Q = 1000000.0
+
+  private def d2(vec: Column, cen: Column): Column =
+    aggregate(zip_with(vec, cen, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** `vecs`: (`vec_id` long, `embedding` array<float>). Returns
+    * (assignment, centroids) after `iterations` Lloyd rounds:
+    * assignment = (vec_id, cid) under the FINAL centroids,
+    * centroids = (cid, cvec array<double>). Empty clusters drop out. */
+  def train(vecs: DataFrame, k: Int, iterations: Int): (DataFrame, DataFrame) = {
+    val v = vecs.select(col("vec_id"), col("embedding"))
+    var centroids = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cvec"))
+      .localCheckpoint(true)
+
+    def assign(c: DataFrame): DataFrame = v
+      .crossJoin(broadcast(c))
+      .select(col("vec_id"), col("embedding"),
+        struct(d2(col("embedding"), col("cvec")).as("d"), col("cid")).as("dc"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("embedding"), col("m.cid").as("cid"))
+
+    var it = 0
+    while (it < iterations) {
+      val upd = assign(centroids)
+        .select(col("cid"), posexplode(col("embedding")))
+        .select(col("cid"), col("pos"),
+          floor(col("col").cast("double") * Q + 0.5).cast("long").as("q"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          (col("sq").cast("double") / (col("n") * lit(Q))).as("mean"))
+      centroids = upd.groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("cvec"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    (assign(centroids).select(col("vec_id"), col("cid")), centroids)
+  }
+}

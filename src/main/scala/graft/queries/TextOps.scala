@@ -135,11 +135,55 @@ object TextOps {
       |  round(sum(len(string_split(text, ' ')))::DOUBLE / count(*), 2) AS avg_ws_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** q84 — TF-IDF top terms per document: tf per (doc, word), rational idf
+    * (N+1)/(df+1) (a monotone idf with NO transcendental — ln() differs in
+    * the last ulp across libms, so a log-based idf could not hash-match),
+    * top-3 terms per doc via the native bounded `top_k_by_score` aggregate
+    * (map-side combinable: the exchange carries ≤ 3 (score, term) pairs
+    * per doc). Terms are emitted as their portable hash, so an (astronomically
+    * unlikely) equal-score equal-hash tie yields identical OUTPUT rows
+    * regardless of which word ranked first. */
+  def q84(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfx = wc.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    wc.join(dfx, "w")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        (col("tf") * (col("n") + 1.0) / (col("df") + 1)).as("score"),
+        Parity.strHash(col("w")).as("th"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TopKByScore.topK(col("score"), col("th"), 3).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("term_hash"), col("col.score").as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q84Sql: String =
+    s"""WITH wc AS (
+      |  SELECT doc_id, w, count(*) tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |dfx AS (SELECT w, count(*) df FROM wc GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, ${Parity.strHashSql("w")} th,
+      |    tf * ((SELECT count(*) FROM documents) + 1.0) / (df + 1) score
+      |  FROM wc JOIN dfx USING (w)),
+      |rk AS (SELECT doc_id, th, score, row_number() OVER (
+      |         PARTITION BY doc_id ORDER BY score DESC, th) rn
+      |       FROM scored)
+      |SELECT doc_id, rn AS rank, th AS term_hash, score
+      |FROM rk WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_langid" -> (q37 _), "q38_quality_score" -> (q38 _),
-    "q39_token_count" -> (q39 _))
+    "q39_token_count" -> (q39 _), "q84_tfidf_topterms" -> (q84 _))
 
   val oracle: Map[String, String] = Map(
     "q37_langid" -> q37Sql, "q38_quality_score" -> q38Sql,
-    "q39_token_count" -> q39Sql)
+    "q39_token_count" -> q39Sql, "q84_tfidf_topterms" -> q84Sql)
 }

@@ -170,6 +170,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> ((115L, 2L)), 3L -> ((15L, 2L)), 9L -> ((77L, 1L))))
   }
 
+  test("kmeans quantizer: separated blobs recovered, deterministic, k bounded") {
+    val s = spark; import s.implicits._
+    import graft.operators.KMeansQuantizer
+    // two tight blobs far apart in 4-d; seeds 0 and 1 land one per blob
+    def v(base: Float, j: Int): Array[Float] =
+      Array(base + j * 0.01f, base, base, base)
+    val rows = (0 until 6).map(i => (i.toLong, v(if (i % 2 == 0) 0f else 10f, i)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val (assign, centroids) = KMeansQuantizer.train(vecs, k = 2, iterations = 2)
+    val a = assign.as[(Long, Long)].collect().toMap
+    assert(a.keySet == (0L until 6L).toSet)           // every vector assigned
+    assert(a.values.toSet.size == 2)                  // both cells survive
+    // blob membership: evens together, odds together
+    assert(Set(0L, 2L, 4L).map(a) != Set(1L, 3L, 5L).map(a))
+    assert(Set(0L, 2L, 4L).map(a).size == 1 && Set(1L, 3L, 5L).map(a).size == 1)
+    assert(centroids.count() == 2)
+    // rerun is bit-identical (the determinism contract)
+    val (_, centroids2) = KMeansQuantizer.train(vecs, k = 2, iterations = 2)
+    assert(centroids.as[(Long, Seq[Double])].collect().toMap ==
+      centroids2.as[(Long, Seq[Double])].collect().toMap)
+  }
+
   test("streaming hourly twin agrees with the batch hourly query") {
     val s = spark; import s.implicits._
     val sfDir = "/root/testdata/sf0.001"
