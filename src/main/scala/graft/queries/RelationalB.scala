@@ -415,9 +415,66 @@ object RelationalB {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** q86 — exact grouped percentiles (order statistics over the full
+    * group, the reference's ageing/ledger reports eyeball these
+    * distributions in XLS): median and p95 order value per nation. Spark's
+    * sort-based `percentile` interpolates with the same a+(b−a)·f IEEE
+    * arithmetic as DuckDB's `quantile_cont` — verified bit-equal. Scale:
+    * one shuffle on the group key; for heavy groups the approximate
+    * t-digest (`percentile_approx`) is the swap-in, traded out here only
+    * because approximate sketches cannot hash-match an oracle. */
+  def q86(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.95)).as("p95"),
+        max(col("o_totalprice")).as("pmax"))
+      .orderBy(col("n_name"))
+  }
+
+  val q86Sql: String =
+    """SELECT n_name, count(*) AS n_orders,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.95) AS p95,
+      |  max(o_totalprice) AS pmax
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q87 — unpivot/melt (the inverse of the register pivots A4/A5): wide
+    * per-part measures to long (attr, value) rows via `Dataset.unpivot`,
+    * then a per-attribute profile. DuckDB mirrors with UNPIVOT. */
+  def q87(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")), Array(col("retailprice"), col("size")),
+        "attr", "val")
+      .groupBy(col("attr"))
+      .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("total"),
+        min(col("val")).as("vmin"), max(col("val")).as("vmax"))
+      .orderBy(col("attr"))
+
+  val q87Sql: String =
+    """WITH wide AS (
+      |  SELECT p_partkey, p_retailprice AS retailprice,
+      |         CAST(p_size AS DOUBLE) AS size
+      |  FROM part),
+      |long AS (
+      |  UNPIVOT wide ON retailprice, size INTO NAME attr VALUE val)
+      |SELECT attr, count(*) AS n, round(sum(val), 2) AS total,
+      |  min(val) AS vmin, max(val) AS vmax
+      |FROM long GROUP BY attr ORDER BY attr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_asof_join" -> (q57 _), "q58_range_join" -> (q58 _),
     "q61_array_agg" -> (q61 _),
+    "q86_percentiles" -> (q86 _), "q87_unpivot" -> (q87 _),
     "q16_in_minus_out" -> (q16 _), "q17_multi_period" -> (q17 _),
     "q18_growth" -> (q18 _), "q19_rollup" -> (q19 _),
     "q20_running_balance" -> (q20 _), "q21_most_recent" -> (q21 _),
@@ -430,6 +487,7 @@ object RelationalB {
   val oracle: Map[String, String] = Map(
     "q57_asof_join" -> q57Sql, "q58_range_join" -> q58Sql,
     "q61_array_agg" -> q61Sql,
+    "q86_percentiles" -> q86Sql, "q87_unpivot" -> q87Sql,
     "q16_in_minus_out" -> q16Sql, "q17_multi_period" -> q17Sql,
     "q18_growth" -> q18Sql, "q19_rollup" -> q19Sql,
     "q20_running_balance" -> q20Sql, "q21_most_recent" -> q21Sql,
