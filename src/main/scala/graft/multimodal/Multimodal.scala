@@ -74,6 +74,26 @@ object Multimodal {
     }
   }
 
+  final case class PpmStats(media_id: Long, width: Long, height: Long,
+                            n_bytes: Long, mean_r: Double, mean_g: Double,
+                            mean_b: Double)
+
+  /** REAL decode path (no stub): parse each row's P6 payload with
+    * [[PpmCodec]] and emit dimension + exact channel-mean stats — the same
+    * mapPartitions batch shape as [[extractFeatures]], but running actual
+    * image parsing. Gate q88 replays the whole encode→decode→stats chain
+    * arithmetically in DuckDB. */
+  def ppmStats(media: Dataset[MediaRow]): Dataset[PpmStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val img = PpmCodec.decode(r.payload)
+      val (mr, mg, mb) = PpmCodec.channelMeans(img)
+      PpmStats(r.media_id, img.width.toLong, img.height.toLong,
+        r.payload.length.toLong, mr, mg, mb)
+    })
+  }
+
   /** Partition media by (kind, size-bucket) for balanced decode stages —
     * big payloads dominate decode time, so co-locating similar sizes avoids
     * stragglers at scale. */

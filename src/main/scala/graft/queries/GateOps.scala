@@ -459,13 +459,47 @@ object GateOps {
       |       count(*) n_events, CAST(max(us) - min(us) AS BIGINT) dur_us
       |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin
 
+  /** q88 — REAL multimodal decode, oracle-gated: deterministic P6 images
+    * are synthesized per document (LCG pixels, size keyed by doc_id),
+    * carried as binary payloads, and decoded by the actual
+    * [[graft.multimodal.PpmCodec]] parser inside the mapPartitions batch
+    * stage; the oracle recomputes dimensions, encoded byte counts, and
+    * exact channel means arithmetically — the whole encode→decode→stats
+    * chain must agree. */
+  def q88(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Multimodal, PpmCodec}
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val w = 4 + (id % 5).toInt
+      val h = 3 + (id % 4).toInt
+      val px = Array.tabulate(3 * w * h)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+      Multimodal.MediaRow(id, "image",
+        PpmCodec.encode(PpmCodec.PpmImage(w, h, px)),
+        Multimodal.MediaMeta("ppm", w, h, 0L))
+    }
+    Multimodal.ppmStats(media).toDF().orderBy("media_id")
+  }
+
+  val q88Sql: String =
+    """WITH m AS (SELECT doc_id, 4 + doc_id % 5 w, 3 + doc_id % 4 h FROM documents)
+      |SELECT doc_id AS media_id, w AS width, h AS height,
+      |  CAST(length('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10))
+      |       + 3 * w * h AS BIGINT) AS n_bytes,
+      |  CAST(list_sum(list_transform(range(w * h),
+      |    k -> (doc_id * 31 + (3 * k + 0) * 7) % 256)) AS DOUBLE) / (w * h) AS mean_r,
+      |  CAST(list_sum(list_transform(range(w * h),
+      |    k -> (doc_id * 31 + (3 * k + 1) * 7) % 256)) AS DOUBLE) / (w * h) AS mean_g,
+      |  CAST(list_sum(list_transform(range(w * h),
+      |    k -> (doc_id * 31 + (3 * k + 2) * 7) % 256)) AS DOUBLE) / (w * h) AS mean_b
+      |FROM m ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_external_carryover" -> (q65 _), "q66_line_tree_render" -> (q66 _),
     "q67_csv_ingest" -> (q67 _), "q68_branch_security" -> (q68 _),
     "q69_multimodal_meta" -> (q69 _), "q70_like_domain" -> (q70 _),
     "q71_report_spec" -> (q71 _), "q72_cross_report" -> (q72 _),
     "q73_prefix_regroup" -> (q73 _), "q74_journal_report" -> (q74 _),
-    "q75_sessionize" -> (q75 _))
+    "q75_sessionize" -> (q75 _), "q88_ppm_decode" -> (q88 _))
 
   val oracle: Map[String, String] = Map(
     "q65_external_carryover" -> q65Sql, "q66_line_tree_render" -> q66Sql,
@@ -473,5 +507,5 @@ object GateOps {
     "q69_multimodal_meta" -> q69Sql, "q70_like_domain" -> q70Sql,
     "q71_report_spec" -> q71Sql, "q72_cross_report" -> q72Sql,
     "q73_prefix_regroup" -> q73Sql, "q74_journal_report" -> q74Sql,
-    "q75_sessionize" -> q75Sql)
+    "q75_sessionize" -> q75Sql, "q88_ppm_decode" -> q88Sql)
 }

@@ -175,6 +175,33 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maintained == Set((1L, 25L, 1L), (3L, 5L, 1L)))
   }
 
+  test("ppm codec: encode/decode roundtrip, means, comments, nearest resize") {
+    import graft.multimodal.PpmCodec
+    import PpmCodec.PpmImage
+    val rnd = new scala.util.Random(7)
+    // roundtrip on random images incl. 1x1 and multi-digit dimensions
+    for ((w, h) <- Seq((1, 1), (3, 2), (12, 10), (101, 7))) {
+      val px = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val back = PpmCodec.decode(PpmCodec.encode(PpmImage(w, h, px)))
+      assert(back.width == w && back.height == h)
+      assert(back.pixels.toSeq == px.toSeq)
+    }
+    // channel means: hand check on a 2x1 image (r 10/20, g 30/40, b 50/60)
+    val img = PpmImage(2, 1, Array[Byte](10, 30, 50, 20, 40, 60))
+    assert(PpmCodec.channelMeans(img) == ((15.0, 35.0, 55.0)))
+    // netpbm comment lines in the header are skipped
+    val withComment = ("P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
+      ++ img.pixels)
+    assert(PpmCodec.decode(withComment).pixels.toSeq == img.pixels.toSeq)
+    // nearest-neighbor 2x upscale duplicates pixels; downscale to 1x1
+    // picks the top-left source pixel
+    val up = PpmCodec.resizeNearest(img, 4, 2)
+    assert(up.width == 4 && up.height == 2)
+    assert(up.pixels(0) == 10 && up.pixels(3) == 10 && up.pixels(6) == 20)
+    val down = PpmCodec.resizeNearest(img, 1, 1)
+    assert(down.pixels.toSeq == Seq[Byte](10, 30, 50))
+  }
+
   test("multimodal: stub feature extraction is deterministic and batch-shaped") {
     val s = spark; import s.implicits._
     val media = Seq(
