@@ -94,6 +94,21 @@ object Multimodal {
     })
   }
 
+  final case class WavStats(media_id: Long, n_samples: Long, dur_ms: Long,
+                            peak: Long, mean_sq: Double)
+
+  /** REAL audio decode path: parse RIFF/WAV PCM payloads with
+    * [[WavCodec]] and emit exact amplitude stats (gate q89). */
+  def wavStats(media: Dataset[MediaRow]): Dataset[WavStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val a = WavCodec.decode(r.payload)
+      val (n, dur, peak, meanSq) = WavCodec.stats(a)
+      WavStats(r.media_id, n, dur, peak, meanSq)
+    })
+  }
+
   /** Partition media by (kind, size-bucket) for balanced decode stages —
     * big payloads dominate decode time, so co-locating similar sizes avoids
     * stragglers at scale. */

@@ -493,7 +493,38 @@ object GateOps {
       |    k -> (doc_id * 31 + (3 * k + 2) * 7) % 256)) AS DOUBLE) / (w * h) AS mean_b
       |FROM m ORDER BY media_id""".stripMargin
 
+  /** q89 — REAL audio decode, oracle-gated (the WAV twin of q88):
+    * deterministic mono PCM-16 clips synthesized per document, decoded by
+    * [[graft.multimodal.WavCodec]]'s actual RIFF parser; the oracle
+    * recomputes sample counts, floor-divided duration, peak amplitude and
+    * exact mean-square energy. */
+  def q89(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Multimodal, WavCodec}
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val n = 50 + (id % 32).toInt
+      val samples = Array.tabulate(n)(i =>
+        (((id * 131 + i.toLong * 17) % 2001) - 1000).toShort)
+      Multimodal.MediaRow(id, "audio",
+        WavCodec.encode(WavCodec.WavAudio(8000, samples)),
+        Multimodal.MediaMeta("wav", 0, 0, n.toLong * 1000 / 8000))
+    }
+    Multimodal.wavStats(media).toDF().orderBy("media_id")
+  }
+
+  val q89Sql: String =
+    """WITH m AS (SELECT doc_id, 50 + doc_id % 32 n FROM documents)
+      |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(n * 1000 // 8000 AS BIGINT) AS dur_ms,
+      |  CAST(list_max(list_transform(range(n),
+      |    i -> abs((doc_id * 131 + i * 17) % 2001 - 1000))) AS BIGINT) AS peak,
+      |  CAST(list_sum(list_transform(range(n),
+      |    i -> ((doc_id * 131 + i * 17) % 2001 - 1000)
+      |       * ((doc_id * 131 + i * 17) % 2001 - 1000))) AS DOUBLE) / n AS mean_sq
+      |FROM m ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_wav_decode" -> (q89 _),
     "q65_external_carryover" -> (q65 _), "q66_line_tree_render" -> (q66 _),
     "q67_csv_ingest" -> (q67 _), "q68_branch_security" -> (q68 _),
     "q69_multimodal_meta" -> (q69 _), "q70_like_domain" -> (q70 _),
@@ -507,5 +538,6 @@ object GateOps {
     "q69_multimodal_meta" -> q69Sql, "q70_like_domain" -> q70Sql,
     "q71_report_spec" -> q71Sql, "q72_cross_report" -> q72Sql,
     "q73_prefix_regroup" -> q73Sql, "q74_journal_report" -> q74Sql,
-    "q75_sessionize" -> q75Sql, "q88_ppm_decode" -> q88Sql)
+    "q75_sessionize" -> q75Sql, "q88_ppm_decode" -> q88Sql,
+    "q89_wav_decode" -> q89Sql)
 }

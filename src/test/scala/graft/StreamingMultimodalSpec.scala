@@ -202,6 +202,33 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(down.pixels.toSeq == Seq[Byte](10, 30, 50))
   }
 
+  test("wav codec: encode/decode roundtrip, chunk skipping, exact stats") {
+    import graft.multimodal.WavCodec
+    import WavCodec.WavAudio
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 1, 7, 500)) {
+      val xs = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val back = WavCodec.decode(WavCodec.encode(WavAudio(8000, xs)))
+      assert(back.sampleRate == 8000 && back.samples.toSeq == xs.toSeq)
+    }
+    // stats hand check: samples 3, -4 -> n=2, peak=4, meanSq=(9+16)/2
+    val (n, dur, peak, meanSq) =
+      WavCodec.stats(WavAudio(1000, Array[Short](3, -4)))
+    assert((n, dur, peak, meanSq) == ((2L, 2L, 4L, 12.5)))
+    // an unknown chunk between fmt and data is skipped
+    val enc = WavCodec.encode(WavAudio(8000, Array[Short](5)))
+    val bb = java.nio.ByteBuffer.allocate(enc.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(enc, 0, 36)                        // RIFF..fmt chunk
+      .put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0) // stray chunk
+      .put(enc, 36, enc.length - 36)          // data chunk
+    val withStray = bb.array()
+    // fix RIFF size field (bytes 4..7) for the inserted 12 bytes
+    java.nio.ByteBuffer.wrap(withStray).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withStray.length - 8)
+    assert(WavCodec.decode(withStray).samples.toSeq == Seq[Short](5))
+  }
+
   test("multimodal: stub feature extraction is deterministic and batch-shaped") {
     val s = spark; import s.implicits._
     val media = Seq(
