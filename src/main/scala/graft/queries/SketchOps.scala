@@ -134,11 +134,37 @@ object SketchOps {
       |FROM documents
       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  /** q91 — fixed-width histogram of document lengths per language
+    * (`width_bucket`, identical binning semantics in both engines): the
+    * length-distribution profile a curation pipeline inspects before
+    * picking quality cut-offs. One map-side bucket assignment + one
+    * grouped count — the 100 TB histogram plan. */
+  def q91(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        width_bucket(col("n_chars").cast("double"), lit(0.0), lit(2000.0), lit(10))
+          .as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("bucket"))
+
+  /** DuckDB has no width_bucket; the oracle spells out the same binning
+    * ((2000−0)/10 = width 200.0 exactly, so the division is identical). */
+  val q91Sql: String =
+    """SELECT lang,
+      |  CASE WHEN n_chars < 0 THEN 0
+      |       WHEN n_chars >= 2000 THEN 11
+      |       ELSE CAST(floor(CAST(n_chars AS DOUBLE) / 200.0) AS BIGINT) + 1
+      |  END AS bucket,
+      |  count(*) AS n_docs
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cdc_apply" -> (q81 _), "q82_kmv_distinct" -> (q82 _),
-    "q83_stratified_split" -> (q83 _))
+    "q83_stratified_split" -> (q83 _), "q91_histogram" -> (q91 _))
 
   def oracle: Map[String, String] = Map(
     "q81_cdc_apply" -> q81Sql, "q82_kmv_distinct" -> q82Sql,
-    "q83_stratified_split" -> q83Sql)
+    "q83_stratified_split" -> q83Sql, "q91_histogram" -> q91Sql)
 }
