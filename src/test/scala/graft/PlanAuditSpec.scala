@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties that make these queries
+  * survive 100 TB are PLAN properties (broadcasts, pushdown, no nested
+  * loops), invisible to result-correctness gates — a refactor could keep
+  * every oracle green while silently degrading q3 to a shuffle join or
+  * q58 to a BNLJ. These specs pin the executed plan text at sf0.001. */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(q: String): String =
+    Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("star join broadcasts its dimensions, never shuffles them") {
+    val p = plan("q3_star_join")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("scans are pruned and filters pushed (percentile query reads 2 cols)") {
+    val p = plan("q86_percentiles")
+    assert(p.contains("PushedFilters"))
+    assert(!p.contains("o_orderdate"), "order scan must prune unused columns")
+    assert(!p.contains("c_name"), "customer scan must prune unused columns")
+  }
+
+  test("range join is a bucketized equi join, not a nested loop") {
+    assert(!plan("q58_range_join").contains("NestedLoop"))
+  }
+
+  test("as-of join is union+window, no nested loop or cartesian fact join") {
+    val p = plan("q57_asof_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("fifo allocation joins on (key, bucket), not an inequality loop") {
+    assert(!plan("q79_fifo_allocation").contains("NestedLoop"))
+  }
+
+  test("minhash pipeline has no partition-less window (the r1 scale-killer)") {
+    // a global Window.orderBy sorts the corpus on ONE partition; its plan
+    // signature is a windowspecdefinition whose spec starts with the
+    // order column list only. All windows here must carry a partition.
+    val p = plan("q33_minhash_lsh")
+    assert(!p.contains("Window ["), // q33 must not window at all anymore
+      "q33 reintroduced a window operator")
+  }
+
+  test("multi-period column groups run in ONE fact scan") {
+    val p = plan("q17_multi_period")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      "q17 must evaluate all period groups from a single lineitem scan")
+  }
+}
