@@ -37,4 +37,50 @@ object PartitionedSink {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Layout-optimized write: sort rows WITHIN each output file by
+    * `sortCols` before writing. Parquet records per-row-group min/max
+    * stats, so a sorted layout turns point/range predicates on the sort
+    * key into row-group skips at read time — the poor man's clustering
+    * (Delta OPTIMIZE ZORDER's 1-column case). A repartition on the sort
+    * key first makes the GLOBAL range per file tight, not just locally
+    * ordered. */
+  def writeSorted(df: DataFrame, path: String, files: Int,
+                  sortCols: String*): Unit =
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
+  final case class CompactStats(filesBefore: Int, filesAfter: Int, rows: Long)
+
+  /** Small-files compaction — the maintenance job every streaming/CDC sink
+    * needs (each micro-batch appends a few files; a year of 1-minute
+    * batches is half a million files whose open/footer cost dwarfs the
+    * data). Rewrites `dir` into ceil(bytes/targetBytes) files with an
+    * atomic directory swap; readers see the old or the new layout, never a
+    * mix. Row content is untouched. */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): CompactStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    def parquetFiles(d: java.io.File): Array[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val root = new java.io.File(dir)
+    val before = parquetFiles(root)
+    val totalBytes = before.map(_.length).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val tmp = new java.io.File(root.getParentFile, root.getName + ".compact-tmp")
+    df.repartition(n).write.mode("overwrite").parquet(tmp.getPath)
+    val bak = new java.io.File(root.getParentFile, root.getName + ".compact-bak")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(bak)
+    require(root.renameTo(bak) && tmp.renameTo(root),
+      s"atomic swap failed for $dir")
+    rm(bak)
+    CompactStats(before.length, parquetFiles(root).length, rows)
+  }
 }

@@ -108,6 +108,42 @@ class SourcesHandlersSpec extends AnyFunSuite with BeforeAndAfterAll {
       && html.contains("<caption>x&lt;y</caption>"))
   }
 
+  test("compaction: fewer files, identical rows, atomic layout swap") {
+    val s = spark; import s.implicits._
+    import graft.sinks.PartitionedSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toFile
+    val data = (1 to 500).map(i => (i.toLong, s"row_$i"))
+    data.toDF("id", "v").repartition(25).write.mode("overwrite")
+      .parquet(dir.getPath)
+    val st = PartitionedSink.compact(s, dir.getPath, targetBytes = 64L << 20)
+    assert(st.filesBefore == 25 && st.filesAfter == 1 && st.rows == 500)
+    val back = s.read.parquet(dir.getPath).as[(Long, String)].collect().toSet
+    assert(back == data.toSet)
+    // no leftover tmp/bak directories from the swap
+    assert(Option(dir.getParentFile.listFiles()).get
+      .forall(f => !f.getName.contains(".compact-")))
+  }
+
+  test("sorted write: files carry disjoint key ranges, rows sorted within") {
+    val s = spark; import s.implicits._
+    import graft.sinks.PartitionedSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toFile
+    val rnd = new scala.util.Random(5)
+    val data = (1 to 1000).map(_ => rnd.nextInt(100000).toLong)
+    PartitionedSink.writeSorted(data.map(Tuple1(_)).toDF("k"),
+      dir.getPath, files = 4, "k")
+    val files = Option(dir.listFiles()).get
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 4)
+    val perFile = files.map(f => s.read.parquet(f.getPath).as[Long].collect().toSeq)
+    perFile.foreach(xs => assert(xs == xs.sorted, "rows sorted within file"))
+    val ranges = perFile.map(xs => (xs.min, xs.max)).sortBy(_._1).toSeq
+    ranges.sliding(2).foreach { w =>
+      if (w.size == 2) assert(w(0)._2 <= w(1)._1, "file ranges disjoint")
+    }
+    assert(perFile.map(_.size).sum == 1000)
+  }
+
   test("general ledger handler: initial/period/closing in one pass") {
     val s = spark; import s.implicits._
     val j = Seq(
