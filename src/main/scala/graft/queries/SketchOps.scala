@@ -160,11 +160,81 @@ object SketchOps {
       |FROM documents
       |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  /** q92 — row-level MERGE ([[graft.operators.Upsert]], the reference's
+    * re-upload data-repair shape): every 10th customer updated, the next
+    * tenth tombstoned, another tenth re-inserted under new keys; merged in
+    * ONE full-outer join. Oracle mirrors the join. */
+  def q92(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val mod = base.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100)
+      .withColumn("__del", lit(false))
+    val dels = base.filter(col("c_custkey") % 10 === 1)
+      .withColumn("__del", lit(true))
+    val ins = base.filter(col("c_custkey") % 10 === 2)
+      .withColumn("c_custkey", col("c_custkey") + 1000000)
+      .withColumn("__del", lit(false))
+    graft.operators.Upsert.merge(base,
+        mod.unionByName(dels).unionByName(ins), "c_custkey", "__del")
+      .orderBy("c_custkey")
+  }
+
+  val q92Sql: String =
+    """WITH upd AS (
+      |  SELECT c_custkey k, c_name nm, c_acctbal + 100 bal, false del
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal, true
+      |  FROM customer WHERE c_custkey % 10 = 1
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_acctbal, false
+      |  FROM customer WHERE c_custkey % 10 = 2)
+      |SELECT coalesce(u.k, b.c_custkey) AS c_custkey,
+      |  CASE WHEN u.k IS NOT NULL THEN u.nm ELSE b.c_name END AS c_name,
+      |  CASE WHEN u.k IS NOT NULL THEN u.bal ELSE b.c_acctbal END AS c_acctbal
+      |FROM customer b FULL OUTER JOIN upd u ON u.k = b.c_custkey
+      |WHERE NOT coalesce(u.del, false)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q93 — SCD type-2 history build: the auditlog-style change stream
+    * becomes a validity-interval dimension (valid_from/valid_to via
+    * lead(), version via row_number — one window pass per key). Open
+    * intervals close at the sentinel so the oracle's NULL handling can't
+    * drift. */
+  def q93(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_cents"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("valid_to", coalesce(
+        date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss"),
+        lit("9999-12-31 00:00:00")))
+      .select(col("user_id"), col("version"), col("valid_from"),
+        col("valid_to"), col("value_cents"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q93Sql: String =
+    """SELECT user_id, CAST(row_number() OVER w AS BIGINT) AS version,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |  coalesce(strftime(lead(ts, 1) OVER w, '%Y-%m-%d %H:%M:%S'),
+      |           '9999-12-31 00:00:00') AS valid_to,
+      |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cdc_apply" -> (q81 _), "q82_kmv_distinct" -> (q82 _),
-    "q83_stratified_split" -> (q83 _), "q91_histogram" -> (q91 _))
+    "q83_stratified_split" -> (q83 _), "q91_histogram" -> (q91 _),
+    "q92_merge_upsert" -> (q92 _), "q93_scd2_history" -> (q93 _))
 
   def oracle: Map[String, String] = Map(
     "q81_cdc_apply" -> q81Sql, "q82_kmv_distinct" -> q82Sql,
-    "q83_stratified_split" -> q83Sql, "q91_histogram" -> q91Sql)
+    "q83_stratified_split" -> q83Sql, "q91_histogram" -> q91Sql,
+    "q92_merge_upsert" -> q92Sql, "q93_scd2_history" -> q93Sql)
 }

@@ -170,6 +170,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Map(1L -> ((115L, 2L)), 3L -> ((15L, 2L)), 9L -> ((77L, 1L))))
   }
 
+  test("upsert merge: update, insert, tombstone, and no-op tombstone for a missing key") {
+    val s = spark; import s.implicits._
+    import graft.operators.Upsert
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq(
+      (2L, "B", false),   // update
+      (4L, "d", false),   // insert
+      (3L, "x", true),    // delete
+      (9L, "x", true))    // tombstone for a key not in base: no-op
+      .toDF("k", "v", "__del")
+    val out = Upsert.merge(base, updates, "k", "__del")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 4L -> "d"))
+  }
+
   test("kmeans quantizer: separated blobs recovered, deterministic, k bounded") {
     val s = spark; import s.implicits._
     import graft.operators.KMeansQuantizer
