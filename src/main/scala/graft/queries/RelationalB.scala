@@ -471,10 +471,49 @@ object RelationalB {
       |  min(val) AS vmin, max(val) AS vmax
       |FROM long GROUP BY attr ORDER BY attr""".stripMargin
 
+  /** q94 — analytic distribution apply (the reference's
+    * `analytic_distribution` JSONB map {analytic_account: percentage},
+    * account_analytic_report.py:53,130-131,177): each line's amount is
+    * split across analytic accounts by percentage. Spark side does the
+    * real thing — build the JSON, parse it as map<string,double>, explode
+    * the map, weight the amount; one Generate + one grouped sum, all
+    * map-side until the final aggregate. The oracle applies the same
+    * distribution via a VALUES lookup join (DuckDB's JSON table functions
+    * don't compose in a CTE as cleanly, and the semantics are identical). */
+  def q94(s: SparkSession, d: String): DataFrame = {
+    val distJson = when(col("l_linenumber") % 3 === 0, "{\"A\": 100}")
+      .when(col("l_linenumber") % 3 === 1, "{\"A\": 40, \"B\": 60}")
+      .otherwise("{\"A\": 25, \"B\": 25, \"C\": 50}")
+    Tables.lineitem(s, d)
+      .withColumn("dist", from_json(distJson,
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.DoubleType)))
+      .select(col("l_extendedprice"), explode(col("dist")).as(Seq("acct", "pct")))
+      .groupBy(col("acct"))
+      .agg(count(lit(1)).as("n_lines"),
+        // share in integer cents (extprice·pct = cents of extprice·pct/100)
+        // so the sum is exact regardless of row order, divided once
+        (sum(floor(col("l_extendedprice") * col("pct") + 0.5).cast("long"))
+          .cast("double") / 100).as("total_share"))
+      .orderBy(col("acct"))
+  }
+
+  val q94Sql: String =
+    """WITH dist(b, acct, pct) AS (VALUES
+      |  (0, 'A', 100.0), (1, 'A', 40.0), (1, 'B', 60.0),
+      |  (2, 'A', 25.0), (2, 'B', 25.0), (2, 'C', 50.0))
+      |SELECT d.acct, count(*) AS n_lines,
+      |  CAST(sum(CAST(floor(l_extendedprice * d.pct + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 100 AS total_share
+      |FROM lineitem l JOIN dist d ON d.b = l.l_linenumber % 3
+      |GROUP BY 1 ORDER BY acct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_asof_join" -> (q57 _), "q58_range_join" -> (q58 _),
     "q61_array_agg" -> (q61 _),
     "q86_percentiles" -> (q86 _), "q87_unpivot" -> (q87 _),
+    "q94_analytic_distribution" -> (q94 _),
     "q16_in_minus_out" -> (q16 _), "q17_multi_period" -> (q17 _),
     "q18_growth" -> (q18 _), "q19_rollup" -> (q19 _),
     "q20_running_balance" -> (q20 _), "q21_most_recent" -> (q21 _),
@@ -488,6 +527,7 @@ object RelationalB {
     "q57_asof_join" -> q57Sql, "q58_range_join" -> q58Sql,
     "q61_array_agg" -> q61Sql,
     "q86_percentiles" -> q86Sql, "q87_unpivot" -> q87Sql,
+    "q94_analytic_distribution" -> q94Sql,
     "q16_in_minus_out" -> q16Sql, "q17_multi_period" -> q17Sql,
     "q18_growth" -> q18Sql, "q19_rollup" -> q19Sql,
     "q20_running_balance" -> q20Sql, "q21_most_recent" -> q21Sql,
