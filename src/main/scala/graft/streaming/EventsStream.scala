@@ -133,6 +133,28 @@ object EventsStream {
       .select(col("user_id"), col("click_id"), col("click_value"), col("p_value"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER join: like [[clickToPurchase]],
+    * but a click with NO purchase inside its hour still emits (with null
+    * purchase value) once the purchase-side watermark passes the end of
+    * its join window — the state store can then prove no match can ever
+    * arrive. The attribution shape that also reports unconverted clicks. */
+  def clickToPurchaseOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("click_ts") &&
+          col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("click_value"), col("p_value"))
+  }
+
   /** Wire a parquet-directory stream end-to-end (readStream → transform →
     * writeStream); returns the started query name. Used for manual driving,
     * not by the gate. */

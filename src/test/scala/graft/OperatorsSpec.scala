@@ -207,6 +207,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       centroids2.as[(Long, Seq[Double])].collect().toMap)
   }
 
+  test("operators degrade cleanly on empty inputs") {
+    val s = spark; import s.implicits._
+    import graft.operators._
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DupClusters.connectedComponents(noEdges).count() == 0)
+    assert(Traceability.reach(
+      Seq.empty[(Long, Long)].toDF("src", "dst"),
+      Seq(Tuple1(5L)).toDF("id"), 3).count() == 1) // seed still labeled
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.queries.DedupOps.jaccardPairs(noDocs, 0.5).count() == 0)
+    val emptyCum = FifoValuation.cumInterval(
+      Seq.empty[(Long, Long, Long)].toDF("k", "seq", "q"),
+      col("k"), Seq(col("seq")), col("q"))
+    assert(FifoValuation.allocate(emptyCum, emptyCum, "k", 64).count() == 0)
+    assert(graft.cdc.ChangelogApply.applySums(
+      Seq.empty[(Long, Long, Long)].toDF("k", "total", "n"),
+      Seq.empty[(Long, String, Long, Long)].toDF("k", "op", "old_value", "new_value"),
+      "k").count() == 0)
+    val (a, c) = KMeansQuantizer.train(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), 4, 2)
+    assert(a.count() == 0 && c.count() == 0)
+  }
+
   test("streaming hourly twin agrees with the batch hourly query") {
     val s = spark; import s.implicits._
     val sfDir = "/root/testdata/sf0.001"

@@ -96,6 +96,29 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set((7L, 1L, 9.0)))
   }
 
+  test("outer stream-stream join emits unmatched clicks after the watermark") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val src = MemoryStream[Event]
+    val q = EventsStream.clickToPurchaseOuter(src.toDF())
+      .writeStream.format("memory").queryName("outer_attr").outputMode("append").start()
+    // user 7 converts; user 8 clicks and never purchases
+    src.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(1), 8, "click", 2.0),
+      Event(3, ts(30), 7, "purchase", 9.0))
+    q.processAllAvailable()
+    // advance both watermarks far past click+1h+10min so user 8's state expires
+    src.addData(Event(4, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "click", 0.0),
+      Event(5, Timestamp.valueOf("2024-01-01 13:00:00"), 9, "purchase", 0.0))
+    q.processAllAvailable()
+    src.addData(Event(6, Timestamp.valueOf("2024-01-01 14:00:00"), 9, "click", 0.0))
+    q.processAllAvailable()
+    val rows = s.sql("SELECT user_id, click_id, p_value FROM outer_attr")
+      .as[(Long, Long, Option[Double])].collect()
+    q.stop()
+    assert(rows.contains((7L, 1L, Some(9.0))))
+    assert(rows.contains((8L, 2L, None)), s"unmatched click must emit: ${rows.toSeq}")
+  }
+
   test("sessionize closes a session after the event-time gap passes the watermark") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
