@@ -509,11 +509,39 @@ object RelationalB {
       |FROM lineitem l JOIN dist d ON d.b = l.l_linenumber % 3
       |GROUP BY 1 ORDER BY acct""".stripMargin
 
+  /** q95 — forward fill (gap filling, W-family): carry each user's last
+    * purchase amount forward across their event timeline
+    * (`last(ignoreNulls)` over an unbounded-preceding frame — one window
+    * pass per key, the canonical sparse→dense repair before feature
+    * extraction). Cents so the carried value is exact; sentinel −1 for
+    * "nothing yet" so null formatting cannot drift. */
+  def q95(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("pv", when(col("event_type") === "purchase",
+        floor(col("value") * 100 + 0.5).cast("long")))
+      .withColumn("last_purchase_cents",
+        coalesce(last(col("pv"), ignoreNulls = true).over(w), lit(-1L)))
+      .select(col("user_id"), col("event_id"), col("last_purchase_cents"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val q95Sql: String =
+    """SELECT user_id, event_id,
+      |  coalesce(last_value(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS UNBOUNDED PRECEDING), -1) AS last_purchase_cents
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_asof_join" -> (q57 _), "q58_range_join" -> (q58 _),
     "q61_array_agg" -> (q61 _),
     "q86_percentiles" -> (q86 _), "q87_unpivot" -> (q87 _),
-    "q94_analytic_distribution" -> (q94 _),
+    "q94_analytic_distribution" -> (q94 _), "q95_forward_fill" -> (q95 _),
     "q16_in_minus_out" -> (q16 _), "q17_multi_period" -> (q17 _),
     "q18_growth" -> (q18 _), "q19_rollup" -> (q19 _),
     "q20_running_balance" -> (q20 _), "q21_most_recent" -> (q21 _),
@@ -527,7 +555,7 @@ object RelationalB {
     "q57_asof_join" -> q57Sql, "q58_range_join" -> q58Sql,
     "q61_array_agg" -> q61Sql,
     "q86_percentiles" -> q86Sql, "q87_unpivot" -> q87Sql,
-    "q94_analytic_distribution" -> q94Sql,
+    "q94_analytic_distribution" -> q94Sql, "q95_forward_fill" -> q95Sql,
     "q16_in_minus_out" -> q16Sql, "q17_multi_period" -> q17Sql,
     "q18_growth" -> q18Sql, "q19_rollup" -> q19Sql,
     "q20_running_balance" -> q20Sql, "q21_most_recent" -> q21Sql,
