@@ -475,21 +475,30 @@ object RelationalB {
     * `analytic_distribution` JSONB map {analytic_account: percentage},
     * account_analytic_report.py:53,130-131,177): each line's amount is
     * split across analytic accounts by percentage. Spark side does the
-    * real thing — build the JSON, parse it as map<string,double>, explode
-    * the map, weight the amount; one Generate + one grouped sum, all
-    * map-side until the final aggregate. The oracle applies the same
+    * real thing — parse the JSON as map<string,double>, explode, weight
+    * the amount — with the parse on the DISTINCT-distribution dictionary
+    * side of a broadcast join (see body). The oracle applies the same
     * distribution via a VALUES lookup join (DuckDB's JSON table functions
     * don't compose in a CTE as cleanly, and the semantics are identical). */
   def q94(s: SparkSession, d: String): DataFrame = {
-    val distJson = when(col("l_linenumber") % 3 === 0, "{\"A\": 100}")
-      .when(col("l_linenumber") % 3 === 1, "{\"A\": 40, \"B\": 60}")
-      .otherwise("{\"A\": 25, \"B\": 25, \"C\": 50}")
-    Tables.lineitem(s, d)
-      .withColumn("dist", from_json(distJson,
+    import s.implicits._
+    // Dictionary parse: distributions repeat across lines, so each DISTINCT
+    // JSON is parsed once on a 3-row broadcast side and joined back —
+    // 600k rows cost 3 JSON parses, not 600k (the plan that holds when the
+    // fact table is 10^12 rows and the distinct distributions are 10^4).
+    val dict = Seq(
+      0 -> "{\"A\": 100}",
+      1 -> "{\"A\": 40, \"B\": 60}",
+      2 -> "{\"A\": 25, \"B\": 25, \"C\": 50}")
+      .toDF("b", "dist_json")
+      .withColumn("dist", from_json(col("dist_json"),
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.DoubleType)))
-      .select(col("l_extendedprice"), explode(col("dist")).as(Seq("acct", "pct")))
+      .select(col("b"), explode(col("dist")).as(Seq("acct", "pct")))
+    Tables.lineitem(s, d)
+      .select(col("l_extendedprice"), (col("l_linenumber") % 3).as("b"))
+      .join(broadcast(dict), Seq("b"))
       .groupBy(col("acct"))
       .agg(count(lit(1)).as("n_lines"),
         // share in integer cents (extprice·pct = cents of extprice·pct/100)

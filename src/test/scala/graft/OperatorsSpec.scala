@@ -130,6 +130,48 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keep == 12L)
   }
 
+  test("fifo allocation conserves quantity against the closed form (randomized)") {
+    val s = spark; import s.implicits._
+    import graft.operators.FifoValuation
+    val rnd = new scala.util.Random(42)
+    val ins0 = for {
+      k <- Seq(1L, 2L, 3L); i <- 0 until rnd.nextInt(6)
+    } yield (k, k * 100 + i, 1L + rnd.nextInt(9))
+    val outs0 = for {
+      k <- Seq(1L, 2L, 3L); i <- 0 until rnd.nextInt(6)
+    } yield (k, k * 1000 + i, 1L + rnd.nextInt(9))
+    val ins = FifoValuation.cumInterval(
+      ins0.toDF("k", "id", "q"), col("k"), Seq(col("id")), col("q"))
+      .withColumnRenamed("id", "in_id").drop("q")
+    val outs = FifoValuation.cumInterval(
+      outs0.toDF("k", "id", "q"), col("k"), Seq(col("id")), col("q"))
+      .withColumnRenamed("id", "out_id").drop("q")
+    val pairs = FifoValuation.allocate(ins, outs, "k", bucketWidth = 4)
+      .select($"k", $"out_id", $"in_id", $"__matched")
+      .as[(Long, Long, Long, Long)].collect()
+    // each (out, layer) pair appears at most once
+    assert(pairs.map(p => (p._2, p._3)).distinct.length == pairs.length)
+    val totalIn = ins0.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val totalOut = outs0.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // per out: allocation == overlap of its interval with [0, total_in)
+    def cums(xs: Seq[(Long, Long, Long)]) = xs.groupBy(_._1).flatMap {
+      case (k, rows) =>
+        var c = 0L
+        rows.sortBy(_._2).map { r => val s0 = c; c += r._3; (r._2, (k, s0, c)) }
+    }
+    for ((oid, (k, os, oe)) <- cums(outs0)) {
+      val got = pairs.filter(_._2 == oid).map(_._4).sum
+      assert(got == math.max(0L, math.min(oe, totalIn.getOrElse(k, 0L)) - os),
+        s"out $oid")
+    }
+    // per layer: consumption == overlap of its interval with [0, total_out)
+    for ((iid, (k, cs, ce)) <- cums(ins0)) {
+      val got = pairs.filter(_._3 == iid).map(_._4).sum
+      assert(got == math.max(0L, math.min(ce, totalOut.getOrElse(k, 0L)) - cs),
+        s"in $iid")
+    }
+  }
+
   test("traceability: BFS shortest depth, cycle-safe, maxHops honored") {
     val s = spark; import s.implicits._
     import graft.operators.Traceability
