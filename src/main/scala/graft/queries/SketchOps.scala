@@ -228,13 +228,47 @@ object SketchOps {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** q96 — cohort retention: users grouped by first-seen week, activity
+    * counted per subsequent week offset — the engagement matrix behind
+    * every dashboard's retention chart. Two aggregations (first-seen per
+    * user = one map-side-combinable min; then distinct active users per
+    * (cohort, offset)); the 100 TB plan shuffles only (user) then
+    * (cohort, offset). */
+  def q96(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    ev.join(first, "user_id")
+      .select(date_format(date_sub(col("first_day"),
+          ((dayofweek(col("first_day")) + 5) % 7)), "yyyy-MM-dd").as("cohort"),
+        floor(datediff(col("day"), col("first_day")) / 7).cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  val q96Sql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) dt FROM events),
+      |f AS (SELECT user_id, min(dt) first_day FROM ev GROUP BY 1)
+      |-- DuckDB dayofweek is 0=Sunday..6 (Spark is 1=Sunday..7): +6 here
+      |-- aligns to the same Monday as Spark's +5
+      |SELECT strftime(first_day - CAST(((dayofweek(first_day) + 6) % 7) AS INTEGER),
+      |         '%Y-%m-%d') AS cohort,
+      |  CAST(floor((dt - first_day) / 7.0) AS BIGINT) AS week_offset,
+      |  count(DISTINCT ev.user_id) AS active_users
+      |FROM ev JOIN f ON ev.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cdc_apply" -> (q81 _), "q82_kmv_distinct" -> (q82 _),
     "q83_stratified_split" -> (q83 _), "q91_histogram" -> (q91 _),
-    "q92_merge_upsert" -> (q92 _), "q93_scd2_history" -> (q93 _))
+    "q92_merge_upsert" -> (q92 _), "q93_scd2_history" -> (q93 _),
+    "q96_cohort_retention" -> (q96 _))
 
   def oracle: Map[String, String] = Map(
     "q81_cdc_apply" -> q81Sql, "q82_kmv_distinct" -> q82Sql,
     "q83_stratified_split" -> q83Sql, "q91_histogram" -> q91Sql,
-    "q92_merge_upsert" -> q92Sql, "q93_scd2_history" -> q93Sql)
+    "q92_merge_upsert" -> q92Sql, "q93_scd2_history" -> q93Sql,
+    "q96_cohort_retention" -> q96Sql)
 }
