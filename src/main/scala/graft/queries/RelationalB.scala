@@ -546,11 +546,88 @@ object RelationalB {
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** q97 — CUBE (completes the grouping-sets family next to q19's rollup
+    * and q51's drill-down chain): all four (returnflag × linestatus)
+    * grouping combinations in one pass, with GROUPING markers
+    * distinguishing real NULLs from subtotal rows. */
+  def q97(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("g_rf"), col("g_ls"), col("sum_qty"), col("n"))
+      .orderBy("rf", "ls", "g_rf", "g_ls")
+
+  val q97Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls, g_rf, g_ls""".stripMargin
+
+  /** q98 — INTERSECT / EXCEPT (§2.8 completeness; the reference uses only
+    * UNION/semi/anti, but an engine swap needs the full set-op family):
+    * customers with orders in BOTH years vs only the first, via
+    * `intersect`/`except` on the key projections. */
+  def q98(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def buyers(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    val both = buyers(1995).intersect(buyers(1996))
+      .withColumn("kind", lit("both"))
+    val only95 = buyers(1995).except(buyers(1996))
+      .withColumn("kind", lit("only_1995"))
+    both.unionByName(only95)
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("kind"))
+  }
+
+  val q98Sql: String =
+    """WITH b95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      |b96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      |both_y AS (SELECT o_custkey FROM b95 INTERSECT SELECT o_custkey FROM b96),
+      |only95 AS (SELECT o_custkey FROM b95 EXCEPT SELECT o_custkey FROM b96)
+      |SELECT 'both' AS kind, count(*) AS n_customers FROM both_y
+      |UNION ALL
+      |SELECT 'only_1995', count(*) FROM only95
+      |ORDER BY kind""".stripMargin
+
+  /** q99 — edit-distance fuzzy matching (the search-bar / partner-matching
+    * family beyond q28's substring search): nations whose names are within
+    * Levenshtein distance 2 of each other — both engines implement the
+    * classic integer DP, so parity is exact. */
+  def q99(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d).select(col("n_name"))
+    n.as("a").crossJoin(n.as("b"))
+      .filter(col("a.n_name") < col("b.n_name"))
+      .select(col("a.n_name").as("name_a"), col("b.n_name").as("name_b"),
+        levenshtein(col("a.n_name"), col("b.n_name")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy("name_a", "name_b")
+  }
+
+  val q99Sql: String =
+    """SELECT a.n_name AS name_a, b.n_name AS name_b,
+      |  CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+      |FROM nation a JOIN nation b ON a.n_name < b.n_name
+      |WHERE levenshtein(a.n_name, b.n_name) <= 2
+      |ORDER BY name_a, name_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_asof_join" -> (q57 _), "q58_range_join" -> (q58 _),
     "q61_array_agg" -> (q61 _),
     "q86_percentiles" -> (q86 _), "q87_unpivot" -> (q87 _),
     "q94_analytic_distribution" -> (q94 _), "q95_forward_fill" -> (q95 _),
+    "q97_cube" -> (q97 _), "q98_intersect_except" -> (q98 _),
+    "q99_edit_distance" -> (q99 _),
     "q16_in_minus_out" -> (q16 _), "q17_multi_period" -> (q17 _),
     "q18_growth" -> (q18 _), "q19_rollup" -> (q19 _),
     "q20_running_balance" -> (q20 _), "q21_most_recent" -> (q21 _),
@@ -565,6 +642,8 @@ object RelationalB {
     "q61_array_agg" -> q61Sql,
     "q86_percentiles" -> q86Sql, "q87_unpivot" -> q87Sql,
     "q94_analytic_distribution" -> q94Sql, "q95_forward_fill" -> q95Sql,
+    "q97_cube" -> q97Sql, "q98_intersect_except" -> q98Sql,
+    "q99_edit_distance" -> q99Sql,
     "q16_in_minus_out" -> q16Sql, "q17_multi_period" -> q17Sql,
     "q18_growth" -> q18Sql, "q19_rollup" -> q19Sql,
     "q20_running_balance" -> q20Sql, "q21_most_recent" -> q21Sql,
