@@ -44,6 +44,25 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(distinctSalts > 1)
   }
 
+  test("bloom runtime filter: no false negatives, real pruning, null-safe") {
+    val s = spark; import s.implicits._
+    import graft.engine.RuntimeFilter
+    val fact = ((1L to 1000L).map(k => (k, s"f$k")) :+ (0L, "null-key"))
+      .toDF("k", "payload")
+      .withColumn("k", when(col("payload") === "null-key", lit(null)).otherwise(col("k")))
+    val dim = (1L to 1000L by 17L).map(k => (k, s"d$k")).toDF("dk", "dv")
+    val pruned = RuntimeFilter.bloomPrune(fact, "k", dim, "dk",
+      expectedItems = 100, fpp = 0.03)
+    val exact = fact.join(dim, col("k") === col("dk"))
+      .as[(Long, String, Long, String)].collect().toSet
+    val viaPruned = pruned.join(dim, col("k") === col("dk"))
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(viaPruned == exact, "pruning must not lose matching rows")
+    val n = pruned.count()
+    assert(n >= dim.count() && n < 1001,
+      s"expected real pruning with few false positives, kept $n of 1001")
+  }
+
   test("partitioned sink: day partitions land and retention drops old ones") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_sink").toFile.getPath + "/log"

@@ -252,6 +252,35 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(WavCodec.decode(withStray).samples.toSeq == Seq[Short](5))
   }
 
+  test("keyed state runs on the RocksDB state store provider (cluster parity)") {
+    // the scale claim "state lives in RocksDB on a real cluster" is only
+    // credible if the same query actually runs against that provider
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[Event]
+      val q = EventsStream.userTotals(src.toDS())
+        .writeStream.format("memory").queryName("rocks_totals")
+        .outputMode("update").start()
+      src.addData(Event(1, ts(0), 7, "click", 1.25))
+      q.processAllAvailable()
+      src.addData(Event(2, ts(5), 7, "purchase", 2.50))
+      q.processAllAvailable()
+      val out = s.sql("SELECT * FROM rocks_totals").as[SessionOut].collect()
+        .filter(_.user_id == 7L).maxBy(_.n_events)
+      q.stop()
+      assert(out == SessionOut(7L, 2L, 3.75, "purchase"))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("multimodal: stub feature extraction is deterministic and batch-shaped") {
     val s = spark; import s.implicits._
     val media = Seq(
