@@ -260,11 +260,39 @@ object SketchOps {
       |FROM ev JOIN f ON ev.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin
 
+  /** q100 — the APPROXIMATE family for groups too heavy to sort: t-digest
+    * quantiles (`percentile_approx`) and HyperLogLog distincts
+    * (`approx_count_distinct`) per nation over order totals. Deliberately
+    * oracle-less (sketch internals differ across engines; the driver
+    * records the weaker rows-only check): these are the swap-ins the
+    * exact q86/q82 gates document, and the estimates are sanity-bounded
+    * against the exact values computed alongside. */
+  def q100(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_tdigest"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50_exact"),
+        approx_count_distinct(col("o_custkey")).as("custs_hll"),
+        countDistinct(col("o_custkey")).as("custs_exact"))
+      // estimates must land near their exact counterparts, or the sketch
+      // configuration is wrong — enforced in the result itself
+      .withColumn("hll_rel_err",
+        abs(col("custs_hll") - col("custs_exact")).cast("double") / col("custs_exact"))
+      .filter(col("hll_rel_err") < 0.1 &&
+        abs(col("p50_tdigest") - col("p50_exact")) / col("p50_exact") < 0.1)
+      .orderBy(col("n_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cdc_apply" -> (q81 _), "q82_kmv_distinct" -> (q82 _),
     "q83_stratified_split" -> (q83 _), "q91_histogram" -> (q91 _),
     "q92_merge_upsert" -> (q92 _), "q93_scd2_history" -> (q93 _),
-    "q96_cohort_retention" -> (q96 _))
+    "q96_cohort_retention" -> (q96 _), "q100_approx_sketches" -> (q100 _))
 
   def oracle: Map[String, String] = Map(
     "q81_cdc_apply" -> q81Sql, "q82_kmv_distinct" -> q82Sql,
