@@ -107,11 +107,15 @@ object DedupOps {
     val sh0 = shingleHashes(docs)
     val cap = docs.agg(greatest(lit(MinDfCap.toLong),
       floor(count(lit(1)) / lit(DfCapDivisor)).cast("long")).as("cap"))
-    val sh = sh0
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+    // df via an aggregate (map-side-combinable narrow shuffle of (s, cnt)
+    // partials) + an equi-join back, instead of a count window over s —
+    // same rows kept, same per-shingle memory profile (no posting-list
+    // materialization), minus the window's sort (measured ~15% off the
+    // whole pair pipeline at sf0.1; see graft.Profile)
+    val keep = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(cap))
-      .filter(col("df") <= col("cap")).drop("df", "cap")
-      .cache()
+      .filter(col("df") <= col("cap")).select(col("s"))
+    val sh = sh0.join(keep, Seq("s")).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
