@@ -14,7 +14,9 @@ object Upsert {
 
   /** Merge `updates` into `base` on `keyCol`. Rows in `updates` with
     * `deleteCol` true are tombstones: the key disappears. Column sets must
-    * match. */
+    * match. Contract (same as Delta MERGE): at most ONE update row per key
+    * — a batch with duplicate keys must be pre-deduplicated (e.g. keep the
+    * latest by version), otherwise the join fans out. */
   def merge(base: DataFrame, updates: DataFrame, keyCol: String,
             deleteCol: String): DataFrame = {
     val dataCols = base.columns.filter(_ != keyCol).toSeq
