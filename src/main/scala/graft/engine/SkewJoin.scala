@@ -20,9 +20,21 @@ object SkewJoin {
   /** Left-side salt: round-robin on the row's position id, NOT a hash of
     * the row's columns — identical duplicate rows of a hot key (precisely
     * the skew case) must spread across salts, and a content hash would land
-    * them all on ONE salt. Any salt assignment yields identical join output
-    * (the right side carries every salt), so a task-retry recompute of the
-    * position id is harmless. */
+    * them all on ONE salt. No deterministic function of row CONTENT can
+    * spread exact duplicates, so positional nondeterminism is inherent to
+    * the operator, with two consequences callers must know:
+    *
+    *  - Optimizer: `monotonically_increasing_id` is flagged
+    *    nondeterministic, so Catalyst will not push predicates or reorder
+    *    joins THROUGH the salted projection. [[saltedInnerJoin]] bounds the
+    *    barrier to the join itself (salt added immediately before, dropped
+    *    immediately after), but filters on the fact side must be applied
+    *    BEFORE calling — they will not migrate below the salt on their own.
+    *  - Retries: a recomputed task may assign different salts than the
+    *    first attempt. The join output multiset is salt-invariant (the
+    *    right side carries every salt value), so results are unaffected;
+    *    only per-task row placement is unstable, which can matter when
+    *    diffing per-partition debug dumps across attempts. */
   def saltExpr(salts: Int): Column =
     pmod(monotonically_increasing_id(), lit(salts.toLong))
 

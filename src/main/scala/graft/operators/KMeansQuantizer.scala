@@ -35,7 +35,10 @@ object KMeansQuantizer {
     * centroids = (cid, cvec array<double>). Empty clusters drop out. */
   def train(vecs: DataFrame, k: Int, iterations: Int): (DataFrame, DataFrame) = {
     val v = vecs.select(col("vec_id"), col("embedding"))
-    var centroids = v.filter(col("vec_id") < k)
+    // Seed from the k smallest vec_ids actually present (TakeOrdered, k is
+    // tiny) — unlike `vec_id < k` this yields exactly min(k, |v|) seeds for
+    // sparse or non-0-based id spaces.
+    var centroids = v.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"),
         transform(col("embedding"), _.cast("double")).as("cvec"))
       .localCheckpoint(true)

@@ -56,9 +56,11 @@ object PartitionedSink {
   /** Small-files compaction — the maintenance job every streaming/CDC sink
     * needs (each micro-batch appends a few files; a year of 1-minute
     * batches is half a million files whose open/footer cost dwarfs the
-    * data). Rewrites `dir` into ceil(bytes/targetBytes) files with an
-    * atomic directory swap; readers see the old or the new layout, never a
-    * mix. Row content is untouched. */
+    * data). Rewrites `dir` into ceil(bytes/targetBytes) files with a
+    * best-effort local-FS directory swap (two renames; a failure between
+    * them restores the original from the backup). This contract is local-FS
+    * only — on HDFS/S3 pair the rewrite with a commit protocol or a table
+    * format's atomic swap instead. Row content is untouched. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): CompactStats = {
     require(targetBytes > 0, "targetBytes must be positive")
     def parquetFiles(d: java.io.File): Array[java.io.File] =
@@ -78,8 +80,16 @@ object PartitionedSink {
       f.delete(): Unit
     }
     rm(bak)
-    require(root.renameTo(bak) && tmp.renameTo(root),
-      s"atomic swap failed for $dir")
+    // Best-effort local-FS swap (two renames, not atomic as a pair): if the
+    // second rename fails, restore the original directory from the backup so
+    // `dir` is never left without data. On HDFS/S3 use a committer instead.
+    require(root.renameTo(bak), s"compact: could not move $dir aside")
+    if (!tmp.renameTo(root)) {
+      val restored = bak.renameTo(root)
+      throw new IllegalStateException(
+        s"compact: swap-in failed for $dir" +
+          (if (restored) " (original restored)" else s" (original left at $bak)"))
+    }
     rm(bak)
     CompactStats(before.length, parquetFiles(root).length, rows)
   }

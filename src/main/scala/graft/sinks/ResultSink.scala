@@ -35,13 +35,20 @@ object ResultSink {
   def writeXlsx(df: DataFrame, path: String, sheetName: String = "Report"): Unit = {
     val header = df.columns.toSeq
     val rows = df.collect().toSeq.map(_.toSeq)
+    // NaN/Infinity are not valid numeric <v> payloads — route them through
+    // the inline-string branch instead of corrupting the sheet.
     val isNum: Any => Boolean = {
-      case _: Double | _: Float | _: Int | _: Long | _: Short | _: Byte |
+      case d: Double => !d.isNaN && !d.isInfinite
+      case f: Float => !f.isNaN && !f.isInfinite
+      case _: Int | _: Long | _: Short | _: Byte |
            _: java.math.BigDecimal => true
       case _ => false
     }
+    // Quote/apostrophe must be escaped too: esc() is also used inside the
+    // name="..." attribute of the sheet element.
     def esc(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
     def cellRef(r: Int, c: Int): String = {
       // column index -> A1-style letters
       var n = c + 1; val sb = new StringBuilder

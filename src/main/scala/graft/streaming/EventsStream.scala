@@ -180,7 +180,13 @@ object EventsStream {
     * version directory — the snapshot-versioned incremental
     * materialization shape (a real deployment swaps the version-dir dance
     * for Delta MERGE; the fold itself is identical). Deltas are abelian,
-    * so maintaining per batch equals one batch apply of the whole log. */
+    * so maintaining per batch equals one batch apply of the whole log.
+    *
+    * Replay-safe under foreachBatch's at-least-once contract: the base is
+    * the newest version with id STRICTLY BELOW the current batchId, so a
+    * batch re-delivered after a crash (snapshot written, checkpoint commit
+    * lost) folds onto the same pre-batch base and idempotently overwrites
+    * its own v{batchId} output instead of double-counting it. */
   def maintainAggregate(changelog: DataFrame, keyCol: String,
                         storeDir: String, checkpoint: String) = {
     changelog.writeStream
@@ -188,7 +194,7 @@ object EventsStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val base = latestVersion(storeDir) match {
+        val base = latestVersionBefore(storeDir, batchId) match {
           case Some(dir) => spark.read.parquet(dir)
           case None => spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -205,10 +211,16 @@ object EventsStream {
   }
 
   /** Latest snapshot directory written by [[maintainAggregate]], if any. */
-  def latestVersion(storeDir: String): Option[String] = {
+  def latestVersion(storeDir: String): Option[String] =
+    latestVersionBefore(storeDir, Long.MaxValue)
+
+  /** Newest snapshot directory whose batch id is strictly below `bound` —
+    * the replay-safe base for folding batch `bound`'s deltas. */
+  def latestVersionBefore(storeDir: String, bound: Long): Option[String] = {
     val d = new java.io.File(storeDir)
     Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        f.getName.drop(1).forall(_.isDigit) && f.getName.drop(1).toLong < bound)
       .sortBy(_.getName).lastOption.map(_.getPath)
   }
 }

@@ -196,6 +196,16 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, Long)].collect().toSet
     assert(maintained == oneShot)
     assert(maintained == Set((1L, 25L, 1L), (3L, 5L, 1L)))
+    // Replay safety: a re-delivered batch folds onto the base STRICTLY
+    // BELOW its own id, so re-applying batch 1's deltas onto that base
+    // reproduces v1 exactly (idempotent overwrite, no double-count).
+    val baseBefore1 = s.read.parquet(
+      EventsStream.latestVersionBefore(store, 1L).get)
+    assert(EventsStream.latestVersionBefore(store, 1L).get.endsWith("v000000000"))
+    val replayed = graft.cdc.ChangelogApply.applySums(
+        baseBefore1, toLog(b2.toDF()), "k")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replayed == maintained)
   }
 
   test("ppm codec: encode/decode roundtrip, means, comments, nearest resize") {
