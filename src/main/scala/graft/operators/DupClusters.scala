@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Near-duplicate clustering: the step AFTER pair detection (MinHash /
   * Jaccard / SimHash emit pairs; dedup needs the transitive CLUSTERS so
   * one survivor per group can be kept). Connected components via
-  * iterative min-label propagation — the standard large-graph formulation
-  * (converges in O(component diameter) rounds, each round one shuffle).
+  * iterative min-label propagation with a pointer-jump shortcut —
+  * propagate the min label one edge-hop, then follow the freshly-assigned
+  * label one more hop through the PREVIOUS round's labels. The shortcut
+  * roughly halves surviving label-chain length each round, so long chains
+  * converge in ~O(log diameter) rounds instead of O(diameter).
   *
-  * Scale: no driver-side graph; per-round lineage is truncated with
-  * localCheckpoint so 100-round graphs don't build 100-deep plans. The
-  * driver only sees one `count` per round (the convergence check). */
+  * Scale: no driver-side graph; each round materializes ONCE
+  * (localCheckpoint) and the convergence check is a cheap scan of the
+  * materialized round, so per-round cost is exactly the two joins + one
+  * aggregation — nothing recomputes. */
 object DupClusters {
 
   /** `edges`: undirected pairs in columns (`a`, `b`). Returns
@@ -25,15 +29,25 @@ object DupClusters {
       .withColumn("cluster", col("id")).localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
+      // hop 1: min label across direct neighbors
       val nbrMin = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid")).agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
+      val prop = labels.join(nbrMin, col("id") === col("nid"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("next_cluster"),
-          col("cluster"))
-      changed = next.filter(col("next_cluster") < col("cluster")).count()
-      labels = next.select(col("id"), col("next_cluster").as("cluster"))
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("c1"),
+          col("cluster").as("c0"))
+      // hop 2 (pointer jump): the label is itself a node id, so look up ITS
+      // label from the already-materialized previous round — labels only
+      // shrink within the reachable set, so least() stays a reachable min.
+      val next = prop.join(
+          labels.select(col("id").as("pid"), col("cluster").as("pc")),
+          col("c1") === col("pid"), "left")
+        .select(col("id"),
+          least(col("c1"), coalesce(col("pc"), col("c1"))).as("cluster"),
+          col("c0").as("prev"))
         .localCheckpoint(true)
+      changed = next.filter(col("cluster") < col("prev")).count()
+      labels = next.select(col("id"), col("cluster"))
     }
     sym.unpersist()
     labels

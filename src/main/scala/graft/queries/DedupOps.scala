@@ -26,21 +26,42 @@ object DedupOps {
     * that need distinct sets dedup AFTER hashing so the dedup shuffle
     * carries 8-byte keys, not shingle strings. */
   private def shingles3Raw(docs: DataFrame): DataFrame = {
-    val ws = split(col("text"), " ")
+    // Bind the split result to an attribute BEFORE the shingle lambda:
+    // referencing `split(text)` directly inside the transform() lambda
+    // inlines the split expression per element (no CSE across a HOF
+    // boundary), re-tokenizing the document once per shingle — O(words²)
+    // per doc. With the array projected first, the lambda is three O(1)
+    // element_at lookups.
     docs
-      .filter(size(ws) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .filter(size(col("__w")) >= 3)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(ws) - lit(3)),
+        explode(transform(sequence(lit(0), size(col("__w")) - lit(3)),
           i => concat_ws(" ",
-            element_at(ws, i + lit(1)),
-            element_at(ws, i + lit(2)),
-            element_at(ws, i + lit(3))))).as("s"))
+            element_at(col("__w"), i + lit(1)),
+            element_at(col("__w"), i + lit(2)),
+            element_at(col("__w"), i + lit(3))))).as("s"))
   }
 
-  /** Distinct 8-byte shingle hashes per doc (the Jaccard index unit). */
+  /** Distinct 8-byte shingle hashes per doc (the Jaccard index unit).
+    * Hashes each word ONCE, then combines 3 word-hashes per shingle —
+    * O(words) string hashing per doc instead of O(words × shingle_len)
+    * concat+hash, and zero shingle-string allocation. The hash values
+    * never surface (only pair counts do), so any injective-enough combine
+    * is parity-safe; xxhash64 over the 3 longs keeps positional order
+    * significant. */
   private def shingleHashes(docs: DataFrame): DataFrame =
-    shingles3Raw(docs)
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .filter(size(col("__w")) >= 3)
+      .select(col("doc_id"),
+        transform(col("__w"), w => xxhash64(w)).as("__h"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("__h")) - lit(3)),
+          i => xxhash64(
+            element_at(col("__h"), i + lit(1)),
+            element_at(col("__h"), i + lit(2)),
+            element_at(col("__h"), i + lit(3))))).as("s"))
       .distinct()
 
   private val shingles3Sql =
