@@ -13,15 +13,16 @@ import org.apache.spark.sql.functions._
   * tree, i.e. the print_mode/unfold_all rendering).
   *
   * Emission rule (provable from the reference's flow): prefix P of length L
-  * is a group line iff count(items under P's parent prefix) >= threshold —
-  * and since per-prefix counts are monotone non-increasing in prefix
-  * length, the parent's own emission follows automatically.
-  *
-  * Scale posture: one groupBy per level, level L scoped to the previous
-  * level's over-threshold groups via a broadcast semi-join (frontier is at
-  * most N/threshold prefixes — display-threshold semantics keep it tiny).
-  * The loop is bounded by the longest name and builds ONE lazy plan — no
-  * per-level driver actions, no collect of item rows. */
+  * is a group line iff count(items under P's parent prefix) >= threshold.
+  * Per-prefix counts are monotone non-increasing in prefix length, so if
+  * the immediate parent is over threshold the whole ancestor chain is —
+  * the immediate-parent check alone decides emission. That collapses the
+  * reference's recursion into ONE declarative plan: explode every prefix
+  * level of every name, aggregate (prefix, level) counts in a single
+  * shuffle, and semi-join each prefix against its over-threshold parent.
+  * No driver loop, no per-level jobs — at any scale this is two shuffles
+  * (the level-explode aggregation and the parent check) regardless of tree
+  * depth, where an iterative frontier walk pays a job per level. */
 object PrefixRegroup {
 
   /** `items` must have a string name column and a numeric value column.
@@ -33,47 +34,37 @@ object PrefixRegroup {
                       threshold: Int): DataFrame = {
     require(threshold > 0, "threshold must be positive")
     val it = items.select(lower(col(nameCol)).as("nm"), col(valueCol).as("v"))
-      .cache()
-    val spark = items.sparkSession
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("lvl", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n_lines", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("total", org.apache.spark.sql.types.DoubleType))))
-    val head = it.agg(max(length(col("nm"))).as("ml"), count(lit(1)).as("n")).head()
-    if (head.isNullAt(0) || head.getLong(1) < threshold) return empty
-    val maxLen = head.getInt(0)
 
-    // Each level is localCheckpoint-ed (materialized once, lineage cut):
-    // level L's scope depends on level L-1's frontier, so a fully lazy
-    // plan would re-execute the whole ancestry per level — O(depth²)
-    // shuffles. Checkpointing makes it O(depth) small jobs, and lets the
-    // loop stop as soon as the frontier drains (groups all below
-    // threshold) instead of running to the longest name.
-    var acc: DataFrame = null
-    var frontier: DataFrame = null // null = root sibling set (all items)
-    var lvl = 1
-    var exhausted = false
-    while (lvl <= maxLen && !exhausted) {
-      val scoped =
-        if (frontier == null) it
-        else it.join(broadcast(frontier),
-          substring(col("nm"), 1, lvl - 1) === col("p_prev")).drop("p_prev")
-      val grp = scoped.filter(length(col("nm")) >= lvl)
-        .groupBy(substring(col("nm"), 1, lvl).as("p"))
-        .agg(count(lit(1)).as("n_lines"), sum(col("v")).as("total"))
-        .withColumn("lvl", lit(lvl.toLong))
-        .select("p", "lvl", "n_lines", "total")
-        .localCheckpoint()
-      acc = if (acc == null) grp else acc.unionByName(grp)
-      frontier = grp.filter(col("n_lines") >= threshold)
-        .select(col("p").as("p_prev"))
-      exhausted = frontier.isEmpty
-      lvl += 1
-    }
-    it.unpersist()
-    if (acc == null) empty else acc
+    // All (prefix, level) sibling-set sizes in one aggregation: a name of
+    // length n contributes its n prefixes (explode factor = avg name
+    // length, a small constant for display names).
+    val cnt = it
+      .select(col("nm"), col("v"),
+        explode(sequence(lit(1), length(col("nm")))).as("lvl"))
+      .groupBy(expr("substring(nm, 1, lvl)").as("p"),
+        col("lvl").cast("long").as("lvl"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("v")).as("total"))
+
+    // Root sibling set = the whole item list: level-1 groups exist iff the
+    // corpus itself clears the threshold. Kept lazy as a 1-row broadcast so
+    // the operator stays a single plan.
+    val rootN = it.agg(count(lit(1)).as("__n_all"))
+
+    // A deeper prefix is emitted iff its immediate parent group is over
+    // threshold (monotonicity covers the rest of the chain).
+    val parents = cnt.filter(col("n_lines") >= threshold)
+      .select(col("p").as("__pp"), (col("lvl") + 1).as("__clvl"))
+
+    val lvl1 = cnt.filter(col("lvl") === 1)
+      .crossJoin(broadcast(rootN))
+      .filter(col("__n_all") >= threshold)
+      .drop("__n_all")
+    val deeper = cnt.filter(col("lvl") > 1)
+      .join(parents,
+        expr("substring(p, 1, CAST(lvl AS INT) - 1)") === col("__pp") &&
+          col("lvl") === col("__clvl"),
+        "left_semi")
+
+    lvl1.unionByName(deeper).select("p", "lvl", "n_lines", "total")
   }
 }
