@@ -12,12 +12,14 @@ object Queries {
       queries.DedupOps.queries ++ queries.TextOps.queries ++
       queries.SimilarityOps.queries ++ queries.EngineOps.queries ++
       queries.ReportOps.queries ++ queries.GateOps.queries ++
-      queries.StockOps.queries ++ queries.SketchOps.queries
+      queries.StockOps.queries ++ queries.SketchOps.queries ++
+      queries.CurationOps.queries
 
   def oracle: Map[String, String] =
     queries.RelationalA.oracle ++ queries.RelationalB.oracle ++
       queries.DedupOps.oracle ++ queries.TextOps.oracle ++
       queries.SimilarityOps.oracle ++ queries.EngineOps.oracle ++
       queries.ReportOps.oracle ++ queries.GateOps.oracle ++
-      queries.StockOps.oracle ++ queries.SketchOps.oracle
+      queries.StockOps.oracle ++ queries.SketchOps.oracle ++
+      queries.CurationOps.oracle
 }

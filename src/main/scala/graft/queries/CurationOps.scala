@@ -1,0 +1,340 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 training-data curation operators: the pipeline steps a
+  * pretraining-data engine runs AFTER dedup/quality basics — sequence
+  * packing, benchmark-contamination screening, embedding feature stats,
+  * repetition and rarity quality signals, quota sampling, and the
+  * incremental new-batch-vs-corpus dedup shape. Each gated against DuckDB.
+  *
+  * Scale posture: every operator is a map/explode + key-partitioned
+  * aggregation; the only windows are partitioned by (lang, source) — the
+  * packing/sampling SHARD, bounded by shard size, never a global sort. */
+object CurationOps {
+
+  /** Tokens per sequence for [[q101]] — a stand-in for a model context
+    * length; the packing math is budget-agnostic. */
+  val SeqBudget = 256L
+
+  /** q101 — training-sequence packing: concatenate each (lang, source)
+    * shard's documents in doc_id order and cut the token stream into
+    * fixed-budget sequences (the GPT-style "concat then split at context
+    * boundary" packing). Emits per sequence: how many documents overlap it
+    * and how many tokens it holds (== budget except each shard's tail).
+    *
+    * Scale: the running token offset is a window partitioned by the
+    * packing shard (lang, source) — real pipelines pack per input shard
+    * precisely so this window never sees more than one shard. A document
+    * spanning k sequences explodes into k rows (k ≤ doc_tokens/budget + 1). */
+  def q101(s: SparkSession, d: String): DataFrame = {
+    val B = SeqBudget
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    val t = Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("start", col("cum") - col("ntok"))
+    t.select(col("lang"), col("source"), col("start"), col("cum"),
+        explode(sequence(
+          floor(col("start") / B).cast("long"),
+          floor((col("cum") - 1) / B).cast("long"))).as("seq_id"))
+      .withColumn("tok_in_seq",
+        least(col("cum"), (col("seq_id") + 1) * B) -
+          greatest(col("start"), col("seq_id") * B))
+      .groupBy(col("lang"), col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok_in_seq")).as("n_tokens"))
+      .orderBy(col("lang"), col("source"), col("seq_id"))
+  }
+
+  val q101Sql: String =
+    s"""WITH t AS (
+       |  SELECT lang, source, doc_id,
+       |         len(string_split(text, ' '))::BIGINT ntok
+       |  FROM documents),
+       |c AS (SELECT lang, source, doc_id, ntok,
+       |        CAST(sum(ntok) OVER (PARTITION BY lang, source ORDER BY doc_id) AS BIGINT) cum
+       |      FROM t),
+       |sp AS (SELECT lang, source, cum - ntok AS start, cum FROM c),
+       |e AS (SELECT lang, source, start, cum,
+       |        unnest(range(start // $SeqBudget, (cum-1) // $SeqBudget + 1)) seq_id
+       |      FROM sp)
+       |SELECT lang, source, CAST(seq_id AS BIGINT) seq_id,
+       |  count(*)::BIGINT n_docs,
+       |  CAST(sum(least(cum, (seq_id+1)*$SeqBudget) - greatest(start, seq_id*$SeqBudget)) AS BIGINT) n_tokens
+       |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** q102 — benchmark-contamination screen: treat every doc_id % 97 == 0
+    * document as "benchmark" text; for each remaining document count how
+    * many of its distinct 3-shingles appear anywhere in the benchmark set,
+    * and flag docs with ≥50% overlap (the n-gram-overlap decontamination
+    * check run before any training corpus ships). Scale: one equi-join on
+    * the 8-byte shingle hash — the benchmark shingle set is itself a
+    * DataFrame side of the join, never a driver-side collection. */
+  /** Reusable contamination screen: for every doc NOT satisfying
+    * `isBenchmark`, the distinct-shingle overlap with the union of
+    * benchmark-doc shingles, flagged at ≥50%. */
+  def contaminationScreen(docs: DataFrame,
+                          isBenchmark: org.apache.spark.sql.Column): DataFrame = {
+    val sh = DedupOps.shingleHashes(docs)
+    val bench = sh.filter(isBenchmark).select(col("s")).distinct()
+    sh.filter(!isBenchmark)
+      .join(bench.withColumn("__hit", lit(1)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_shared"))
+      .withColumn("contaminated",
+        (col("n_shared") * 2 >= col("n_sh")).cast("boolean"))
+  }
+
+  def q102(s: SparkSession, d: String): DataFrame =
+    contaminationScreen(Tables.documents(s, d), col("doc_id") % 97 === 0)
+      .orderBy(col("doc_id"))
+
+  val q102Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] s
+      |       FROM w, generate_series(1, 400) t(i) WHERE i + 2 <= len(ws)),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+      |SELECT h.doc_id, count(*)::BIGINT n_sh, count(b.s)::BIGINT n_shared,
+      |       count(b.s) * 2 >= count(*) AS contaminated
+      |FROM sh h LEFT JOIN bench b ON h.s = b.s
+      |WHERE h.doc_id % 97 <> 0
+      |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin
+
+  /** q103 — per-dimension embedding statistics (the feature-whitening /
+    * drift-monitoring pass over an embedding column): exact quantized
+    * integer sums and sums of squares per dimension, with derived mean and
+    * variance. Scale: posexplode then a 64-group aggregation — map-side
+    * partials make the shuffle 64 rows per task. */
+  def q103(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")))
+      .select(col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 1e6 + 0.5).cast("long").as("q"))
+    val mean = col("qsum").cast("double") / (col("n") * lit(1e6))
+    q.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("qsum"),
+        sum(col("q") * col("q")).as("qsumsq"))
+      .select(col("dim"), col("n"), col("qsum"), col("qsumsq"),
+        Parity.fr(mean, 6).as("mean"),
+        Parity.fr(col("qsumsq").cast("double") / (col("n") * lit(1e12)) -
+          mean * mean, 6).as("variance"))
+      .orderBy(col("dim"))
+  }
+
+  val q103Sql: String =
+    """WITH q AS (
+      |  SELECT i AS dim,
+      |         CAST(floor(CAST(embedding[i+1] AS DOUBLE)*1e6 + 0.5) AS BIGINT) q
+      |  FROM embeddings, generate_series(0, 63) t(i)),
+      |a AS (SELECT dim, count(*)::BIGINT n, CAST(sum(q) AS BIGINT) qsum,
+      |             CAST(sum(q*q) AS BIGINT) qsumsq
+      |      FROM q GROUP BY dim)
+      |SELECT CAST(dim AS BIGINT) dim, n, qsum, qsumsq,
+      |  floor(CAST(qsum AS DOUBLE)/(n*1e6)*1e6 + 0.5)/1e6 mean,
+      |  floor((CAST(qsumsq AS DOUBLE)/(n*1e12)
+      |         - (CAST(qsum AS DOUBLE)/(n*1e6))*(CAST(qsum AS DOUBLE)/(n*1e6)))*1e6 + 0.5)/1e6 variance
+      |FROM a ORDER BY dim""".stripMargin
+
+  /** q104 — repetition quality signal: per document, total vs distinct
+    * word counts, the hottest word's frequency, and the repeated-word
+    * ratio — the "document is 90% the same line over and over" filter
+    * every pretraining pipeline applies. Scale: two key-partitioned
+    * aggregations ((doc, word) then doc), no windows. */
+  def q104(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_freq"))
+      .withColumn("rep_ratio",
+        Parity.fr(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4))
+      .orderBy(col("doc_id"))
+
+  val q104Sql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+      |c AS (SELECT doc_id, w, count(*) c FROM w GROUP BY 1, 2),
+      |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_words,
+      |             count(*)::BIGINT n_distinct, CAST(max(c) AS BIGINT) top_freq
+      |      FROM c GROUP BY 1)
+      |SELECT doc_id, n_words, n_distinct, top_freq,
+      |  floor((1.0 - CAST(n_distinct AS DOUBLE)/n_words)*1e4 + 0.5)/1e4 rep_ratio
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  /** q105 — rare-token scoring (a transcendental-free perplexity
+    * surrogate): corpus-wide document frequency per word, then each doc's
+    * mean inverse-df over its distinct words — high score = unusual
+    * vocabulary. Rational arithmetic only (floor(1e6/df) in BIGINT), so
+    * both engines agree bit-for-bit ([[Parity]] bans ln()). Scale: df is
+    * one word-keyed aggregation; the scoring join is word-keyed too. */
+  def q105(s: SparkSession, d: String): DataFrame = {
+    val dw = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val df_ = dw.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    dw.join(df_, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(floor(lit(1000000.0) / col("df")).cast("long")).as("rarity_sum"))
+      .withColumn("rarity",
+        Parity.fr(col("rarity_sum").cast("double") / (col("n_distinct") * lit(1e6)), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val q105Sql: String =
+    """WITH dw AS (SELECT DISTINCT doc_id, w
+      |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)),
+      |f AS (SELECT w, count(*)::BIGINT df FROM dw GROUP BY w),
+      |a AS (SELECT doc_id, count(*)::BIGINT n_distinct,
+      |             CAST(sum(CAST(floor(1000000.0/df) AS BIGINT)) AS BIGINT) rarity_sum
+      |      FROM dw JOIN f USING (w) GROUP BY doc_id)
+      |SELECT doc_id, n_distinct, rarity_sum,
+      |  floor(CAST(rarity_sum AS DOUBLE)/(n_distinct*1e6)*1e6 + 0.5)/1e6 rarity
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  /** q106 — JSONL ingestion gate ([[graft.sources.JsonSource]], the JSON
+    * sibling of the q67 CSV gate): nation is round-tripped parquet → JSONL
+    * file (+1 malformed line) → schema-enforced PERMISSIVE read →
+    * valid/corrupt split → parquet landing → aggregate. The oracle
+    * aggregates `nation` directly; the split counts ride along. */
+  def q106(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = new java.io.File("/root/repo/target/gate_json")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
+    }
+    rm(dir); dir.mkdirs()
+    val rows = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .orderBy("n_nationkey").collect() // dim table: 25 rows at every SF
+    val jsonl = new java.io.File(dir, "nation.jsonl")
+    val pw = new java.io.PrintWriter(jsonl)
+    try {
+      rows.foreach(r => pw.println(
+        s"""{"n_nationkey": ${r.getLong(0)}, "n_name": "${r.getString(1)}", "n_regionkey": ${r.getLong(2)}}"""))
+      pw.println("""{"n_nationkey": 99, "n_name": "CORRUPT""") // truncated line
+    } finally pw.close()
+    val schema = StructType(Seq(StructField("n_nationkey", LongType),
+      StructField("n_name", StringType), StructField("n_regionkey", LongType)))
+    val dest = new java.io.File(dir, "landed").getPath
+    val (valid, corrupt) =
+      graft.sources.JsonSource.ingest(s, jsonl.getPath, schema, dest)
+    s.read.parquet(dest)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("last_nation"))
+      .withColumn("n_valid", lit(valid))
+      .withColumn("n_corrupt", lit(corrupt))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val q106Sql: String =
+    """SELECT CAST(n_regionkey AS BIGINT) n_regionkey, count(*) n_nations,
+      |  max(n_name) last_nation,
+      |  (SELECT count(*) FROM nation) n_valid, CAST(1 AS BIGINT) n_corrupt
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  /** q107 — deterministic per-stratum quota sampling: keep (up to) 5
+    * documents per (lang, source) stratum, chosen by a portable integer
+    * LCG over doc_id so the "random" subset is reproducible in both
+    * engines — the balanced-subsample op for eval-set carving. Scale: the
+    * rank window is partitioned by stratum (bounded); for huge strata the
+    * same contract is served by the top-k aggregate (q77) — rank-k, not
+    * sort-all. */
+  def q107(s: SparkSession, d: String): DataFrame = {
+    val key = (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L)
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("doc_id"), key.as("k"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("k"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("lang"), col("source"), col("rk"))
+  }
+
+  val q107Sql: String =
+    """WITH k AS (
+      |  SELECT lang, source, doc_id,
+      |         (doc_id*1103515245 + 12345) % 2147483647 k
+      |  FROM documents),
+      |r AS (SELECT lang, source, doc_id,
+      |        row_number() OVER (PARTITION BY lang, source ORDER BY k, doc_id) rk
+      |      FROM k)
+      |SELECT lang, source, doc_id, CAST(rk AS BIGINT) rk
+      |FROM r WHERE rk <= 5 ORDER BY lang, source, rk""".stripMargin
+
+  /** q108 — incremental new-batch dedup: the production ingestion shape —
+    * an arriving batch (odd doc_ids) is checked against the existing
+    * corpus (even doc_ids) for exact duplicates (content hash semi-join)
+    * and near-duplicates (Jaccard pairs restricted to batch×corpus), and
+    * classified exact_dup > near_dup > unique, per language. Scale:
+    * reuses [[DedupOps.jaccardPairs]] (df-capped inverted index); the
+    * exact check is one hash-keyed semi-join — no full-corpus recompute
+    * beyond the pair index. */
+  def q108(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cross = DedupOps.jaccardPairs(docs, 0.5)
+      .filter((col("d1") % 2) =!= (col("d2") % 2))
+    val nearIds = cross
+      .select(when(col("d1") % 2 === 1, col("d1")).otherwise(col("d2")).as("doc_id"))
+      .distinct()
+    val corpusH = docs.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("h")).distinct()
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("__h"))
+      .join(corpusH.withColumn("__e", lit(1)), col("__h") === col("h"), "left")
+      .join(nearIds.withColumn("__n", lit(1)), Seq("doc_id"), "left")
+      .withColumn("dedup_class",
+        when(col("__e") === 1, "exact_dup")
+          .when(col("__n") === 1, "near_dup")
+          .otherwise("unique"))
+      .groupBy(col("lang"), col("dedup_class"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("dedup_class"))
+  }
+
+  val q108Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] s
+       |        FROM w, generate_series(1, 400) t(i) WHERE i + 2 <= len(ws)),
+       |sh AS (SELECT doc_id, s FROM (
+       |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) df FROM sh0)
+       |  WHERE df <= greatest(${DedupOps.MinDfCap},
+       |    (SELECT count(*) FROM documents) // ${DedupOps.DfCapDivisor})),
+       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+       |prs AS (SELECT a.doc_id d1, b.doc_id d2, count(*) inter
+       |        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d1, d2 FROM prs
+       |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE round(inter::DOUBLE / (s1.n + s2.n - inter), 4) >= 0.5
+       |    AND (d1 % 2) <> (d2 % 2)),
+       |near AS (SELECT DISTINCT CASE WHEN d1 % 2 = 1 THEN d1 ELSE d2 END doc_id
+       |         FROM pairs),
+       |corpus_h AS (SELECT DISTINCT md5(text) h FROM documents WHERE doc_id % 2 = 0)
+       |SELECT lang,
+       |  CASE WHEN md5(text) IN (SELECT h FROM corpus_h) THEN 'exact_dup'
+       |       WHEN doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+       |       ELSE 'unique' END dedup_class,
+       |  count(*)::BIGINT n_docs
+       |FROM documents WHERE doc_id % 2 = 1
+       |GROUP BY 1, 2 ORDER BY lang, dedup_class""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_seq_packing" -> (q101 _), "q102_contamination" -> (q102 _),
+    "q103_embedding_stats" -> (q103 _), "q104_repetition" -> (q104 _),
+    "q105_rare_tokens" -> (q105 _), "q106_jsonl_ingest" -> (q106 _),
+    "q107_quota_sample" -> (q107 _), "q108_incremental_dedup" -> (q108 _))
+
+  val oracle: Map[String, String] = Map(
+    "q101_seq_packing" -> q101Sql, "q102_contamination" -> q102Sql,
+    "q103_embedding_stats" -> q103Sql, "q104_repetition" -> q104Sql,
+    "q105_rare_tokens" -> q105Sql, "q106_jsonl_ingest" -> q106Sql,
+    "q107_quota_sample" -> q107Sql, "q108_incremental_dedup" -> q108Sql)
+}

@@ -50,7 +50,7 @@ object DedupOps {
     * never surface (only pair counts do), so any injective-enough combine
     * is parity-safe; xxhash64 over the 3 longs keeps positional order
     * significant. */
-  private def shingleHashes(docs: DataFrame): DataFrame =
+  private[queries] def shingleHashes(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("__w"))
       .filter(size(col("__w")) >= 3)
