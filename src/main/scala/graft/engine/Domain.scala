@@ -72,6 +72,8 @@ object Domain {
         // 'ilike' is case-insensitive contains.
         case "like" => c.contains(toLit(v))
         case "ilike" => lower(c).contains(lower(toLit(v)))
+        case "not like" => !c.contains(toLit(v))
+        case "not ilike" => !lower(c).contains(lower(toLit(v)))
         case "=like" => c.like(v.toString)
         case "=ilike" => lower(c).like(v.toString.toLowerCase)
         case "child_of" => throw new IllegalArgumentException(
@@ -86,13 +88,28 @@ object Domain {
     * small (account groups, locations), the closure ships as an isin/IN
     * list (or a broadcast-join DF for big hierarchies). */
   def compile(n: Node, resolve: String => Column,
-              descendants: Any => Seq[Any]): Column = n match {
+              descendants: Any => Seq[Any]): Column =
+    compile(n, resolve, descendants, _ => Nil)
+
+  /** Full hierarchy support: `child_of` via the descendant closure,
+    * `parent_of` (Odoo: the record and all its ancestors via parent_id)
+    * via the ancestor closure. */
+  def compile(n: Node, resolve: String => Column,
+              descendants: Any => Seq[Any],
+              ancestors: Any => Seq[Any]): Column = n match {
     case Cond(f, "child_of", v) =>
       val members = (seqOf(v).flatMap(p => descendants(p)) ++ seqOf(v)).distinct
       resolve(f).isin(members: _*)
-    case And(l, r) => compile(l, resolve, descendants) && compile(r, resolve, descendants)
-    case Or(l, r) => compile(l, resolve, descendants) || compile(r, resolve, descendants)
-    case Not(x) => !compile(x, resolve, descendants)
+    case Cond(f, "parent_of", v) =>
+      val members = (seqOf(v).flatMap(p => ancestors(p)) ++ seqOf(v)).distinct
+      resolve(f).isin(members: _*)
+    case And(l, r) =>
+      compile(l, resolve, descendants, ancestors) &&
+        compile(r, resolve, descendants, ancestors)
+    case Or(l, r) =>
+      compile(l, resolve, descendants, ancestors) ||
+        compile(r, resolve, descendants, ancestors)
+    case Not(x) => !compile(x, resolve, descendants, ancestors)
     case other => compile(other, resolve)
   }
 
@@ -106,6 +123,21 @@ object Domain {
       while (frontier.nonEmpty) {
         out ++= frontier
         frontier = frontier.flatMap(c => children.getOrElse(c, Nil))
+      }
+      out.toSeq
+    }
+  }
+
+  /** Transitive-ancestor closure from (child, parent) edges — the
+    * upward walk `parent_of` needs. */
+  def ancestorsOf(edges: Seq[(Any, Any)]): Any => Seq[Any] = {
+    val parent = edges.toMap
+    (leaf: Any) => {
+      val out = scala.collection.mutable.ListBuffer[Any]()
+      var cur = parent.get(leaf)
+      while (cur.isDefined && !out.contains(cur.get)) {
+        out += cur.get
+        cur = parent.get(cur.get)
       }
       out.toSeq
     }

@@ -267,6 +267,28 @@ object GateOps {
       |       AND p_name LIKE '%green%')
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** q109 — negated pattern domains (`not like` / `not ilike`,
+    * completing the reference ORM's pattern-operator family next to
+    * q70's like/=like/ilike): both negations compose under & and push
+    * down to the scan like any other predicate. */
+  def q109(s: SparkSession, d: String): DataFrame = {
+    val dom = Seq("&",
+      ("p_name", "not ilike", "GREEN"),
+      ("p_type", "not like", "PROMO"))
+    Tables.part(s, d).filter(Domain.compile(dom))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(col("p_retailprice")) * 100 + 0.5) / 100).as("price"))
+      .orderBy("p_type")
+  }
+
+  val q109Sql: String =
+    """SELECT p_type, count(*) AS n, floor(sum(p_retailprice)*100+0.5)/100 AS price
+      |FROM part
+      |WHERE NOT (lower(p_name) LIKE '%' || lower('GREEN') || '%')
+      |  AND NOT (p_type LIKE '%PROMO%')
+      |GROUP BY p_type ORDER BY p_type""".stripMargin
+
   /** q71 — the typed options/spec pipeline (§1.2, the reference's
     * initializer chain account_report.py:1389-1456 + column-group cartesian
     * :1193-1290): journals ∧ partner-category ∧ posted-state compose into
@@ -530,7 +552,8 @@ object GateOps {
     "q69_multimodal_meta" -> (q69 _), "q70_like_domain" -> (q70 _),
     "q71_report_spec" -> (q71 _), "q72_cross_report" -> (q72 _),
     "q73_prefix_regroup" -> (q73 _), "q74_journal_report" -> (q74 _),
-    "q75_sessionize" -> (q75 _), "q88_ppm_decode" -> (q88 _))
+    "q75_sessionize" -> (q75 _), "q88_ppm_decode" -> (q88 _),
+    "q109_domain_negation" -> (q109 _))
 
   val oracle: Map[String, String] = Map(
     "q65_external_carryover" -> q65Sql, "q66_line_tree_render" -> q66Sql,
@@ -539,5 +562,5 @@ object GateOps {
     "q71_report_spec" -> q71Sql, "q72_cross_report" -> q72Sql,
     "q73_prefix_regroup" -> q73Sql, "q74_journal_report" -> q74Sql,
     "q75_sessionize" -> q75Sql, "q88_ppm_decode" -> q88Sql,
-    "q89_wav_decode" -> q89Sql)
+    "q89_wav_decode" -> q89Sql, "q109_domain_negation" -> q109Sql)
 }

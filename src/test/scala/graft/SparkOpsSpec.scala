@@ -84,6 +84,23 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.filter(dom).select("grp").as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("domain parent_of walks up, negated likes filter out matches") {
+    val s = spark; import s.implicits._
+    // tree: 1 -> (2, 3); 2 -> (4)
+    val anc = Domain.ancestorsOf(Seq((2, 1), (3, 1), (4, 2)))
+    assert(anc(4).toSeq == Seq(2, 1) && anc(1).isEmpty)
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0))
+      .toDF("grp", "v")
+    val dom = Domain.compile(
+      Domain.parse(Seq(("grp", "parent_of", 4))), Domain.defaultResolve,
+      Domain.descendantsOf(Seq((2, 1), (3, 1), (4, 2))), anc)
+    assert(df.filter(dom).select("grp").as[Int].collect().sorted.toSeq == Seq(1, 2, 4))
+    val names = Seq((1, "Green Box"), (2, "red crate"), (3, "BLUE box"))
+      .toDF("id", "nm")
+    val neg = Domain.compile(Seq(("nm", "not ilike", "green"), ("nm", "not like", "crate")))
+    assert(names.filter(neg).select("id").as[Int].collect().toSeq == Seq(3))
+  }
+
   test("column-group planner: one scan, per-group conditional aggregates") {
     val s = spark; import s.implicits._
     val df = Seq(("a", 2024, 10.0), ("a", 2025, 20.0), ("b", 2024, 5.0))
