@@ -64,4 +64,35 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Scan parquet".r.findAllIn(p).length == 1,
       "q17 must evaluate all period groups from a single lineitem scan")
   }
+
+  test("seq packing windows are shard-partitioned, never global") {
+    val p = plan("q101_seq_packing")
+    // every windowspecdefinition must carry the (lang, source) partition
+    val specs = "windowspecdefinition\\(([^)]*)".r.findAllMatchIn(p).toSeq
+    assert(specs.nonEmpty)
+    specs.foreach(m => assert(m.group(1).contains("lang"),
+      s"partition-less window in q101: ${m.group(1)}"))
+  }
+
+  test("contamination screen joins on the shingle hash, no nested loop") {
+    val p = plan("q102_contamination")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  /** The only tolerated nested loop is the 1-row scalar broadcast
+    * (crossJoin(broadcast(agg)) — the documented A9/df-cap pattern), which
+    * plans as `BroadcastNestedLoopJoin BuildRight, Cross`. */
+  private def onlyScalarBnlj(p: String): Boolean =
+    !p.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin(?! BuildRight, Cross)".r.findFirstIn(p).isEmpty
+
+  test("incremental dedup stays hash-keyed (no non-scalar nested loop)") {
+    assert(onlyScalarBnlj(plan("q108_incremental_dedup")))
+  }
+
+  test("prefix regroup is one declarative plan: no loop joins, no windows") {
+    val p = plan("q73_prefix_regroup")
+    assert(onlyScalarBnlj(p))
+    assert(!p.contains("windowspecdefinition"))
+  }
 }
