@@ -326,15 +326,111 @@ object CurationOps {
        |FROM documents WHERE doc_id % 2 = 1
        |GROUP BY 1, 2 ORDER BY lang, dedup_class""".stripMargin
 
+  /** q110 — overlapping window chunking (the RAG/embedding-indexing shape:
+    * window W tokens, stride S, trailing overlap W−S): per document, the
+    * chunk count and the total chunk tokens (> ntok exactly by the overlap
+    * overhead). Pure map + explode — no shuffle at all before the final
+    * per-doc identity grouping. */
+  def q110(s: SparkSession, d: String): DataFrame = {
+    val W = 128L; val S = 96L
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("n_chunks",
+        when(col("ntok") <= W, lit(1L))
+          .otherwise(floor((col("ntok") - W + S - 1) / S).cast("long") + 1))
+      .select(col("doc_id"), col("ntok"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("k"))
+      .withColumn("chunk_tok", least(lit(W), col("ntok") - col("k") * S))
+      .groupBy(col("doc_id"), col("ntok"), col("n_chunks"))
+      .agg(sum(col("chunk_tok")).as("chunk_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q110Sql: String =
+    """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT ntok FROM documents),
+      |n AS (SELECT doc_id, ntok,
+      |        CASE WHEN ntok <= 128 THEN 1 ELSE (ntok - 128 + 95) // 96 + 1 END n_chunks
+      |      FROM t),
+      |e AS (SELECT doc_id, ntok, n_chunks, unnest(range(0, n_chunks)) k FROM n)
+      |SELECT doc_id, ntok, CAST(n_chunks AS BIGINT) n_chunks,
+      |  CAST(sum(least(128, ntok - k*96)) AS BIGINT) chunk_tokens
+      |FROM e GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+
+  /** q111 — corpus mixing toward a uniform language budget: each language
+    * is down-sampled to the per-language token target total/k via a
+    * deterministic portable-LCG keep rule, emitting the achieved mix (the
+    * data-mixture step before pretraining; weights here uniform so the
+    * oracle needs no hardcoded language list). Scale: two tiny aggregates
+    * broadcast back over one map-side filter — no shuffle of the corpus. */
+  def q111(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+    val lt = toks.groupBy(col("lang")).agg(sum(col("ntok")).as("lt"))
+    val tot = lt.agg(sum(col("lt")).as("T"), count(lit(1)).as("k"))
+    val rates = lt.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm", least(lit(1000000L),
+        floor(col("T").cast("double") / col("k") / col("lt") * 1e6).cast("long")))
+      .select(col("lang"), col("rate_ppm"))
+    toks.join(broadcast(rates), Seq("lang"))
+      .withColumn("keep",
+        (col("doc_id") * 1103515245L + 12345L) % 2147483647L % 1000000L < col("rate_ppm"))
+      .groupBy(col("lang"), col("rate_ppm"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("keep"), col("ntok")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val q111Sql: String =
+    """WITH t AS (SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT ntok FROM documents),
+      |lt AS (SELECT lang, CAST(sum(ntok) AS BIGINT) lt FROM t GROUP BY lang),
+      |tot AS (SELECT CAST(sum(lt) AS BIGINT) T, count(*)::BIGINT k FROM lt),
+      |r AS (SELECT lang,
+      |        least(1000000, CAST(floor(CAST(T AS DOUBLE)/k/lt*1e6) AS BIGINT)) rate_ppm
+      |      FROM lt, tot)
+      |SELECT t.lang, r.rate_ppm,
+      |  CAST(sum(CASE WHEN (t.doc_id*1103515245 + 12345) % 2147483647 % 1000000 < r.rate_ppm
+      |       THEN 1 ELSE 0 END) AS BIGINT) kept_docs,
+      |  CAST(sum(CASE WHEN (t.doc_id*1103515245 + 12345) % 2147483647 % 1000000 < r.rate_ppm
+      |       THEN t.ntok ELSE 0 END) AS BIGINT) kept_tokens
+      |FROM t JOIN r USING (lang)
+      |GROUP BY t.lang, r.rate_ppm ORDER BY t.lang""".stripMargin
+
+  /** q112 — best-k selection per language by a quality score (n_chars as
+    * the stand-in), via the native bounded top-k aggregate: the "keep the
+    * k best documents per stratum" curation op with map-side heaps —
+    * k·|langs| tuples cross the exchange, not the corpus. */
+  def q112(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("n_chars").cast("double"), col("doc_id"), 3).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+
+  val q112Sql: String =
+    """SELECT lang, CAST(rn AS BIGINT) rk, doc_id, n_chars
+      |FROM (SELECT lang, doc_id, n_chars,
+      |        row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) rn
+      |      FROM documents)
+      |WHERE rn <= 3 ORDER BY lang, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_seq_packing" -> (q101 _), "q102_contamination" -> (q102 _),
     "q103_embedding_stats" -> (q103 _), "q104_repetition" -> (q104 _),
     "q105_rare_tokens" -> (q105 _), "q106_jsonl_ingest" -> (q106 _),
-    "q107_quota_sample" -> (q107 _), "q108_incremental_dedup" -> (q108 _))
+    "q107_quota_sample" -> (q107 _), "q108_incremental_dedup" -> (q108 _),
+    "q110_overlap_chunking" -> (q110 _), "q111_corpus_mix" -> (q111 _),
+    "q112_best_per_lang" -> (q112 _))
 
   val oracle: Map[String, String] = Map(
     "q101_seq_packing" -> q101Sql, "q102_contamination" -> q102Sql,
     "q103_embedding_stats" -> q103Sql, "q104_repetition" -> q104Sql,
     "q105_rare_tokens" -> q105Sql, "q106_jsonl_ingest" -> q106Sql,
-    "q107_quota_sample" -> q107Sql, "q108_incremental_dedup" -> q108Sql)
+    "q107_quota_sample" -> q107Sql, "q108_incremental_dedup" -> q108Sql,
+    "q110_overlap_chunking" -> q110Sql, "q111_corpus_mix" -> q111Sql,
+    "q112_best_per_lang" -> q112Sql)
 }
