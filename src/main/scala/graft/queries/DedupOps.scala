@@ -43,25 +43,15 @@ object DedupOps {
             element_at(col("__w"), i + lit(3))))).as("s"))
   }
 
-  /** Distinct 8-byte shingle hashes per doc (the Jaccard index unit).
-    * Hashes each word ONCE, then combines 3 word-hashes per shingle —
-    * O(words) string hashing per doc instead of O(words × shingle_len)
-    * concat+hash, and zero shingle-string allocation. The hash values
-    * never surface (only pair counts do), so any injective-enough combine
-    * is parity-safe; xxhash64 over the 3 longs keeps positional order
-    * significant. */
+  /** Distinct 8-byte shingle hashes per doc (the Jaccard index unit),
+    * via the native single-pass [[graft.functions.ShingleHashExpr]] —
+    * one long[] per doc, no split/word/shingle array allocations. The
+    * hash values never surface (only pair counts do), so the kernel's
+    * FNV+mix combine is parity-safe. */
   private[queries] def shingleHashes(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("__w"))
-      .filter(size(col("__w")) >= 3)
       .select(col("doc_id"),
-        transform(col("__w"), w => xxhash64(w)).as("__h"))
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("__h")) - lit(3)),
-          i => xxhash64(
-            element_at(col("__h"), i + lit(1)),
-            element_at(col("__h"), i + lit(2)),
-            element_at(col("__h"), i + lit(3))))).as("s"))
+        explode(graft.functions.ShingleHash.of(col("text"))).as("s"))
       .distinct()
 
   private val shingles3Sql =
