@@ -249,6 +249,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       centroids2.as[(Long, Seq[Double])].collect().toMap)
   }
 
+  test("connected components matches union-find on random graphs") {
+    val s = spark; import s.implicits._
+    // deterministic LCG so the three shapes (sparse, chains, dense-ish)
+    // are reproducible
+    var seed = 12345L
+    def next(bound: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (nEdges <- Seq(10, 40, 120)) {
+      val edges = (0 until nEdges).map(_ => (next(30).toLong, next(30).toLong))
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = graft.operators.DupClusters
+        .connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"nEdges=$nEdges")
+    }
+  }
+
   test("operators degrade cleanly on empty inputs") {
     val s = spark; import s.implicits._
     import graft.operators._
