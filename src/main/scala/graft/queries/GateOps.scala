@@ -289,6 +289,54 @@ object GateOps {
       |  AND NOT (p_type LIKE '%PROMO%')
       |GROUP BY p_type ORDER BY p_type""".stripMargin
 
+  /** q113 — the bank reconciliation report
+    * ([[graft.report.Handlers.Reconciliation]], reference
+    * account_bank_reconciliation_report.py): statements = 1-URGENT orders,
+    * payments = 2-HIGH orders, amounts sign-split by key, reconciled /
+    * outstanding flags deterministic — book balance, the four
+    * plus/less sections, and the unexplained difference in one line set. */
+  def q113(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def amount = when(col("o_orderkey") % 3 === 0, -col("o_totalprice"))
+      .otherwise(col("o_totalprice")).as("amount")
+    val st = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(amount, (col("o_orderkey") % 7 =!= 0).as("reconciled"))
+    val pay = o.filter(col("o_orderpriority") === "2-HIGH")
+      .select(amount, (col("o_orderkey") % 5 === 0).as("outstanding"))
+    graft.report.Handlers.Reconciliation.compute(st, pay).orderBy("ord")
+  }
+
+  val q113Sql: String =
+    """WITH st AS (
+      |  SELECT CASE WHEN o_orderkey%3=0 THEN -o_totalprice ELSE o_totalprice END amount,
+      |         o_orderkey%7 <> 0 reconciled
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |pay AS (
+      |  SELECT CASE WHEN o_orderkey%3=0 THEN -o_totalprice ELSE o_totalprice END amount,
+      |         o_orderkey%5 = 0 outstanding
+      |  FROM orders WHERE o_orderpriority = '2-HIGH'),
+      |sa AS (SELECT count(*)::BIGINT n, sum(amount) gl,
+      |         sum(CASE WHEN reconciled THEN amount ELSE 0 END) rec,
+      |         sum(CASE WHEN NOT reconciled AND amount > 0 THEN 1 ELSE 0 END)::BIGINT np,
+      |         sum(CASE WHEN NOT reconciled AND amount > 0 THEN amount ELSE 0 END) pl,
+      |         sum(CASE WHEN NOT reconciled AND amount < 0 THEN 1 ELSE 0 END)::BIGINT nl,
+      |         sum(CASE WHEN NOT reconciled AND amount < 0 THEN amount ELSE 0 END) ls
+      |       FROM st),
+      |pa AS (SELECT
+      |         sum(CASE WHEN outstanding AND amount > 0 THEN 1 ELSE 0 END)::BIGINT np,
+      |         sum(CASE WHEN outstanding AND amount > 0 THEN amount ELSE 0 END) pl,
+      |         sum(CASE WHEN outstanding AND amount < 0 THEN 1 ELSE 0 END)::BIGINT nl,
+      |         sum(CASE WHEN outstanding AND amount < 0 THEN amount ELSE 0 END) ls
+      |       FROM pay)
+      |SELECT CAST(1 AS BIGINT) ord, 'balance_gl' section, n n_lines,
+      |       floor(gl*100+0.5)/100 amount FROM sa
+      |UNION ALL SELECT 2, 'plus_unreconciled_statements', np, floor(pl*100+0.5)/100 FROM sa
+      |UNION ALL SELECT 3, 'less_unreconciled_statements', nl, floor(ls*100+0.5)/100 FROM sa
+      |UNION ALL SELECT 4, 'plus_outstanding_payments', np, floor(pl*100+0.5)/100 FROM pa
+      |UNION ALL SELECT 5, 'less_outstanding_payments', nl, floor(ls*100+0.5)/100 FROM pa
+      |UNION ALL SELECT 6, 'unexplained_difference', 0, floor((gl-rec)*100+0.5)/100 FROM sa
+      |ORDER BY ord""".stripMargin
+
   /** q71 — the typed options/spec pipeline (§1.2, the reference's
     * initializer chain account_report.py:1389-1456 + column-group cartesian
     * :1193-1290): journals ∧ partner-category ∧ posted-state compose into
@@ -553,7 +601,7 @@ object GateOps {
     "q71_report_spec" -> (q71 _), "q72_cross_report" -> (q72 _),
     "q73_prefix_regroup" -> (q73 _), "q74_journal_report" -> (q74 _),
     "q75_sessionize" -> (q75 _), "q88_ppm_decode" -> (q88 _),
-    "q109_domain_negation" -> (q109 _))
+    "q109_domain_negation" -> (q109 _), "q113_bank_reconciliation" -> (q113 _))
 
   val oracle: Map[String, String] = Map(
     "q65_external_carryover" -> q65Sql, "q66_line_tree_render" -> q66Sql,
@@ -562,5 +610,6 @@ object GateOps {
     "q71_report_spec" -> q71Sql, "q72_cross_report" -> q72Sql,
     "q73_prefix_regroup" -> q73Sql, "q74_journal_report" -> q74Sql,
     "q75_sessionize" -> q75Sql, "q88_ppm_decode" -> q88Sql,
-    "q89_wav_decode" -> q89Sql, "q109_domain_negation" -> q109Sql)
+    "q89_wav_decode" -> q89Sql, "q109_domain_negation" -> q109Sql,
+    "q113_bank_reconciliation" -> q113Sql)
 }

@@ -160,6 +160,49 @@ object Handlers {
     * account_aged_partner_balance.py:82-89): the interval VALUES table
     * folded into a codegen'd when-chain. `bounds` are inclusive upper edges
     * in days; anything above the last bound lands in the final bucket. */
+  /** Bank reconciliation report (reference
+    * account_bank_reconciliation_report.py:16-110 `_dynamic_lines_generator`
+    * + :274/:441 statement/payment sections): the book balance of the
+    * journal's bank account, then the not-yet-reconciled statement lines
+    * and outstanding payments split into plus/less sections, and the
+    * unexplained difference between the book balance and the last
+    * statement's running balance (= the reconciled statement sum here,
+    * zero opening). Scale: both inputs reduce via ONE conditional
+    * aggregation each (no per-section rescans), unioned into the 6-line
+    * report. */
+  object Reconciliation {
+    /** `statements`: (`amount`, `reconciled` bool). `payments`:
+      * (`amount`, `outstanding` bool). Returns
+      * (ord, section, n_lines, amount). */
+    def compute(statements: DataFrame, payments: DataFrame): DataFrame = {
+      val s = statements.sparkSession
+      import s.implicits._
+      def r2(x: Double): Double = math.floor(x * 100 + 0.5) / 100
+      def sumIf(c: Column): Column = sum(when(c, col("amount")).otherwise(lit(0.0)))
+      val st = statements.agg(
+        count(lit(1)).as("n"),
+        sum(col("amount")).as("gl"),
+        sumIf(col("reconciled")).as("rec"),
+        count(when(!col("reconciled") && col("amount") > 0, 1)).as("n_plus"),
+        sumIf(!col("reconciled") && col("amount") > 0).as("plus"),
+        count(when(!col("reconciled") && col("amount") < 0, 1)).as("n_less"),
+        sumIf(!col("reconciled") && col("amount") < 0).as("less")).head()
+      val pay = payments.agg(
+        count(when(col("outstanding") && col("amount") > 0, 1)).as("n_plus"),
+        sumIf(col("outstanding") && col("amount") > 0).as("plus"),
+        count(when(col("outstanding") && col("amount") < 0, 1)).as("n_less"),
+        sumIf(col("outstanding") && col("amount") < 0).as("less")).head()
+      Seq(
+        (1L, "balance_gl", st.getLong(0), r2(st.getDouble(1))),
+        (2L, "plus_unreconciled_statements", st.getLong(3), r2(st.getDouble(4))),
+        (3L, "less_unreconciled_statements", st.getLong(5), r2(st.getDouble(6))),
+        (4L, "plus_outstanding_payments", pay.getLong(0), r2(pay.getDouble(1))),
+        (5L, "less_outstanding_payments", pay.getLong(2), r2(pay.getDouble(3))),
+        (6L, "unexplained_difference", 0L, r2(st.getDouble(1) - st.getDouble(2)))
+      ).toDF("ord", "section", "n_lines", "amount")
+    }
+  }
+
   object AgedBalance {
     def bucketCol(asOf: Column, due: Column, bounds: Seq[Int]): Column = {
       val age = datediff(asOf, due)
