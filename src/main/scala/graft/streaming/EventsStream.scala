@@ -1,9 +1,10 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming surface (SURVEY §2.10): the reference is batch-only
   * (its CDC is synchronous method interception), so this module is the
@@ -51,6 +52,40 @@ object EventsStream {
           state.update(next)
           next
       }
+  }
+
+  /** [[userTotals]] on the transformWithState API (Spark 4's arbitrary
+    * stateful processing surface, the successor of mapGroupsWithState):
+    * same per-user fold, state in a typed ValueState handle. Requires the
+    * RocksDB state store provider — the provider contract of the new API,
+    * matching the cluster posture anyway. */
+  final class UserTotalsProcessor
+      extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var totals: ValueState[SessionOut] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[SessionOut](
+        "totals", Encoders.product[SessionOut], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      val prev =
+        if (totals.exists()) totals.get() else SessionOut(userId, 0L, 0.0, "")
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val next = sorted.foldLeft(prev) { (acc, e) =>
+        SessionOut(userId, acc.n_events + 1,
+          math.rint((acc.total_value + e.value) * 100) / 100, e.event_type)
+      }
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def userTotalsModern(events: Dataset[Event]): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   final case class SessionAgg(startMs: Long, lastMs: Long, n: Long, total: Double)

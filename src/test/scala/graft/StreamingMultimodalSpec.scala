@@ -291,6 +291,35 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("transformWithState twin matches mapGroupsWithState across batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[Event]
+      val q = EventsStream.userTotalsModern(src.toDS())
+        .writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").start()
+      src.addData(Event(1, ts(0), 7, "click", 1.25), Event(2, ts(1), 9, "view", 4.00))
+      q.processAllAvailable()
+      src.addData(Event(3, ts(5), 7, "purchase", 2.50))
+      q.processAllAvailable()
+      val out = s.sql("SELECT * FROM tws_totals").as[SessionOut].collect()
+      q.stop()
+      val last7 = out.filter(_.user_id == 7L).maxBy(_.n_events)
+      val last9 = out.filter(_.user_id == 9L).maxBy(_.n_events)
+      assert(last7 == SessionOut(7L, 2L, 3.75, "purchase"))
+      assert(last9 == SessionOut(9L, 1L, 4.00, "view"))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("multimodal: stub feature extraction is deterministic and batch-shaped") {
     val s = spark; import s.implicits._
     val media = Seq(
