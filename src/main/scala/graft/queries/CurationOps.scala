@@ -278,8 +278,8 @@ object CurationOps {
     * beyond the pair index. */
   def q108(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val cross = DedupOps.jaccardPairs(docs, 0.5)
-      .filter((col("d1") % 2) =!= (col("d2") % 2))
+    val cross = DedupOps.jaccardPairs(docs, 0.5,
+      (d1, d2) => (d1 % 2) =!= (d2 % 2))
     val nearIds = cross
       .select(when(col("d1") % 2 === 1, col("d1")).otherwise(col("d2")).as("doc_id"))
       .distinct()

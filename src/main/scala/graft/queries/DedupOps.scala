@@ -114,7 +114,16 @@ object DedupOps {
     * windowed df filter). The df is one partitioned window over the shingle
     * key; the cap scalar is a 1-row broadcast, so the whole cap costs one
     * extra shuffle-free sort within the existing shingle partitioning. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
+    jaccardPairs(docs, threshold, (_, _) => lit(true))
+
+  /** [[jaccardPairs]] with a pair predicate applied INSIDE the
+    * inverted-index self-join (on the (d1, d2) id columns) — callers that
+    * only want cross-set pairs (incremental batch-vs-corpus dedup, q108)
+    * skip aggregating the within-set ones instead of filtering them after
+    * the per-pair counts are already paid for. */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   pairPred: (Column, Column) => Column): DataFrame = {
     val sh0 = shingleHashes(docs)
     val cap = docs.agg(greatest(lit(MinDfCap.toLong),
       floor(count(lit(1)) / lit(DfCapDivisor)).cast("long")).as("cap"))
@@ -129,7 +138,8 @@ object DedupOps {
     val sh = sh0.join(keep, Seq("s")).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          pairPred(col("a.doc_id"), col("b.doc_id")))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
