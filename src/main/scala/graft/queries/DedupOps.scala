@@ -303,27 +303,16 @@ object DedupOps {
     * hashes, window-min over 4 consecutive grams, distinct mins per doc.
     * Scale: one window function partitioned by doc — embarrassingly
     * parallel; gram ids are map-side strHash (no dictionary). */
-  def q40(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val grams = docs.filter(length(col("text")) >= 8)
+  def q40(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 8)
+      // whole per-doc computation (gram hash, 4-window min, dedup) runs in
+      // the native one-pass kernel; only fingerprints reach the shuffle
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), length(col("text")) - lit(4)),
-          i => col("text").substr(i, lit(5)))))
-      .withColumnRenamed("col", "g")
-    val hashed = grams
-      .withColumn("hg", (Parity.strHash(col("g")) * lit(2654435761L)) % 1000003L)
-    val wMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, 3)
-    val wAll = Window.partitionBy(col("doc_id"))
-    hashed
-      .withColumn("wm", min(col("hg")).over(wMin))
-      .withColumn("maxp", max(col("pos")).over(wAll))
-      .filter(col("pos") <= col("maxp") - 3)
-      .select(col("doc_id"), col("wm")).distinct()
+        explode(graft.functions.Winnow.of(col("text"))).as("wm"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fp"), min(col("wm")).as("min_fp"), max(col("wm")).as("max_fp"))
       .orderBy(col("doc_id"))
-  }
 
   val q40Sql: String =
     s"""WITH grams AS (

@@ -65,6 +65,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q17 must evaluate all period groups from a single lineitem scan")
   }
 
+  test("winnowing runs in the native kernel — no window, no gram explode") {
+    val p = plan("q40_winnow_fingerprint")
+    assert(!p.contains("windowspecdefinition"))
+    assert(p.contains("winnow_fingerprints"))
+  }
+
   test("seq packing windows are shard-partitioned, never global") {
     val p = plan("q101_seq_packing")
     // every windowspecdefinition must carry the (lang, source) partition
