@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.vectorDotDescriptor)
     ext.injectFunction(GraftExtensions.topKDescriptor)
     ext.injectFunction(GraftExtensions.portableHashDescriptor)
+    ext.injectFunction(GraftExtensions.shingleHashesDescriptor)
+    ext.injectFunction(GraftExtensions.winnowDescriptor)
   }
 }
 
@@ -44,9 +46,26 @@ object GraftExtensions {
       PortableHashExpr(children.head)
     })
 
+  private val shingleHashesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[ShingleHashExpr].getName, "shingle_hashes"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "shingle_hashes takes exactly 1 argument")
+      ShingleHashExpr(children.head)
+    })
+
+  private val winnowDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_fingerprints"),
+    new ExpressionInfo(classOf[WinnowExpr].getName, "winnow_fingerprints"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "winnow_fingerprints takes exactly 1 argument")
+      WinnowExpr(children.head)
+    })
+
   /** Imperative registration on an existing session. */
   def install(spark: SparkSession): Unit = {
-    Seq(vectorDotDescriptor, topKDescriptor, portableHashDescriptor)
+    Seq(vectorDotDescriptor, topKDescriptor, portableHashDescriptor,
+        shingleHashesDescriptor, winnowDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

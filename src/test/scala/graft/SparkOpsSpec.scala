@@ -58,6 +58,15 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.sql("SELECT portable_hash('ab') = portable_hash('ab'), " +
       "portable_hash('ab') = portable_hash('ba')")
       .as[(Boolean, Boolean)].head() == ((true, false)))
+    // the round-3 kernels are SQL-registered too
+    val (nSh, nShShort, nWm, nWmShort) =
+      s.sql("SELECT size(shingle_hashes('a b c d')), " +
+        "size(shingle_hashes('a b')), " +
+        "size(winnow_fingerprints('abcdefghij')), " +
+        "size(winnow_fingerprints('short'))")
+        .as[(Int, Int, Int, Int)].head()
+    assert(nSh == 2 && nShShort == 0 && nWmShort == 0)
+    assert(nWm >= 1 && nWm <= 3) // 3 windows, dedup may merge equal minima
   }
 
   test("domain compiler filters like the reference's polish notation") {
