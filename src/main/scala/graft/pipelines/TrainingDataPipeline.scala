@@ -29,6 +29,12 @@ object TrainingDataPipeline {
     val nWords = size(split(col("text"), " "))
     val quality = documents.filter(nWords.between(minWords, maxWords))
 
+    // Exact dedup as a keyed window (partitioned by the content hash —
+    // never a global sort): ONE scan and one shuffle of the quality rows.
+    // The alternative (narrow hash→min-id aggregation + doc_id semi-join)
+    // scans the source twice for no fewer shuffles. Cached because three
+    // consumers follow (pair source, near-dup filter, stats); at 100 TB
+    // swap the cache for a checkpoint to cheap storage.
     val exactSurvivors = quality
       .withColumn("__h", md5(col("text")))
       .withColumn("__keep", min(col("doc_id")).over(
