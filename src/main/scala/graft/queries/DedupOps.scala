@@ -331,6 +331,62 @@ object DedupOps {
       |SELECT doc_id, count(*) AS n_fp, min(wm) AS min_fp, max(wm) AS max_fp
       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q115 — MinHash/LSH quality eval: recall and precision of the q33
+    * band candidates against the exact df-capped Jaccard >= 0.5 pairs —
+    * the measurement a dedup pipeline runs before trusting the sketch at
+    * scale (the dedup mirror of q90's ANN recall). Scale: one full-outer
+    * join of two pair sets keyed by (d1, d2); both sides are the bounded
+    * pair outputs, never the corpus. */
+  def q115(s: SparkSession, d: String): DataFrame = {
+    val exact = jaccardPairs(Tables.documents(s, d), 0.5)
+      .select(col("d1"), col("d2")).withColumn("e", lit(1))
+    val cand = q33(s, d).select(col("d1"), col("d2")).withColumn("c", lit(1))
+    exact.join(cand, Seq("d1", "d2"), "full_outer")
+      .agg(count(col("e")).as("n_exact"), count(col("c")).as("n_cand"),
+        sum(when(col("e") === 1 && col("c") === 1, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("n_exact"), col("n_cand"), col("n_hits"),
+        Parity.fr(col("n_hits").cast("double") / col("n_exact"), 4).as("recall"),
+        Parity.fr(col("n_hits").cast("double") / col("n_cand"), 4).as("prec"))
+  }
+
+  val q115Sql: String =
+    s"""WITH ${cappedShSql("documents")},
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |prs AS (
+      |  SELECT a.doc_id d1, b.doc_id d2, count(*) inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT d1, d2 FROM prs
+      |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |  WHERE round(inter::DOUBLE / (s1.n + s2.n - inter), 4) >= 0.5),
+      |hs AS (SELECT doc_id, ${Parity.strHashSql("s")} AS sid FROM sh0),
+      |hk AS (SELECT k, 53*k+7 AS a, 97*k+13 AS b FROM generate_series(0, 11) t(k)),
+      |mh AS (
+      |  SELECT hs.doc_id, hk.k, min((hk.a * hs.sid + hk.b) % 99991) m
+      |  FROM hs CROSS JOIN hk GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, k // 3 AS band,
+      |    sum(m * CAST(power(10, 5 * (2 - k % 3)) AS BIGINT)) sig
+      |  FROM mh GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id d1, y.doc_id d2
+      |  FROM bands x JOIN bands y
+      |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+      |j AS (
+      |  SELECT coalesce(e.d1, c.d1) d1, coalesce(e.d2, c.d2) d2,
+      |         e.d1 IS NOT NULL ise, c.d1 IS NOT NULL isc
+      |  FROM exact e FULL OUTER JOIN cand c ON e.d1 = c.d1 AND e.d2 = c.d2)
+      |SELECT
+      |  CAST(sum(CASE WHEN ise THEN 1 ELSE 0 END) AS BIGINT) n_exact,
+      |  CAST(sum(CASE WHEN isc THEN 1 ELSE 0 END) AS BIGINT) n_cand,
+      |  CAST(sum(CASE WHEN ise AND isc THEN 1 ELSE 0 END) AS BIGINT) n_hits,
+      |  floor(CAST(sum(CASE WHEN ise AND isc THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / sum(CASE WHEN ise THEN 1 ELSE 0 END) * 1e4 + 0.5) / 1e4 recall,
+      |  floor(CAST(sum(CASE WHEN ise AND isc THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / sum(CASE WHEN isc THEN 1 ELSE 0 END) * 1e4 + 0.5) / 1e4 prec
+      |FROM j""".stripMargin
+
   /** q59 — near-dup clustering: the Jaccard pairs (q32) become transitive
     * clusters via iterative connected components
     * (graft.operators.DupClusters); output (doc_id, cluster). Oracle:
@@ -409,11 +465,12 @@ object DedupOps {
     "q31_dedup_exact" -> (q31 _), "q32_ngram_jaccard" -> (q32 _),
     "q33_minhash_lsh" -> (q33 _), "q34_simhash" -> (q34 _),
     "q40_winnow_fingerprint" -> (q40 _), "q59_dup_clusters" -> (q59 _),
+    "q115_minhash_recall" -> (q115 _),
     "q62_curation_pipeline" -> (q62 _))
 
   val oracle: Map[String, String] = Map(
     "q31_dedup_exact" -> q31Sql, "q32_ngram_jaccard" -> q32Sql,
     "q33_minhash_lsh" -> q33Sql, "q34_simhash" -> q34Sql,
-    "q40_winnow_fingerprint" -> q40Sql, "q59_dup_clusters" -> q59Sql,
+    "q40_winnow_fingerprint" -> q40Sql, "q115_minhash_recall" -> q115Sql, "q59_dup_clusters" -> q59Sql,
     "q62_curation_pipeline" -> q62Sql)
 }
