@@ -337,6 +337,41 @@ object GateOps {
       |UNION ALL SELECT 6, 'unexplained_difference', 0, floor((gl-rec)*100+0.5)/100 FROM sa
       |ORDER BY ord""".stripMargin
 
+  /** q116 — reconciliation matching suggestions
+    * ([[graft.operators.ReconcileMatch]]): statement lines = 1-URGENT
+    * orders with q113's signed amounts; candidate move lines = all orders
+    * (same sign rule, reconciled = key%7!=0). Each line's suggestions are
+    * the unreconciled lines with exactly its residual, classified by sign,
+    * best = min id. */
+  def q116(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def signed = when(col("o_orderkey") % 3 === 0, -col("o_totalprice"))
+      .otherwise(col("o_totalprice"))
+    val st = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("line_id"), signed.as("amount"))
+    val amls = o.select(col("o_orderkey").as("aml_id"), signed.as("residual"),
+      (col("o_orderkey") % 7 =!= 0).as("reconciled"))
+    graft.operators.ReconcileMatch.suggest(st, amls)
+      .withColumn("amount", floor(col("amount") * 100 + 0.5) / 100)
+      .orderBy("line_id")
+  }
+
+  val q116Sql: String =
+    """WITH st AS (
+      |  SELECT o_orderkey line_id,
+      |         CASE WHEN o_orderkey%3=0 THEN -o_totalprice ELSE o_totalprice END amount
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |amls AS (
+      |  SELECT o_orderkey aml_id,
+      |         CASE WHEN o_orderkey%3=0 THEN -o_totalprice ELSE o_totalprice END residual
+      |  FROM orders WHERE o_orderkey%7 = 0)
+      |SELECT line_id, floor(amount*100+0.5)/100 amount,
+      |  CASE WHEN amount > 0 THEN 'receivable_matching'
+      |       ELSE 'payable_matching' END match_class,
+      |  count(*)::BIGINT n_candidates, min(aml_id) best_aml
+      |FROM st JOIN amls ON residual = amount
+      |GROUP BY line_id, amount ORDER BY line_id""".stripMargin
+
   /** q71 — the typed options/spec pipeline (§1.2, the reference's
     * initializer chain account_report.py:1389-1456 + column-group cartesian
     * :1193-1290): journals ∧ partner-category ∧ posted-state compose into
@@ -601,7 +636,7 @@ object GateOps {
     "q71_report_spec" -> (q71 _), "q72_cross_report" -> (q72 _),
     "q73_prefix_regroup" -> (q73 _), "q74_journal_report" -> (q74 _),
     "q75_sessionize" -> (q75 _), "q88_ppm_decode" -> (q88 _),
-    "q109_domain_negation" -> (q109 _), "q113_bank_reconciliation" -> (q113 _))
+    "q109_domain_negation" -> (q109 _), "q113_bank_reconciliation" -> (q113 _), "q116_match_suggestions" -> (q116 _))
 
   val oracle: Map[String, String] = Map(
     "q65_external_carryover" -> q65Sql, "q66_line_tree_render" -> q66Sql,
@@ -611,5 +646,5 @@ object GateOps {
     "q73_prefix_regroup" -> q73Sql, "q74_journal_report" -> q74Sql,
     "q75_sessionize" -> q75Sql, "q88_ppm_decode" -> q88Sql,
     "q89_wav_decode" -> q89Sql, "q109_domain_negation" -> q109Sql,
-    "q113_bank_reconciliation" -> q113Sql)
+    "q113_bank_reconciliation" -> q113Sql, "q116_match_suggestions" -> q116Sql)
 }
