@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-parity guards for the native kernels against their declarative
+  * Column formulations — a kernel change that drifts from the composed
+  * form would silently alter gate results, so the equivalence itself is
+  * pinned here on randomized inputs. */
+class KernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // deterministic pseudo-random ASCII corpus: words of 1-7 chars, 0-60
+  // words per doc, plus crafted edge cases (empty words via double spaces,
+  // leading/trailing spaces, short strings)
+  private def corpus: Seq[String] = {
+    var seed = 987654321L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    val rand = (0 until 40).map { _ =>
+      val nWords = next(60)
+      (0 until nWords).map { _ =>
+        val len = 1 + next(7)
+        (0 until len).map(_ => ('a' + next(26)).toChar).mkString
+      }.mkString(" ")
+    }
+    rand ++ Seq("", "a", "a b", "a b c", "a  b  c", " lead", "trail ",
+      "x y z w v u t", "abcdefgh", "same same same same")
+  }
+
+  test("winnow kernel is bit-identical to the declarative formulation") {
+    val s = spark; import s.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // declarative reference: gram strHash, 4-window min, distinct
+    val grams = docs.filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), length(col("text")) - lit(4)),
+          i => col("text").substr(i, lit(5)))))
+      .withColumnRenamed("col", "g")
+      .withColumn("hg",
+        (graft.queries.Parity.strHash(col("g")) * lit(2654435761L)) % 1000003L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, 3)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val expected = grams
+      .withColumn("wm", min(col("hg")).over(w))
+      .withColumn("maxp", max(col("pos")).over(wAll))
+      .filter(col("pos") <= col("maxp") - 3)
+      .select(col("doc_id"), col("wm")).distinct()
+      .as[(Long, Long)].collect().toSet
+    val got = docs
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.of(col("text"))).as("wm"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("shingle kernel: count and distinctness invariants vs split()") {
+    val s = spark; import s.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val counts = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw"),
+        size(graft.functions.ShingleHash.of(col("text"))).as("nsh"))
+      .as[(Long, Int, Int)].collect()
+    counts.foreach { case (id, nw, nsh) =>
+      assert(nsh == math.max(0, nw - 2), s"doc $id: $nw words, $nsh shingles")
+    }
+    // distinct cardinality equals distinct string-shingle cardinality
+    // (no kernel hash collisions on this corpus)
+    val strDistinct = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("w")) - lit(3)),
+        i => concat_ws("",
+          element_at(col("w"), i + lit(1)),
+          element_at(col("w"), i + lit(2)),
+          element_at(col("w"), i + lit(3))))).as("sh"))
+      .distinct().groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val hashDistinct = docs
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash.of(col("text"))).as("sh"))
+      .distinct().groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(hashDistinct == strDistinct)
+  }
+}
