@@ -293,15 +293,83 @@ object EngineOps {
       |GROUP BY n_name, substring(tag_name, 2)
       |ORDER BY n_name, tag""".stripMargin
 
+  /** q117 — the executive-summary report shape: the reference's one
+    * custom engine there (`executive_summary_ndays`,
+    * executive_summary_report.py:10-15) returns the period length in
+    * days, consumed by day-based ratio formulas. Here NDAYS is a leaf of
+    * the aggregation fixpoint per column group (engines-as-leaves is the
+    * evaluator's contract): average daily revenue and days-sales-
+    * outstanding over two 1995 halves, both fact sums from ONE scan of
+    * conditional aggregates. */
+  def q117(s: SparkSession, d: String): DataFrame = {
+    val s0 = s; import s0.implicits._
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit
+    val halves = Seq(
+      ("h1", LocalDate.parse("1995-01-01"), LocalDate.parse("1995-06-30")),
+      ("h2", LocalDate.parse("1995-07-01"), LocalDate.parse("1995-12-31")))
+    def in(lo: String, hi: String) =
+      col("o_orderdate").between(lo, hi)
+    val aggs = halves.flatMap { case (k, lo, hi) =>
+      Seq(
+        sum(when(in(lo.toString, hi.toString), col("o_totalprice"))
+          .otherwise(0.0)).as(s"rev_$k"),
+        sum(when(in(lo.toString, hi.toString) &&
+            col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
+          .otherwise(0.0)).as(s"recv_$k"))
+    }
+    val row = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*).head()
+    val out = halves.zipWithIndex.flatMap { case ((k, lo, hi), i) =>
+      val leaves = Map(
+        "REV.bal" -> row.getDouble(2 * i),
+        "RECV.bal" -> row.getDouble(2 * i + 1),
+        "NDAYS.val" -> ChronoUnit.DAYS.between(lo, hi).toDouble)
+      val exprs = Map(
+        "ADR.bal" -> AggregationEvaluator.Expr("REV.bal / NDAYS.val",
+          Seq(AggregationEvaluator.RoundTo(2))),
+        "DSO.bal" -> AggregationEvaluator.Expr(
+          "RECV.bal / (REV.bal / NDAYS.val)",
+          Seq(AggregationEvaluator.RoundTo(2))))
+      val r = AggregationEvaluator.evaluate(exprs, leaves)
+      Seq((k, "ADR.bal", r("ADR.bal")), (k, "DSO.bal", r("DSO.bal")),
+        (k, "NDAYS.val", leaves("NDAYS.val")))
+    }
+    out.toDF("grp", "expr", "value").orderBy("grp", "expr")
+  }
+
+  val q117Sql: String =
+    """WITH t AS (
+      |  SELECT
+      |    sum(CASE WHEN o_orderdate BETWEEN '1995-01-01' AND '1995-06-30'
+      |        THEN o_totalprice ELSE 0 END) rev1,
+      |    sum(CASE WHEN o_orderdate BETWEEN '1995-01-01' AND '1995-06-30'
+      |        AND o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END) recv1,
+      |    sum(CASE WHEN o_orderdate BETWEEN '1995-07-01' AND '1995-12-31'
+      |        THEN o_totalprice ELSE 0 END) rev2,
+      |    sum(CASE WHEN o_orderdate BETWEEN '1995-07-01' AND '1995-12-31'
+      |        AND o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END) recv2,
+      |    (DATE '1995-06-30' - DATE '1995-01-01') nd1,
+      |    (DATE '1995-12-31' - DATE '1995-07-01') nd2
+      |  FROM orders)
+      |SELECT 'h1' AS grp, 'ADR.bal' AS expr, round(rev1 / nd1, 2) AS value FROM t
+      |UNION ALL SELECT 'h1', 'DSO.bal', round(recv1 / (rev1 / nd1), 2) FROM t
+      |UNION ALL SELECT 'h1', 'NDAYS.val', nd1::DOUBLE FROM t
+      |UNION ALL SELECT 'h2', 'ADR.bal', round(rev2 / nd2, 2) FROM t
+      |UNION ALL SELECT 'h2', 'DSO.bal', round(recv2 / (rev2 / nd2), 2) FROM t
+      |UNION ALL SELECT 'h2', 'NDAYS.val', nd2::DOUBLE FROM t
+      |ORDER BY grp, expr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_domain_compiler" -> (q41 _), "q42_date_scopes" -> (q42 _),
     "q43_column_groups" -> (q43 _), "q44_agg_fixpoint" -> (q44 _),
+    "q117_executive_summary" -> (q117 _),
     "q45_account_codes" -> (q45 _), "q46_cdc_diff" -> (q46 _),
     "q49_tax_tags" -> (q49 _), "q60_ec_sales" -> (q60 _))
 
   val oracle: Map[String, String] = Map(
     "q41_domain_compiler" -> q41Sql, "q42_date_scopes" -> q42Sql,
     "q43_column_groups" -> q43Sql, "q44_agg_fixpoint" -> q44Sql,
+    "q117_executive_summary" -> q117Sql,
     "q45_account_codes" -> q45Sql, "q46_cdc_diff" -> q46Sql,
     "q49_tax_tags" -> q49Sql, "q60_ec_sales" -> q60Sql)
 }
