@@ -372,6 +372,24 @@ object GateOps {
       |FROM st JOIN amls ON residual = amount
       |GROUP BY line_id, amount ORDER BY line_id""".stripMargin
 
+  /** q118 — cheque print lines (reference dev_print_cheque
+    * report/print_cheque.py:34-60): amount-in-words via the native
+    * [[graft.functions.AmountInWordsExpr]], split into two cheque lines
+    * at the format's first-line word budget. Not SQL-expressible in the
+    * oracle (num2words has no DuckDB equivalent) → registered without
+    * oracleSql for the driver's rows-only check; golden values are pinned
+    * in SourcesHandlersSpec. */
+  def q118(s: SparkSession, d: String): DataFrame = {
+    val words = split(graft.functions.AmountInWords.of(col("o_totalprice")), " ")
+    Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .orderBy(col("o_orderkey")).limit(20)
+      .select(col("o_orderkey").as("cheque_no"), col("o_custkey").as("payee"),
+        (floor(col("o_totalprice") * 100 + 0.5) / 100).as("amount"),
+        concat_ws(" ", slice(words, 1, 6)).as("line1"),
+        concat_ws(" ", slice(words, 7, 1000)).as("line2"))
+      .orderBy(col("cheque_no"))
+  }
+
   /** q71 — the typed options/spec pipeline (§1.2, the reference's
     * initializer chain account_report.py:1389-1456 + column-group cartesian
     * :1193-1290): journals ∧ partner-category ∧ posted-state compose into
@@ -636,7 +654,8 @@ object GateOps {
     "q71_report_spec" -> (q71 _), "q72_cross_report" -> (q72 _),
     "q73_prefix_regroup" -> (q73 _), "q74_journal_report" -> (q74 _),
     "q75_sessionize" -> (q75 _), "q88_ppm_decode" -> (q88 _),
-    "q109_domain_negation" -> (q109 _), "q113_bank_reconciliation" -> (q113 _), "q116_match_suggestions" -> (q116 _))
+    "q109_domain_negation" -> (q109 _), "q113_bank_reconciliation" -> (q113 _), "q116_match_suggestions" -> (q116 _),
+    "q118_cheque_lines" -> (q118 _))
 
   val oracle: Map[String, String] = Map(
     "q65_external_carryover" -> q65Sql, "q66_line_tree_render" -> q66Sql,

@@ -170,4 +170,26 @@ class SourcesHandlersSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = df.withColumn("b", bucket).select("b").as[String].collect().sorted.toSeq
     assert(out == Seq("b0_le_30", "b1_le_365", "b2_gt_365"))
   }
+
+  test("amount-in-words matches the cheque assembly golden values") {
+    import graft.functions.AmountInWordsExpr._
+    assert(toWords(0) == "zero")
+    assert(toWords(7) == "seven")
+    assert(toWords(42) == "forty-two")
+    assert(toWords(105) == "one hundred and five")
+    assert(toWords(1000) == "one thousand")
+    assert(toWords(1234567) ==
+      "one million two hundred and thirty-four thousand five hundred and sixty-seven")
+    assert(toWords(2000000001L) == "two billion one")
+    assert(phrase(0.0) == "zero only")
+    assert(phrase(118.0) == "one hundred and eighteen only")
+    assert(phrase(118.05) == "one hundred and eighteen and 05 / 100 only")
+    assert(phrase(99.999) == "one hundred only") // cents round half-up
+    // Column path: split into cheque lines like q118
+    val s = spark; import s.implicits._
+    val out = Seq(1234.56).toDF("amt")
+      .select(graft.functions.AmountInWords.of(org.apache.spark.sql.functions.col("amt")))
+      .as[String].head()
+    assert(out == "one thousand two hundred and thirty-four and 56 / 100 only")
+  }
 }
