@@ -418,13 +418,128 @@ object CurationOps {
       |      FROM documents)
       |WHERE rn <= 3 ORDER BY lang, rk""".stripMargin
 
+  /** Words per paragraph block for [[q119]] — the synthetic corpus has no
+    * newlines, so fixed word blocks stand in for paragraphs; the dedup
+    * algebra is segmentation-agnostic. */
+  val BlockWords = 16L
+
+  /** q119 — paragraph-level dedup (the CCNet/RefinedWeb shape): segment
+    * every document into word blocks, hash each block, count each block's
+    * corpus-wide document frequency, and drop every block that appears in
+    * more than one document (boilerplate paragraphs: headers, footers,
+    * licence text). Emits per document the block count, how many blocks
+    * were removed, and the retained token count.
+    *
+    * Scale: segmentation is a map-side explode; the df is ONE aggregation
+    * keyed by the 128-bit block hash (never the block text — the shuffle
+    * carries fixed-width keys); the rescore joins back on the same hash so
+    * the exchange is reused. No windows, no global sort. */
+  def q119(s: SparkSession, d: String): DataFrame = {
+    val B = BlockWords
+    val blocks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"), size(col("__w")).cast("long").as("nw"), col("__w"))
+      .select(col("doc_id"), col("__w"),
+        explode(sequence(lit(0L), floor((col("nw") - 1) / B).cast("long"))).as("k"),
+        col("nw"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(col("__w"), (col("k") * B + 1).cast("int"), lit(B.toInt)))).as("bh"),
+        least(lit(B), col("nw") - col("k") * B).as("btok"))
+    val df_ = blocks.groupBy(col("bh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    blocks.join(df_, Seq("bh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("df") === 1, col("btok")).otherwise(0L)).as("retained_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q119Sql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+       |b AS (SELECT doc_id,
+       |        md5(array_to_string(ws[k*$BlockWords+1 : (k+1)*$BlockWords], ' ')) bh,
+       |        least($BlockWords, len(ws) - k*$BlockWords) btok
+       |      FROM (SELECT doc_id, ws,
+       |              unnest(range(0, (len(ws)-1) // $BlockWords + 1)) k
+       |            FROM t)),
+       |f AS (SELECT bh, count(DISTINCT doc_id) df FROM b GROUP BY bh)
+       |SELECT doc_id, count(*)::BIGINT n_blocks,
+       |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) n_removed,
+       |  CAST(sum(CASE WHEN df = 1 THEN btok ELSE 0 END) AS BIGINT) retained_tokens
+       |FROM b JOIN f USING (bh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q120 — deterministic per-epoch shuffle: multi-epoch training wants a
+    * DIFFERENT but reproducible document order each epoch; each epoch's
+    * order is the portable LCG over doc_id salted by the epoch. Emits the
+    * first 3 documents per (epoch, lang) shard as the order head — enough
+    * for the oracle to pin the full permutation's determinism. Scale: the
+    * rank window is partitioned per (epoch, lang) shard (real pipelines
+    * shuffle within output shards, never globally); epochs fan out
+    * map-side. */
+  def q120(s: SparkSession, d: String): DataFrame = {
+    val key = ((col("doc_id") + lit(1L)) * lit(1103515245L)
+      + lit(12345L) + col("epoch") * lit(69069L)) % lit(2147483647L)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode(array(lit(0L), lit(1L))).as("epoch"))
+      .withColumn("k", key)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("epoch"), col("lang"))
+          .orderBy(col("k"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("epoch"), col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("epoch"), col("lang"), col("rk"))
+  }
+
+  val q120Sql: String =
+    """WITH e AS (SELECT lang, doc_id, unnest([0, 1]) epoch FROM documents),
+      |k AS (SELECT epoch, lang, doc_id,
+      |        ((doc_id+1)*1103515245 + 12345 + epoch*69069) % 2147483647 k
+      |      FROM e),
+      |r AS (SELECT epoch, lang, doc_id,
+      |        row_number() OVER (PARTITION BY epoch, lang ORDER BY k, doc_id) rk
+      |      FROM k)
+      |SELECT CAST(epoch AS BIGINT) epoch, lang, CAST(rk AS BIGINT) rk, doc_id
+      |FROM r WHERE rk <= 3 ORDER BY epoch, lang, rk""".stripMargin
+
+  /** q121 — pattern redaction with an audit trail (the PII-scrubbing
+    * shape: mask every match of a sensitive pattern, record how many
+    * redactions were applied per document). The corpus has no real PII, so
+    * the gated pattern is `customer <word>` / `supplier <word>` standing in
+    * for `<name> <surname>`-style entity patterns; the operator — global
+    * regexp masking + per-doc audit counts + content hash of the scrubbed
+    * text — is pattern-agnostic. Scale: pure map, no shuffle before the
+    * final ordering; the scrubbed text would stream straight to the
+    * landing sink. */
+  def q121(s: SparkSession, d: String): DataFrame = {
+    val pat = "(customer|supplier) [a-z]+"
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(pat)).cast("long").as("n_redacted"),
+        md5(regexp_replace(col("text"), pat, "<ENTITY>")).as("scrubbed_h"),
+        length(regexp_replace(col("text"), pat, "<ENTITY>")).cast("long")
+          .as("scrubbed_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q121Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '(customer|supplier) [a-z]+'))::BIGINT n_redacted,
+      |  md5(regexp_replace(text, '(customer|supplier) [a-z]+', '<ENTITY>', 'g')) scrubbed_h,
+      |  len(regexp_replace(text, '(customer|supplier) [a-z]+', '<ENTITY>', 'g'))::BIGINT scrubbed_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_seq_packing" -> (q101 _), "q102_contamination" -> (q102 _),
     "q103_embedding_stats" -> (q103 _), "q104_repetition" -> (q104 _),
     "q105_rare_tokens" -> (q105 _), "q106_jsonl_ingest" -> (q106 _),
     "q107_quota_sample" -> (q107 _), "q108_incremental_dedup" -> (q108 _),
     "q110_overlap_chunking" -> (q110 _), "q111_corpus_mix" -> (q111 _),
-    "q112_best_per_lang" -> (q112 _))
+    "q112_best_per_lang" -> (q112 _), "q119_paragraph_dedup" -> (q119 _),
+    "q120_epoch_shuffle" -> (q120 _), "q121_redaction" -> (q121 _))
 
   val oracle: Map[String, String] = Map(
     "q101_seq_packing" -> q101Sql, "q102_contamination" -> q102Sql,
@@ -432,5 +547,6 @@ object CurationOps {
     "q105_rare_tokens" -> q105Sql, "q106_jsonl_ingest" -> q106Sql,
     "q107_quota_sample" -> q107Sql, "q108_incremental_dedup" -> q108Sql,
     "q110_overlap_chunking" -> q110Sql, "q111_corpus_mix" -> q111Sql,
-    "q112_best_per_lang" -> q112Sql)
+    "q112_best_per_lang" -> q112Sql, "q119_paragraph_dedup" -> q119Sql,
+    "q120_epoch_shuffle" -> q120Sql, "q121_redaction" -> q121Sql)
 }
