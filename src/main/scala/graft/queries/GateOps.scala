@@ -646,8 +646,71 @@ object GateOps {
       |       * ((doc_id * 131 + i * 17) % 2001 - 1000))) AS DOUBLE) / n AS mean_sq
       |FROM m ORDER BY media_id""".stripMargin
 
+  /** q122 — declarative data-quality audit ([[graft.operators.QualityAudit]]):
+    * a four-rule constraint suite over `events` — value range, event-type
+    * enum membership, event_id uniqueness, user_id→customer referential
+    * integrity — reported as one row per rule. The fixture exercises both
+    * outcomes: the range and enum rules catch real violations, the
+    * uniqueness and FK rules pass clean. Scale: row+unique rules share ONE
+    * scan (conditional sums + count-distinct in a single aggregate); the FK
+    * rule is one broadcast anti-join. */
+  def q122(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.QualityAudit._
+    audit(Tables.events(s, d), Seq(
+      RowRule("r1_value_range", col("value").between(0.0, 100.0)),
+      RowRule("r2_type_enum",
+        col("event_type").isin("click", "view", "purchase", "signup")),
+      UniqueRule("r3_id_unique", Seq(col("event_id"))),
+      FkRule("r4_user_fk", Seq(col("user_id")),
+        Tables.customer(s, d), Seq(col("c_custkey")))))
+  }
+
+  val q122Sql: String =
+    """SELECT 'r1_value_range' rule_name, count(*)::BIGINT n_checked,
+      |  CAST(sum(CASE WHEN value BETWEEN 0 AND 100 THEN 0 ELSE 1 END) AS BIGINT) n_violations
+      |FROM events
+      |UNION ALL
+      |SELECT 'r2_type_enum', count(*)::BIGINT,
+      |  CAST(sum(CASE WHEN event_type IN ('click','view','purchase','signup')
+      |       THEN 0 ELSE 1 END) AS BIGINT)
+      |FROM events
+      |UNION ALL
+      |SELECT 'r3_id_unique', count(*)::BIGINT,
+      |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+      |FROM events
+      |UNION ALL
+      |SELECT 'r4_user_fk', count(*)::BIGINT,
+      |  (SELECT count(*)::BIGINT FROM events
+      |   WHERE user_id NOT IN (SELECT c_custkey FROM customer))
+      |FROM events
+      |ORDER BY rule_name""".stripMargin
+
+  /** q123 — hot-key skew profile: the diagnostic a 1000-executor job runs
+    * BEFORE a big join — per-key row counts, then the global top-5 hottest
+    * keys via the native bounded top-k aggregate ([[graft.functions
+    * .TopKByScore]]), so only k tuples per partition cross the exchange,
+    * never a global sort. Feeds the salting decision in
+    * [[graft.engine.SkewJoin]]. */
+  def q123(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("c").cast("double"), col("l_orderkey"), 5).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("l_orderkey"), col("col.score").cast("long").as("n_rows"))
+      .orderBy(col("rk"))
+
+  val q123Sql: String =
+    """WITH c AS (SELECT l_orderkey, count(*) c FROM lineitem GROUP BY 1),
+      |r AS (SELECT l_orderkey, c,
+      |        row_number() OVER (ORDER BY c DESC, l_orderkey) rk FROM c)
+      |SELECT CAST(rk AS BIGINT) rk, l_orderkey, CAST(c AS BIGINT) n_rows
+      |FROM r WHERE rk <= 5 ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q89_wav_decode" -> (q89 _),
+    "q89_wav_decode" -> (q89 _), "q122_quality_audit" -> (q122 _),
+    "q123_skew_profile" -> (q123 _),
     "q65_external_carryover" -> (q65 _), "q66_line_tree_render" -> (q66 _),
     "q67_csv_ingest" -> (q67 _), "q68_branch_security" -> (q68 _),
     "q69_multimodal_meta" -> (q69 _), "q70_like_domain" -> (q70 _),
@@ -665,5 +728,6 @@ object GateOps {
     "q73_prefix_regroup" -> q73Sql, "q74_journal_report" -> q74Sql,
     "q75_sessionize" -> q75Sql, "q88_ppm_decode" -> q88Sql,
     "q89_wav_decode" -> q89Sql, "q109_domain_negation" -> q109Sql,
-    "q113_bank_reconciliation" -> q113Sql, "q116_match_suggestions" -> q116Sql)
+    "q113_bank_reconciliation" -> q113Sql, "q116_match_suggestions" -> q116Sql,
+    "q122_quality_audit" -> q122Sql, "q123_skew_profile" -> q123Sql)
 }

@@ -313,4 +313,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = batch.as[(String, String, Long, Double)].collect().toSet
     assert(a == b)
   }
+
+  test("quality audit: null predicate counts as violation; unique + FK math") {
+    import graft.operators.QualityAudit._
+    val s = spark; import s.implicits._
+    val fact = Seq(
+      (1L, Some(5.0), 10L),   // clean
+      (2L, None, 10L),        // null value → range rule can't prove → violation
+      (2L, Some(-1.0), 99L),  // dup id, out of range, orphan FK
+      (3L, Some(7.0), 11L)
+    ).toDF("id", "value", "fk")
+    val dim = Seq(10L, 11L).toDF("k")
+    val rows = audit(fact, Seq(
+        RowRule("range", col("value").between(0.0, 100.0)),
+        UniqueRule("uniq", Seq(col("id"))),
+        FkRule("fk", Seq(col("fk")), dim, Seq(col("k")))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("range", 4L, 2L), ("uniq", 4L, 1L), ("fk", 4L, 1L)))
+  }
+
+  test("quality audit: FK-only suite and empty rule list") {
+    import graft.operators.QualityAudit._
+    val s = spark; import s.implicits._
+    val fact = Seq((1L, 10L), (2L, 12L)).toDF("id", "fk")
+    val dim = Seq(10L).toDF("k")
+    val fkOnly = audit(fact, Seq(FkRule("fk", Seq(col("fk")), dim, Seq(col("k")))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fkOnly == Set(("fk", 2L, 1L)))
+    assert(audit(fact, Seq.empty).count() == 0)
+  }
 }
