@@ -708,9 +708,58 @@ object GateOps {
       |SELECT CAST(rk AS BIGINT) rk, l_orderkey, CAST(c AS BIGINT) n_rows
       |FROM r WHERE rk <= 5 ORDER BY rk""".stripMargin
 
+  /** q124 — one-scan table profile ([[graft.operators.TableProfile]]):
+    * the ingest-time column statistics report over `orders` — row,
+    * non-null, and exact distinct counts plus min/max per column, one row
+    * per column. min/max surface as strings so the tall report spans
+    * heterogeneous types; the gated columns are BIGINT/VARCHAR so the
+    * string rendering is parity-trivial. */
+  def q124(s: SparkSession, d: String): DataFrame =
+    graft.operators.TableProfile.profile(Tables.orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
+  val q124Sql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' col_name, count(*)::BIGINT n_rows,
+         |  count($c)::BIGINT n_nonnull, count(DISTINCT $c)::BIGINT n_distinct,
+         |  CAST(min($c) AS VARCHAR) min_str, CAST(max($c) AS VARCHAR) max_str
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(one).mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+  }
+
+  /** q125 — Z-order layout key ([[graft.functions.ZOrder]]): the Morton
+    * interleave of (l_partkey, l_suppkey) low bytes — the sort key that
+    * clusters parquet row groups for min/max skipping on EITHER column.
+    * Gated as per-returnflag z statistics (count / min / max / sum), pure
+    * bit arithmetic identical in both engines. */
+  def q125(s: SparkSession, d: String): DataFrame = {
+    val z = graft.functions.ZOrder.zvalue(
+      col("l_partkey").bitwiseAND(lit(255L)),
+      col("l_suppkey").bitwiseAND(lit(255L)), 8)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), z.as("z"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"),
+        max(col("z")).as("z_max"), sum(col("z")).as("z_sum"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q125Sql: String =
+    """WITH z AS (
+      |  SELECT l_returnflag,
+      |    CAST(list_sum(list_transform(range(8), i ->
+      |      (((l_partkey & 255) >> i) & 1) * (1 << (2*i))
+      |      + (((l_suppkey & 255) >> i) & 1) * (1 << (2*i + 1)))) AS BIGINT) z
+      |  FROM lineitem)
+      |SELECT l_returnflag, count(*)::BIGINT n, CAST(min(z) AS BIGINT) z_min,
+      |  CAST(max(z) AS BIGINT) z_max, CAST(sum(z) AS BIGINT) z_sum
+      |FROM z GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_wav_decode" -> (q89 _), "q122_quality_audit" -> (q122 _),
-    "q123_skew_profile" -> (q123 _),
+    "q123_skew_profile" -> (q123 _), "q124_table_profile" -> (q124 _),
+    "q125_zorder_key" -> (q125 _),
     "q65_external_carryover" -> (q65 _), "q66_line_tree_render" -> (q66 _),
     "q67_csv_ingest" -> (q67 _), "q68_branch_security" -> (q68 _),
     "q69_multimodal_meta" -> (q69 _), "q70_like_domain" -> (q70 _),
@@ -729,5 +778,6 @@ object GateOps {
     "q75_sessionize" -> q75Sql, "q88_ppm_decode" -> q88Sql,
     "q89_wav_decode" -> q89Sql, "q109_domain_negation" -> q109Sql,
     "q113_bank_reconciliation" -> q113Sql, "q116_match_suggestions" -> q116Sql,
-    "q122_quality_audit" -> q122Sql, "q123_skew_profile" -> q123Sql)
+    "q122_quality_audit" -> q122Sql, "q123_skew_profile" -> q123Sql,
+    "q124_table_profile" -> q124Sql, "q125_zorder_key" -> q125Sql)
 }

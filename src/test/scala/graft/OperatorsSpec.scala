@@ -332,6 +332,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set(("range", 4L, 2L), ("uniq", 4L, 1L), ("fk", 4L, 1L)))
   }
 
+  test("z-order: bijective on the 8-bit grid and round-trips via zdecode") {
+    import graft.functions.ZOrder
+    val s = spark; import s.implicits._
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val out = pts.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zvalue(col("x"), col("y"), 8).as("z"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._3).distinct.length == pts.length) // injective
+    out.foreach { case (x, y, z) =>
+      assert(ZOrder.zdecode(z, 8) == ((x, y)))
+      assert(z >= 0 && z < (1L << 16))
+    }
+  }
+
   test("quality audit: FK-only suite and empty rule list") {
     import graft.operators.QualityAudit._
     val s = spark; import s.implicits._
