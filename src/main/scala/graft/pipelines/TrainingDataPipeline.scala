@@ -57,4 +57,56 @@ object TrainingDataPipeline {
         graft.queries.Parity.fr(
           sum(col("n_chars")).cast("double") / count(lit(1)), 2).as("avg_chars"))
   }
+
+  /** The round-3 composed flow — the steps a corpus release runs AFTER
+    * document-level dedup: pattern redaction (PII masking), paragraph-level
+    * block dedup (corpus-wide boilerplate removal), repetition +
+    * retained-token quality filtering, then the per-language mix report.
+    * Composes the individually-gated q121/q119/q104 operators into ONE
+    * plan:
+    *
+    *   documents
+    *     → redact `pattern` globally (map)
+    *     → drop word blocks whose block-hash appears in >1 document
+    *       (one aggregation keyed by the 128-bit block hash)
+    *     → keep docs with ≥ `minRetained` surviving tokens and a
+    *       repeated-word ratio ≤ `maxRepRatio`
+    *     → per-language kept-doc and kept-token totals
+    *
+    * Scale: the scrub is map-side; block df and the repetition signal are
+    * key-partitioned aggregations; the final joins are doc_id-keyed. No
+    * windows, no global sort, no driver state. */
+  def curateV2(documents: DataFrame, pattern: String, blockWords: Long,
+               minRetained: Long, maxRepRatio: Double): DataFrame = {
+    val withW = documents
+      .select(col("doc_id"), col("lang"),
+        split(regexp_replace(col("text"), pattern, "<ENTITY>"), " ").as("__w"))
+      .withColumn("nw", size(col("__w")).cast("long"))
+    val blocks = withW
+      .select(col("doc_id"), col("__w"), col("nw"),
+        explode(sequence(lit(0L),
+          floor((col("nw") - 1) / blockWords).cast("long"))).as("k"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("__w"),
+          (col("k") * blockWords + 1).cast("int"), lit(blockWords.toInt)))).as("bh"),
+        least(lit(blockWords), col("nw") - col("k") * blockWords).as("btok"))
+    val dfc = blocks.groupBy(col("bh")).agg(countDistinct(col("doc_id")).as("df"))
+    val retained = blocks.join(dfc, Seq("bh"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("df") === 1, col("btok")).otherwise(0L)).as("rtok"))
+    val repetition = withW
+      .select(col("doc_id"), explode(col("__w")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((lit(1.0) - count(lit(1)).cast("double") / sum(col("c"))).as("rr"))
+    withW.select(col("doc_id"), col("lang"))
+      .join(retained, Seq("doc_id")).join(repetition, Seq("doc_id"))
+      .withColumn("kept",
+        col("rtok") >= minRetained && col("rr") <= maxRepRatio)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("rtok")).otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("lang"))
+  }
 }

@@ -532,6 +532,41 @@ object CurationOps {
       |  len(regexp_replace(text, '(customer|supplier) [a-z]+', '<ENTITY>', 'g'))::BIGINT scrubbed_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q126 — the composed corpus-release pipeline
+    * ([[graft.pipelines.TrainingDataPipeline.curateV2]]): redaction →
+    * paragraph-block dedup → repetition/retained-token quality filter →
+    * per-language mix. Thresholds chosen so every stage provably bites on
+    * the fixture (each filter alone drops documents; jointly half the
+    * corpus survives). */
+  def q126(s: SparkSession, d: String): DataFrame =
+    graft.pipelines.TrainingDataPipeline.curateV2(
+      Tables.documents(s, d), "(customer|supplier) [a-z]+",
+      blockWords = BlockWords, minRetained = 40L, maxRepRatio = 0.67)
+
+  val q126Sql: String =
+    s"""WITH scrub AS (SELECT doc_id, lang,
+       |    regexp_replace(text, '(customer|supplier) [a-z]+', '<ENTITY>', 'g') st
+       |  FROM documents),
+       |t AS (SELECT doc_id, lang, string_split(st, ' ') ws FROM scrub),
+       |b AS (SELECT doc_id,
+       |        md5(array_to_string(ws[k*$BlockWords+1 : (k+1)*$BlockWords], ' ')) bh,
+       |        least($BlockWords, len(ws) - k*$BlockWords) btok
+       |      FROM (SELECT doc_id, ws,
+       |              unnest(range(0, (len(ws)-1) // $BlockWords + 1)) k FROM t)),
+       |f AS (SELECT bh, count(DISTINCT doc_id) df FROM b GROUP BY bh),
+       |ret AS (SELECT doc_id,
+       |          CAST(sum(CASE WHEN df = 1 THEN btok ELSE 0 END) AS BIGINT) rtok
+       |        FROM b JOIN f USING (bh) GROUP BY doc_id),
+       |w AS (SELECT doc_id, unnest(ws) w FROM t),
+       |c AS (SELECT doc_id, w, count(*) c FROM w GROUP BY 1, 2),
+       |rep AS (SELECT doc_id, 1.0 - CAST(count(*) AS DOUBLE)/sum(c) rr
+       |        FROM c GROUP BY doc_id)
+       |SELECT lang, count(*)::BIGINT n_docs,
+       |  CAST(sum(CASE WHEN rtok >= 40 AND rr <= 0.67 THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+       |  CAST(sum(CASE WHEN rtok >= 40 AND rr <= 0.67 THEN rtok ELSE 0 END) AS BIGINT) tokens_kept
+       |FROM t JOIN ret USING (doc_id) JOIN rep USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_seq_packing" -> (q101 _), "q102_contamination" -> (q102 _),
     "q103_embedding_stats" -> (q103 _), "q104_repetition" -> (q104 _),
@@ -539,7 +574,8 @@ object CurationOps {
     "q107_quota_sample" -> (q107 _), "q108_incremental_dedup" -> (q108 _),
     "q110_overlap_chunking" -> (q110 _), "q111_corpus_mix" -> (q111 _),
     "q112_best_per_lang" -> (q112 _), "q119_paragraph_dedup" -> (q119 _),
-    "q120_epoch_shuffle" -> (q120 _), "q121_redaction" -> (q121 _))
+    "q120_epoch_shuffle" -> (q120 _), "q121_redaction" -> (q121 _),
+    "q126_curation_v2" -> (q126 _))
 
   val oracle: Map[String, String] = Map(
     "q101_seq_packing" -> q101Sql, "q102_contamination" -> q102Sql,
@@ -548,5 +584,6 @@ object CurationOps {
     "q107_quota_sample" -> q107Sql, "q108_incremental_dedup" -> q108Sql,
     "q110_overlap_chunking" -> q110Sql, "q111_corpus_mix" -> q111Sql,
     "q112_best_per_lang" -> q112Sql, "q119_paragraph_dedup" -> q119Sql,
-    "q120_epoch_shuffle" -> q120Sql, "q121_redaction" -> q121Sql)
+    "q120_epoch_shuffle" -> q120Sql, "q121_redaction" -> q121Sql,
+    "q126_curation_v2" -> q126Sql)
 }

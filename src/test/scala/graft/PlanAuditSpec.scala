@@ -101,4 +101,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(onlyScalarBnlj(p))
     assert(!p.contains("windowspecdefinition"))
   }
+
+  test("curation v2 pipeline: pure map/agg/join — no windows, no loop joins") {
+    val p = plan("q126_curation_v2")
+    assert(onlyScalarBnlj(p))
+    assert(!p.contains("windowspecdefinition"))
+  }
+
+  test("quality audit runs row+unique rules in one scan of the fact") {
+    val p = plan("q122_quality_audit")
+    // the events scan appears once for the row/unique aggregate and once
+    // per FK branch (count + anti-join probe): 3 scans for 4 rules, and
+    // never a nested loop
+    assert(onlyScalarBnlj(p))
+    assert("Scan parquet .*events".r.findAllIn(p).size <= 3, p)
+  }
 }
