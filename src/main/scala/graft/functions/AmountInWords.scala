@@ -62,6 +62,8 @@ object AmountInWordsExpr {
   /** Integer part in words (short scale, to billions). */
   def toWords(n: Long): String = {
     require(n >= 0, "cheque amounts are non-negative")
+    require(n < 1000000000000L,
+      s"amount $n exceeds the supported short scale (max 999,999,999,999)")
     if (n == 0) return "zero"
     val scales = Seq((1000000000L, "billion"), (1000000L, "million"),
       (1000L, "thousand"), (1L, ""))

@@ -203,11 +203,7 @@ object CurationOps {
     * aggregates `nation` directly; the split counts ride along. */
   def q106(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val dir = new java.io.File("/root/repo/target/gate_json")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(): Unit
-    }
-    rm(dir); dir.mkdirs()
+    val dir = graft.Scratch.fresh("gate_json")
     val rows = Tables.nation(s, d)
       .select(col("n_nationkey").cast("long"), col("n_name"),
         col("n_regionkey").cast("long"))

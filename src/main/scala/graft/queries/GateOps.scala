@@ -150,8 +150,7 @@ object GateOps {
     * aggregates `nation` directly; valid/corrupt counts ride along as
     * columns. */
   def q67(s: SparkSession, d: String): DataFrame = {
-    val dir = new java.io.File("/root/repo/target/gate_csv")
-    deleteRec(dir); dir.mkdirs()
+    val dir = graft.Scratch.fresh("gate_csv")
     val rows = Tables.nation(s, d)
       .select(col("n_nationkey").cast("long"), col("n_name"),
         col("n_regionkey").cast("long"))

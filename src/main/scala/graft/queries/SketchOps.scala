@@ -262,11 +262,13 @@ object SketchOps {
 
   /** q100 — the APPROXIMATE family for groups too heavy to sort: t-digest
     * quantiles (`percentile_approx`) and HyperLogLog distincts
-    * (`approx_count_distinct`) per nation over order totals. Deliberately
-    * oracle-less (sketch internals differ across engines; the driver
-    * records the weaker rows-only check): these are the swap-ins the
-    * exact q86/q82 gates document, and the estimates are sanity-bounded
-    * against the exact values computed alongside. */
+    * (`approx_count_distinct`) per nation over order totals. The sketch
+    * estimates themselves are engine-specific, so they are reduced to
+    * within-10%-of-exact BOOLEAN columns; everything else in the output
+    * (counts, exact median via interpolating `percentile` ≡ DuckDB
+    * `quantile_cont`, exact distinct) IS oracle-gated — the oracle emits
+    * literal TRUE for the two check columns, so a misconfigured sketch
+    * flips a boolean and fails the hash compare. */
   def q100(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
@@ -279,14 +281,24 @@ object SketchOps {
         percentile(col("o_totalprice"), lit(0.5)).as("p50_exact"),
         approx_count_distinct(col("o_custkey")).as("custs_hll"),
         countDistinct(col("o_custkey")).as("custs_exact"))
-      // estimates must land near their exact counterparts, or the sketch
-      // configuration is wrong — enforced in the result itself
-      .withColumn("hll_rel_err",
-        abs(col("custs_hll") - col("custs_exact")).cast("double") / col("custs_exact"))
-      .filter(col("hll_rel_err") < 0.1 &&
-        abs(col("p50_tdigest") - col("p50_exact")) / col("p50_exact") < 0.1)
+      .select(col("n_name"), col("n_orders"), col("custs_exact"),
+        col("p50_exact"),
+        (abs(col("custs_hll") - col("custs_exact")).cast("double")
+          < col("custs_exact") * 0.1).as("hll_ok"),
+        (abs(col("p50_tdigest") - col("p50_exact"))
+          < col("p50_exact") * 0.1).as("tdigest_ok"))
       .orderBy(col("n_name"))
   }
+
+  val q100Sql: String =
+    """SELECT n_name, count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS custs_exact,
+      |  quantile_cont(o_totalprice, 0.5) AS p50_exact,
+      |  TRUE AS hll_ok, TRUE AS tdigest_ok
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_cdc_apply" -> (q81 _), "q82_kmv_distinct" -> (q82 _),
@@ -298,5 +310,5 @@ object SketchOps {
     "q81_cdc_apply" -> q81Sql, "q82_kmv_distinct" -> q82Sql,
     "q83_stratified_split" -> q83Sql, "q91_histogram" -> q91Sql,
     "q92_merge_upsert" -> q92Sql, "q93_scd2_history" -> q93Sql,
-    "q96_cohort_retention" -> q96Sql)
+    "q96_cohort_retention" -> q96Sql, "q100_approx_sketches" -> q100Sql)
 }

@@ -181,7 +181,9 @@ object Handlers {
       def sumIf(c: Column): Column = sum(when(c, col("amount")).otherwise(lit(0.0)))
       val st = statements.agg(
         count(lit(1)).as("n"),
-        sum(col("amount")).as("gl"),
+        // coalesce: sum over an empty input is NULL; the report must emit
+        // zeroed lines, not NPE on getDouble (sumIf already defaults 0.0)
+        coalesce(sum(col("amount")), lit(0.0)).as("gl"),
         sumIf(col("reconciled")).as("rec"),
         count(when(!col("reconciled") && col("amount") > 0, 1)).as("n_plus"),
         sumIf(!col("reconciled") && col("amount") > 0).as("plus"),

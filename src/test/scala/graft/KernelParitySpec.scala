@@ -86,7 +86,7 @@ class KernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("w")) - lit(3)),
-        i => concat_ws("",
+        i => concat_ws(" ",
           element_at(col("w"), i + lit(1)),
           element_at(col("w"), i + lit(2)),
           element_at(col("w"), i + lit(3))))).as("sh"))
