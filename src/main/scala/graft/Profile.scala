@@ -107,3 +107,72 @@ object Profile {
     spark.stop()
   }
 }
+
+/** Dev tool: stage-level timing for q59 (pairs vs clustering rounds). */
+object ProfileCC {
+  import Profile.time
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, sfDir)
+    // warmup scan
+    time("warmup docs scan") { docs.count() }
+    val pairs = queries.DedupOps.jaccardPairs(docs, 0.5)
+      .select(col("d1").as("a"), col("d2").as("b"))
+    time("pairs only (cached after)") { println("n_pairs=" + pairs.cache().count()) }
+    time("cc on cached pairs") {
+      println("n_lab=" + operators.DupClusters
+        .connectedComponents(pairs, uniquePairs = true).count())
+    }
+    val pairs2 = queries.DedupOps.jaccardPairs(docs, 0.5)
+      .select(col("d1").as("a"), col("d2").as("b"))
+    time("q59 full (uncached pairs + cc)") {
+      println("n=" + operators.DupClusters
+        .connectedComponents(pairs2, uniquePairs = true).count())
+    }
+    spark.stop()
+  }
+}
+
+/** Dev tool: stage-level timing inside jaccardPairs at sf0.1. */
+object ProfilePairs {
+  import Profile.time
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, sfDir)
+    time("warmup docs scan") { docs.count() }
+    val sh0 = docs
+      .select(col("doc_id"), explode(graft.functions.ShingleHash.of(col("text"))).as("s"))
+      .distinct()
+    time("explode only (no distinct)") { println(docs
+      .select(col("doc_id"), explode(graft.functions.ShingleHash.of(col("text"))).as("s")).count()) }
+    time("sh0 = explode+distinct") { println(sh0.count()) }
+    val cap = docs.agg(greatest(lit(5L), floor(count(lit(1)) / lit(100)).cast("long")).as("cap"))
+    val keep = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(cap)).filter(col("df") <= col("cap")).select(col("s"))
+    time("keep (df agg)") { println(keep.count()) }
+    val sh = sh0.join(keep, Seq("s")).cache()
+    time("sh = join back + cache") { println(sh.count()) }
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    time("sizes") { println(sizes.count()) }
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    time("self-join + pair agg") { println(inter.count()) }
+    spark.stop()
+  }
+}

@@ -31,7 +31,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * The hash VALUES are internal — only doc-level pair counts ever surface,
   * so the oracle compares results, not hashes; any well-distributed 64-bit
   * hash is parity-safe (collisions ~n²/2⁶⁴, negligible both engines). */
-final case class ShingleHashExpr(child: Expression) extends UnaryExpression {
+final case class ShingleHashExpr(child: Expression,
+                                 distinct: Boolean = false)
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -39,14 +41,18 @@ final case class ShingleHashExpr(child: Expression) extends UnaryExpression {
       s"shingle_hashes expects string, got $t")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "shingle_hashes"
+  override def prettyName: String =
+    if (distinct) "shingle_hashes_distinct" else "shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHashExpr.shingles(input.asInstanceOf[UTF8String])
+    if (distinct) ShingleHashExpr.shinglesDistinct(input.asInstanceOf[UTF8String])
+    else ShingleHashExpr.shingles(input.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (distinct) "shinglesDistinct" else "shingles"
     defineCodeGen(ctx, ev, c =>
-      s"${classOf[ShingleHashExpr].getName}$$.MODULE$$.shingles($c)")
+      s"${classOf[ShingleHashExpr].getName}$$.MODULE$$.$m($c)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
     copy(child = newChild)
@@ -58,12 +64,15 @@ object ShingleHashExpr {
   private final val Golden = 0x9e3779b97f4a7c15L
 
   /** The shared kernel (also called from generated code). */
-  def shingles(s: UTF8String): ArrayData = {
+  def shingles(s: UTF8String): ArrayData =
+    new GenericArrayData(shinglesRaw(s))
+
+  private def shinglesRaw(s: UTF8String): Array[Long] = {
     val nb = s.numBytes
     var words = 1
     var i = 0
     while (i < nb) { if (s.getByte(i) == 0x20) words += 1; i += 1 }
-    if (words < 3) return new GenericArrayData(Array.emptyLongArray)
+    if (words < 3) return Array.emptyLongArray
     val wh = new Array[Long](words)
     var w = 0
     var h = FnvInit
@@ -86,7 +95,29 @@ object ShingleHashExpr {
       out(k) = x ^ (x >>> 31)
       k += 1
     }
-    new GenericArrayData(out)
+    out
+  }
+
+  /** [[shingles]] with per-document dedup (SET semantics): sort + compact
+    * the hash array in place — O(k log k) on a few hundred longs per row.
+    * This is the Jaccard family's distinct-(doc_id, shingle) step executed
+    * AT THE SCAN, so the pipeline never pays a cluster-wide `distinct()`
+    * shuffle of the raw exploded shingles (at 100 TB that shuffle is the
+    * single biggest movement of the dedup pipeline; per-row dedup is free
+    * parallelism). Output order is sorted, which downstream aggregation
+    * does not observe. */
+  def shinglesDistinct(s: UTF8String): ArrayData = {
+    val raw = shinglesRaw(s)
+    if (raw.length < 2) return new GenericArrayData(raw)
+    java.util.Arrays.sort(raw)
+    var n = 1
+    var k = 1
+    while (k < raw.length) {
+      if (raw(k) != raw(n - 1)) { raw(n) = raw(k); n += 1 }
+      k += 1
+    }
+    if (n == raw.length) new GenericArrayData(raw)
+    else new GenericArrayData(java.util.Arrays.copyOf(raw, n))
   }
 }
 
@@ -94,4 +125,10 @@ object ShingleHash {
   /** Column-API entry point: `array<long>` of word-3-gram hashes. */
   def of(c: Column): Column =
     Bridge.column(ShingleHashExpr(Bridge.expression(c)))
+
+  /** Column-API entry point: DISTINCT word-3-gram hashes per document —
+    * use when downstream treats shingles as a set (Jaccard), saving the
+    * post-explode distinct shuffle. */
+  def distinctOf(c: Column): Column =
+    Bridge.column(ShingleHashExpr(Bridge.expression(c), distinct = true))
 }

@@ -20,13 +20,27 @@ object DupClusters {
 
   /** `edges`: undirected pairs in columns (`a`, `b`). Returns
     * (`id`, `cluster`) where cluster = min id reachable from `id`;
-    * every id appearing in any edge is labeled. */
-  def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
+    * every id appearing in any edge is labeled.
+    *
+    * `uniquePairs`: set true when the caller guarantees each undirected
+    * pair appears once (all the dedup pair generators emit d1<d2 exactly
+    * once) — the symmetrized edge set is then already duplicate-free and
+    * the full-shuffle `distinct()` on the biggest table is skipped.
+    * Duplicates would not affect correctness (min is idempotent), only
+    * per-round join width. */
+  def connectedComponents(edges: DataFrame,
+                          uniquePairs: Boolean = false): DataFrame = {
+    val sym0 = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct().cache()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint(true)
+    val sym = (if (uniquePairs) sym0 else sym0.distinct()).cache()
+    // Seed with the 1-hop minimum directly: the naive identity seed makes
+    // round 1 a join against id->id labels, which computes exactly
+    // min(id, min(neighbor)) — one groupBy gets the same labels without
+    // the join, saving a full round of the loop.
+    var labels = sym.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("cluster"))
+      .select(col("a").as("id"), col("cluster"))
+      .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       // hop 1: min label across direct neighbors
@@ -39,13 +53,18 @@ object DupClusters {
       // hop 2 (pointer jump): the label is itself a node id, so look up ITS
       // label from the already-materialized previous round — labels only
       // shrink within the reachable set, so least() stays a reachable min.
-      val next = prop.join(
+      val next0 = prop.join(
           labels.select(col("id").as("pid"), col("cluster").as("pc")),
           col("c1") === col("pid"), "left")
         .select(col("id"),
           least(col("c1"), coalesce(col("pc"), col("c1"))).as("cluster"),
           col("c0").as("prev"))
-        .localCheckpoint(true)
+      // LAZY localCheckpoint: truncates the logical plan NOW (the round's
+      // plan references the previous labels 3×, so without truncation the
+      // plan grows 3^rounds and Catalyst itself OOMs on long chains) but
+      // materializes inside the convergence-count job below — one pass per
+      // round, where the eager variant paid a separate checkpoint job.
+      val next = next0.localCheckpoint(false)
       changed = next.filter(col("cluster") < col("prev")).count()
       labels = next.select(col("id"), col("cluster"))
     }

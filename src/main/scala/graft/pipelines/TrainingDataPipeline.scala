@@ -23,7 +23,10 @@ object TrainingDataPipeline {
 
   /** `pairsOf`: computes near-duplicate edges (d1, d2) over the frame it
     * is given — it runs on the exact-dedup SURVIVORS so cluster
-    * representatives are guaranteed to exist downstream. */
+    * representatives are guaranteed to exist downstream. Each undirected
+    * pair must appear exactly once (every house generator aggregates on
+    * (d1 < d2), so this holds by construction) — clustering then skips a
+    * full-shuffle distinct on the edge set. */
   def curate(documents: DataFrame, pairsOf: DataFrame => DataFrame,
              minWords: Int, maxWords: Int): DataFrame = {
     val nWords = size(split(col("text"), " "))
@@ -44,7 +47,8 @@ object TrainingDataPipeline {
       .cache()
 
     val clusters = DupClusters.connectedComponents(
-      pairsOf(exactSurvivors).select(col("d1").as("a"), col("d2").as("b")))
+      pairsOf(exactSurvivors).select(col("d1").as("a"), col("d2").as("b")),
+      uniquePairs = true)
     val nearSurvivors = exactSurvivors
       .join(clusters, exactSurvivors("doc_id") === clusters("id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))

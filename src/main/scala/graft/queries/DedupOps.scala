@@ -48,11 +48,13 @@ object DedupOps {
     * one long[] per doc, no split/word/shingle array allocations. The
     * hash values never surface (only pair counts do), so the kernel's
     * FNV+mix combine is parity-safe. */
+  /** (doc_id, shingle-hash) pairs, distinct per document. The dedup is
+    * done INSIDE the scan by the native kernel (set semantics per row) —
+    * no cluster-wide distinct() shuffle of the raw exploded shingles. */
   private[queries] def shingleHashes(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        explode(graft.functions.ShingleHash.of(col("text"))).as("s"))
-      .distinct()
+        explode(graft.functions.ShingleHash.distinctOf(col("text"))).as("s"))
 
   private val shingles3Sql =
     """sh AS (
@@ -394,7 +396,7 @@ object DedupOps {
   def q59(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardPairs(Tables.documents(s, d), 0.5)
       .select(col("d1").as("a"), col("d2").as("b"))
-    graft.operators.DupClusters.connectedComponents(pairs)
+    graft.operators.DupClusters.connectedComponents(pairs, uniquePairs = true)
       .select(col("id").as("doc_id"), col("cluster"))
       .orderBy(col("doc_id"))
   }

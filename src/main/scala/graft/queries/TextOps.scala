@@ -20,10 +20,11 @@ object TextOps {
     * The profile is tiny → broadcast; scoring is a map-side join. */
   def q37(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // native kernel: one long[] per doc instead of ~2000 string allocations,
+    // and an 8-byte join/groupBy key (hash constants mirrored in the oracle)
     val tg = docs.filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"),
-        explode(transform(sequence(lit(1), length(col("text")) - lit(2)),
-          i => col("text").substr(i, lit(3)))).as("t"))
+        explode(graft.functions.CharGramHash.of(col("text"))).as("t"))
     // deliberately NOT cached: train/test read disjoint doc_id slices, and
     // at scale recomputing the map-side explode per branch is cheaper than
     // pinning an exploded corpus in memory
@@ -50,7 +51,13 @@ object TextOps {
 
   val q37Sql: String =
     """WITH tg AS (
-      |  SELECT doc_id, lang, substring(text, i, 3) AS t
+      |  -- portable trigram hash: ord(c_k)·((1103515245·k+12345) mod (2^31-1))
+      |  -- summed mod (2^31-1) — same constants as the native Spark kernel
+      |  SELECT doc_id, lang,
+      |    (CAST(ord(substring(text, i, 1)) AS BIGINT) * 1103527590
+      |     + CAST(ord(substring(text, i + 1, 1)) AS BIGINT) * 59559188
+      |     + CAST(ord(substring(text, i + 2, 1)) AS BIGINT) * 1163074433)
+      |    % 2147483647 AS t
       |  FROM documents, generate_series(1, 2000) s(i)
       |  WHERE length(text) >= 3 AND i <= length(text) - 2),
       |train AS (

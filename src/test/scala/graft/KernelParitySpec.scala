@@ -99,4 +99,39 @@ class KernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long)].collect().toMap
     assert(hashDistinct == strDistinct)
   }
+
+  test("chargram kernel matches the portable strHash of substr trigrams") {
+    val s = spark; import s.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val kernel = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        posexplode(graft.functions.CharGramHash.of(col("text"))))
+      .withColumnRenamed("col", "h")
+      .as[(Long, Int, Long)].collect().toSet
+    val reference = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), length(col("text")) - lit(2)),
+          i => graft.queries.Parity.strHash(col("text").substr(i, lit(3))))))
+      .withColumnRenamed("col", "h")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(kernel == reference)
+  }
+
+  test("shingle distinct kernel = set of the plain kernel's hashes") {
+    val s = spark; import s.implicits._
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val plain = docs.select(col("doc_id"),
+        explode(graft.functions.ShingleHash.of(col("text"))).as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val dedup = docs.select(col("doc_id"),
+        explode(graft.functions.ShingleHash.distinctOf(col("text"))).as("h"))
+      .as[(Long, Long)].collect()
+    // distinct variant emits each hash exactly once...
+    assert(dedup.distinct.length == dedup.length)
+    // ...and exactly the set the plain kernel produces
+    assert(dedup.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap == plain)
+  }
 }
