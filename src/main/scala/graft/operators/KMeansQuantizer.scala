@@ -34,7 +34,9 @@ object KMeansQuantizer {
     * assignment = (vec_id, cid) under the FINAL centroids,
     * centroids = (cid, cvec array<double>). Empty clusters drop out. */
   def train(vecs: DataFrame, k: Int, iterations: Int): (DataFrame, DataFrame) = {
-    val v = vecs.select(col("vec_id"), col("embedding"))
+    // cached: every Lloyd round (and the final assignment) rescans the
+    // vector table for the broadcast-assign step
+    val v = vecs.select(col("vec_id"), col("embedding")).cache()
     // Seed from the k smallest vec_ids actually present (TakeOrdered, k is
     // tiny) — unlike `vec_id < k` this yields exactly min(k, |v|) seeds for
     // sparse or non-0-based id spaces.
@@ -61,10 +63,13 @@ object KMeansQuantizer {
         .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
         .select(col("cid"), col("pos"),
           (col("sq").cast("double") / (col("n") * lit(Q))).as("mean"))
+      // LAZY checkpoint: lineage is truncated now; the k-row table
+      // materializes when the next round (or the final assign) builds its
+      // broadcast — no separate eager job per round.
       centroids = upd.groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
           s => s.getField("mean")).as("cvec"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       it += 1
     }
     (assign(centroids).select(col("vec_id"), col("cid")), centroids)

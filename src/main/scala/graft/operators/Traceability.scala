@@ -25,21 +25,25 @@ object Traceability {
     * `maxHops`, with the shortest hop distance; seeds appear at depth 0.
     * Cycles are safe — a node is expanded once per root. */
   def reach(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // cached: the frontier join rereads the edge table every hop
+    val e = edges.select(col("src"), col("dst")).cache()
     var visited = seeds.select(col("id").as("root"), col("id").as("node"),
       lit(0L).as("depth")).localCheckpoint(true)
     var frontier = visited
     var depth = 0L
     while (depth < maxHops && !frontier.isEmpty) {
       depth += 1
+      // LAZY checkpoint: truncates lineage now, materializes inside the
+      // loop-condition isEmpty — one job per hop instead of two
       frontier = frontier.join(e, frontier("node") === e("src"))
         .select(col("root"), col("dst").as("node"), lit(depth).as("depth"))
         .distinct()
         .join(visited.select(col("root").as("vr"), col("node").as("vn")),
           col("root") === col("vr") && col("node") === col("vn"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       visited = visited.unionByName(frontier)
     }
+    e.unpersist()
     visited
   }
 }
