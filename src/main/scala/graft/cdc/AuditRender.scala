@@ -20,35 +20,37 @@ import org.apache.spark.sql.functions._
   */
 object AuditRender {
 
-  /** Render one id-array column of `log` as "(id,name)" pair strings
-    * joined with "; ". `dim` must have columns (id, display_name).
-    * Null/empty arrays render as the empty string (the reference stores
-    * False — the sink's blank cell). */
-  private def render(log: DataFrame, arrayCol: String,
-                     dim: DataFrame): DataFrame = {
-    val exploded = log
-      .select(col("log_id"), col("field"),
-        posexplode_outer(col(arrayCol)).as(Seq("pos", "id")))
-    exploded
-      .join(broadcast(dim), exploded("id") === dim("id"), "left")
-      .groupBy(col("log_id"), col("field"))
-      .agg(concat_ws("; ",
-        transform(
-          array_sort(collect_list(struct(col("pos"),
-            when(exploded("id").isNull, lit(null))
-              .otherwise(concat(lit("("), exploded("id"), lit(","),
-                coalesce(dim("display_name"), lit("DELETED")), lit(")")))
-              .as("pair")))),
-          s => s.getField("pair"))).as(s"${arrayCol}_text"))
-  }
-
   /** `log` columns: log_id, field, old_value (array<long>), new_value
-    * (array<long>). Output: log_id, field, old_value_text, new_value_text. */
+    * (array<long>). Output: log_id, field, old_value_text, new_value_text
+    * — each side rendered as "(id,name)" pairs joined with "; " in stored
+    * order; null/empty arrays render as the empty string (the reference
+    * stores False — the sink's blank cell).
+    *
+    * Both sides are tagged into ONE exploded stream, so the whole render
+    * is one scan of the log, one broadcast join against the dim, and one
+    * aggregation — not two explode+join pipelines merged by a third join. */
   def renderPairs(log: DataFrame, dim: DataFrame): DataFrame = {
-    val oldR = render(log, "old_value", dim)
-    val newR = render(log, "new_value", dim)
-    oldR.join(newR, Seq("log_id", "field"))
+    def tag(arrayCol: String, side: Int): Column =
+      transform(coalesce(col(arrayCol), array().cast("array<long>")),
+        (x, i) => struct(lit(side).as("side"), i.as("pos"), x.as("id")))
+    val tagged = log
       .select(col("log_id"), col("field"),
-        col("old_value_text"), col("new_value_text"))
+        explode_outer(concat(tag("old_value", 0), tag("new_value", 1))).as("e"))
+      .select(col("log_id"), col("field"),
+        col("e.side").as("side"), col("e.pos").as("pos"), col("e.id").as("id"))
+    val joined = tagged.join(
+      broadcast(dim.select(col("id").as("__did"),
+        col("display_name").as("__dn"))),
+      tagged("id") === col("__did"), "left")
+    def sideText(side: Int): Column = concat_ws("; ",
+      transform(
+        array_sort(collect_list(when(col("side") === side,
+          struct(col("pos"),
+            concat(lit("("), col("id"), lit(","),
+              coalesce(col("__dn"), lit("DELETED")), lit(")")).as("pair"))))),
+        s => s.getField("pair")))
+    joined
+      .groupBy(col("log_id"), col("field"))
+      .agg(sideText(0).as("old_value_text"), sideText(1).as("new_value_text"))
   }
 }
