@@ -355,4 +355,38 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long)].collect().toSet
     assert(frames == Set((2L, 0L), (2L, 1000L), (2L, 2000L)))
   }
+
+  test("streaming incremental dedup: corpus initial state + in-stream dups") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.DedupStream
+    import graft.streaming.DedupStream.{DocIn, DedupOut}
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val corpus = Seq("hashA", "hashB").toDS()
+      val src = MemoryStream[DocIn]
+      val q = DedupStream.classify(src.toDS(), corpus)
+        .writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").start()
+      // batch 1: A is in the corpus; C is new, its repeat in the SAME
+      // batch dedups against the first arrival
+      src.addData(DocIn("hashA", 101), DocIn("hashC", 102), DocIn("hashC", 103))
+      q.processAllAvailable()
+      // batch 2: C was admitted in batch 1 -> dup now; D unique
+      src.addData(DocIn("hashC", 104), DocIn("hashD", 105))
+      q.processAllAvailable()
+      val out = s.sql("SELECT * FROM dedup_stream").as[DedupOut]
+        .collect().map(o => o.doc_id -> o.dedup_class).toMap
+      q.stop()
+      assert(out == Map(101L -> "exact_dup", 102L -> "unique",
+        103L -> "exact_dup", 104L -> "exact_dup", 105L -> "unique"))
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
