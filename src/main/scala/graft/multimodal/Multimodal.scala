@@ -109,6 +109,32 @@ object Multimodal {
     })
   }
 
+  final case class FrameStats(media_id: Long, frame_idx: Long, width: Long,
+                              height: Long, mean_r: Double, mean_g: Double,
+                              mean_b: Double)
+
+  /** REAL video decode path: parse each row's PPMV container
+    * ([[PpmvCodec]]) and emit per-SAMPLED-frame dimensions + channel
+    * means, keeping every `everyK`-th frame (0, k, 2k, …). The length
+    * prefixes make this a frame-seek, not a full decode — unsampled
+    * frames are skipped byte-ranges, the property a 100 TB frame-sampling
+    * job needs from its container. Gate q132 replays the chain
+    * arithmetically in DuckDB. */
+  def videoFrameStats(media: Dataset[MediaRow],
+                      everyK: Int): Dataset[FrameStats] = {
+    require(everyK > 0, "everyK must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      PpmvCodec.decodeFrames(r.payload, i => i % everyK == 0).map {
+        case (idx, img) =>
+          val (mr, mg, mb) = PpmCodec.channelMeans(img)
+          FrameStats(r.media_id, idx.toLong, img.width.toLong,
+            img.height.toLong, mr, mg, mb)
+      }
+    })
+  }
+
   /** Partition media by (kind, size-bucket) for balanced decode stages —
     * big payloads dominate decode time, so co-locating similar sizes avoids
     * stragglers at scale. */

@@ -755,8 +755,49 @@ object GateOps {
       |  CAST(max(z) AS BIGINT) z_max, CAST(sum(z) AS BIGINT) z_sum
       |FROM z GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q132 — REAL video decode + frame sampling
+    * ([[graft.multimodal.PpmvCodec]] via `Multimodal.videoFrameStats`):
+    * each document becomes a PPMV container of 2-4 arithmetic P6 frames;
+    * every 2nd frame is SEEKED (length-prefix skip, unsampled frames never
+    * parsed) and decoded to per-frame channel means. The oracle replays
+    * the frame geometry and pixel arithmetic relationally. */
+  def q132(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.{Multimodal, PpmCodec, PpmvCodec}
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val nf = 2 + (id % 3).toInt
+      val frames = (0 until nf).map { f =>
+        val w = 3 + ((id + f) % 4).toInt
+        val h = 2 + ((id + 2 * f) % 3).toInt
+        PpmCodec.PpmImage(w, h, Array.tabulate(3 * w * h)(i =>
+          ((id * 31 + f * 13 + i.toLong * 7) % 256).toByte))
+      }
+      Multimodal.MediaRow(id, "video", PpmvCodec.encode(frames),
+        Multimodal.MediaMeta("ppmv", 0, 0, nf * 40L))
+    }
+    Multimodal.videoFrameStats(media, everyK = 2).toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val q132Sql: String =
+    """WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),
+      |fr AS (SELECT doc_id, unnest(range(nf)) AS f FROM m),
+      |s AS (SELECT doc_id, CAST(f AS BIGINT) AS f,
+      |        3 + (doc_id + f) % 4 AS w, 2 + (doc_id + 2 * f) % 3 AS h
+      |      FROM fr WHERE f % 2 = 0)
+      |SELECT doc_id AS media_id, f AS frame_idx,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(list_sum(list_transform(range(w * h),
+      |    k -> (doc_id * 31 + f * 13 + (3 * k + 0) * 7) % 256)) AS DOUBLE) / (w * h) AS mean_r,
+      |  CAST(list_sum(list_transform(range(w * h),
+      |    k -> (doc_id * 31 + f * 13 + (3 * k + 1) * 7) % 256)) AS DOUBLE) / (w * h) AS mean_g,
+      |  CAST(list_sum(list_transform(range(w * h),
+      |    k -> (doc_id * 31 + f * 13 + (3 * k + 2) * 7) % 256)) AS DOUBLE) / (w * h) AS mean_b
+      |FROM s ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_wav_decode" -> (q89 _), "q122_quality_audit" -> (q122 _),
+    "q132_video_frames" -> (q132 _),
     "q123_skew_profile" -> (q123 _), "q124_table_profile" -> (q124 _),
     "q125_zorder_key" -> (q125 _),
     "q65_external_carryover" -> (q65 _), "q66_line_tree_render" -> (q66 _),
@@ -778,5 +819,6 @@ object GateOps {
     "q89_wav_decode" -> q89Sql, "q109_domain_negation" -> q109Sql,
     "q113_bank_reconciliation" -> q113Sql, "q116_match_suggestions" -> q116Sql,
     "q122_quality_audit" -> q122Sql, "q123_skew_profile" -> q123Sql,
-    "q124_table_profile" -> q124Sql, "q125_zorder_key" -> q125Sql)
+    "q124_table_profile" -> q124Sql, "q125_zorder_key" -> q125Sql,
+    "q132_video_frames" -> q132Sql)
 }

@@ -389,4 +389,25 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("ppmv container: round-trip and seek-only-sampled-frames decode") {
+    import graft.multimodal.{PpmCodec, PpmvCodec}
+    val frames = (0 until 5).map { f =>
+      PpmCodec.PpmImage(2 + f, 3, Array.tabulate(3 * (2 + f) * 3)(i => (f * 40 + i).toByte))
+    }
+    val payload = PpmvCodec.encode(frames)
+    assert(PpmvCodec.frameCount(payload) == 5)
+    val all = PpmvCodec.decodeFrames(payload, _ => true)
+    assert(all.map(_._1) == Seq(0, 1, 2, 3, 4))
+    all.foreach { case (i, img) =>
+      assert(img.width == frames(i).width && img.height == frames(i).height)
+      assert(img.pixels.toSeq == frames(i).pixels.toSeq)
+    }
+    // sampling: only requested indices decoded, order preserved
+    val sampled = PpmvCodec.decodeFrames(payload, i => i % 2 == 0)
+    assert(sampled.map(_._1) == Seq(0, 2, 4))
+    // corrupt magic rejected
+    val bad = payload.clone(); bad(0) = 'X'
+    intercept[IllegalArgumentException] { PpmvCodec.frameCount(bad) }
+  }
 }
