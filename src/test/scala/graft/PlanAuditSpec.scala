@@ -116,4 +116,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(onlyScalarBnlj(p))
     assert("Scan parquet .*events".r.findAllIn(p).size <= 3, p)
   }
+
+  test("jaccard pairs dedup shingles at the scan, not via a distinct shuffle") {
+    // the per-document set semantics live in the shingle_hashes_distinct
+    // kernel; a revert to explode+distinct() would re-add a cluster-wide
+    // shuffle of the raw exploded shingles (the biggest movement of the
+    // dedup pipeline at scale)
+    val p = plan("q32_ngram_jaccard")
+    assert(p.contains("shingle_hashes_distinct"),
+      "q32 must use the kernel-level distinct shingle hasher")
+  }
+
+  test("langid explodes native trigram hashes, not per-trigram substrings") {
+    val p = plan("q37_langid")
+    assert(p.contains("chargram3_hashes"),
+      "q37 must use the native chargram kernel (8-byte join key, no " +
+        "per-trigram string allocation)")
+    assert(!p.contains("substring("),
+      "q37 must not extract trigram substrings in the plan")
+  }
+
+  test("wizard registers broadcast their dims and push their filters") {
+    val p128 = plan("q128_serial_register")
+    assert(p128.contains("BroadcastHashJoin"))
+    assert(p128.contains("PushedFilters"))
+    assert(!p128.contains("SortMergeJoin"),
+      "the product dim must broadcast, not shuffle the serial ledger")
+    val p130 = plan("q130_stock_reconcile")
+    assert(p130.contains("BroadcastHashJoin") && !p130.contains("NestedLoop"))
+  }
 }
