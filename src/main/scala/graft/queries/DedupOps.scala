@@ -130,14 +130,17 @@ object DedupOps {
     val cap = docs.agg(greatest(lit(MinDfCap.toLong),
       floor(count(lit(1)) / lit(DfCapDivisor)).cast("long")).as("cap"))
     // df via an aggregate (map-side-combinable narrow shuffle of (s, cnt)
-    // partials) + an equi-join back, instead of a count window over s —
-    // same rows kept, same per-shingle memory profile (no posting-list
-    // materialization), minus the window's sort (measured ~15% off the
-    // whole pair pipeline at sf0.1; see graft.Profile)
-    val keep = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // partials), then a broadcast ANTI-join of the HOT set — not a
+    // semi-join against the KEEP set. keep ≈ every shingle (billions of
+    // rows at scale, a full shuffle-join build), while the hot set is
+    // PROVABLY broadcast-sized: Σ df = n_rows, so |{s : df > cap}| ≤
+    // n_rows / cap = DfCapDivisor · (avg shingles/doc) ≈ 2·10⁴ entries
+    // regardless of corpus size. The fact table is never shuffled for the
+    // cap filter at all — its one exchange is the self-join's.
+    val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(cap))
-      .filter(col("df") <= col("cap")).select(col("s"))
-    val sh = sh0.join(keep, Seq("s")).cache()
+      .filter(col("df") > col("cap")).select(col("s"))
+    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti").cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&

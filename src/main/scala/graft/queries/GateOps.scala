@@ -679,8 +679,12 @@ object GateOps {
       |FROM events
       |UNION ALL
       |SELECT 'r4_user_fk', count(*)::BIGINT,
-      |  (SELECT count(*)::BIGINT FROM events
-      |   WHERE user_id NOT IN (SELECT c_custkey FROM customer))
+      |  -- NOT EXISTS, the FkRule NULL contract: NULL fact keys are skipped
+      |  -- (NOT IN would also silently return zero rows if the dim had one
+      |  -- NULL key — NOT EXISTS has no such trap)
+      |  (SELECT count(*)::BIGINT FROM events e
+      |   WHERE e.user_id IS NOT NULL AND NOT EXISTS
+      |     (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
       |FROM events
       |ORDER BY rule_name""".stripMargin
 
