@@ -126,7 +126,11 @@ object DedupOps {
     * the per-pair counts are already paid for. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    pairPred: (Column, Column) => Column): DataFrame = {
-    val sh0 = shingleHashes(docs)
+    // cached: sh0 feeds the hot-set aggregation AND the anti-join probe;
+    // without the cache the scan+explode would run once per branch. (At
+    // 100 TB the hot set is a per-corpus-version artifact — compute it
+    // once with the index build and persist it, exactly this shape.)
+    val sh0 = shingleHashes(docs).cache()
     val cap = docs.agg(greatest(lit(MinDfCap.toLong),
       floor(count(lit(1)) / lit(DfCapDivisor)).cast("long")).as("cap"))
     // df via an aggregate (map-side-combinable narrow shuffle of (s, cnt)
@@ -140,7 +144,8 @@ object DedupOps {
     val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(cap))
       .filter(col("df") > col("cap")).select(col("s"))
-    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti").cache()
+    // derived map-side from the cached sh0 — cheap per use, not re-cached
+    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
