@@ -43,4 +43,44 @@ object ChangelogDiff {
         (col("op") === "write" && !(col("old_value") <=> col("new_value"))) ||
           col("op") =!= "write")
   }
+
+  /** Audit-rule policy knobs (auditlog.rule, auditlog/models/rule.py:50-162
+    * + tests/test_auditlog.py): which fields and users are excluded from
+    * logging, and whether unlink captures the record's values. */
+  final case class AuditRule(fieldsToExclude: Set[String] = Set.empty,
+                             usersToExclude: Set[Long] = Set.empty,
+                             captureRecord: Boolean = true)
+
+  /** Apply an [[AuditRule]] to a log-line frame (the output of [[diff]]
+    * joined with the acting `user_id` column):
+    *
+    *  - lines produced by an excluded user are dropped entirely
+    *    (rule.py users_to_exclude: no log for that user's operations);
+    *  - lines for an excluded field are dropped (fields_to_exclude +
+    *    FIELDS_BLACKLIST: the log exists, that field has no line);
+    *  - when `captureRecord` is false, unlink keeps ONE marker line per
+    *    record with a null field (the reference creates the log record
+    *    but no value lines, test_05/test_06 AuditlogFull unlink).
+    *
+    * Pure narrow filters/projections — no shuffle beyond the marker
+    * dedup, which groups on the (res_id) key already carried. */
+  def applyRule(lines: DataFrame, rule: AuditRule): DataFrame = {
+    val afterUser =
+      if (rule.usersToExclude.isEmpty) lines
+      else lines.filter(!col("user_id").isin(rule.usersToExclude.toSeq: _*))
+    val afterFields =
+      if (rule.fieldsToExclude.isEmpty) afterUser
+      else afterUser.filter(!col("field").isin(rule.fieldsToExclude.toSeq: _*))
+    if (rule.captureRecord) afterFields
+    else {
+      val keep = afterFields.filter(col("op") =!= "unlink")
+      val markers = afterFields.filter(col("op") === "unlink")
+        .select(col("res_id"), col("op"), col("user_id")).distinct()
+        .withColumn("field", lit(null).cast("string"))
+        .withColumn("old_value", lit(null).cast("string"))
+        .withColumn("new_value", lit(null).cast("string"))
+        .select(keep.columns.map(col): _*)
+      keep.unionByName(markers)
+    }
+  }
 }

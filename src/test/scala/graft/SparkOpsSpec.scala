@@ -146,4 +146,35 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count(_._2 == "create") == 2) // both fields of id=4
     assert(out.contains((4, "create", "name", null, "d")))
   }
+
+  test("audit rule policy mirrors the reference auditlog test scenarios") {
+    val s = spark; import s.implicits._
+    import graft.cdc.ChangelogDiff
+    import graft.cdc.ChangelogDiff.AuditRule
+    val oldDf = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "name", "qty")
+    val newDf = Seq((1L, "a2", 10), (2L, "b", 20), (4L, "d", 40))
+      .toDF("id", "name", "qty")
+    // ops on ids 1/2 performed by user 7, ids 3/4 by user 9
+    val lines = ChangelogDiff.diff(oldDf, newDf, "id")
+      .withColumn("user_id", when(col("res_id") <= 2L, 7L).otherwise(9L))
+      .cache()
+    // no-change writes produce no lines (test_LogUpdate: id 2 unchanged)
+    assert(lines.filter(col("res_id") === 2L).count() == 0)
+    // field exclusion: the excluded field's line disappears, others stay
+    val fx = ChangelogDiff.applyRule(lines, AuditRule(fieldsToExclude = Set("name")))
+    assert(fx.filter(col("res_id") === 1L).count() == 0) // only name changed
+    assert(fx.filter(col("res_id") === 4L).select("field")
+      .as[String].collect().toSet == Set("qty")) // create keeps qty line
+    // user exclusion: user 9's ops (unlink of 3, create of 4) vanish
+    val ux = ChangelogDiff.applyRule(lines, AuditRule(usersToExclude = Set(9L)))
+    assert(ux.select("res_id").as[Long].collect().toSet == Set(1L))
+    // capture_record=false: unlink collapses to one null-field marker
+    val cr = ChangelogDiff.applyRule(lines, AuditRule(captureRecord = false))
+    val unl = cr.filter(col("op") === "unlink").collect()
+    assert(unl.length == 1 && unl(0).getAs[Long]("res_id") == 3L
+      && unl(0).isNullAt(unl(0).fieldIndex("field")))
+    // default rule is a no-op
+    assert(ChangelogDiff.applyRule(lines, AuditRule()).count() == lines.count())
+  }
 }
