@@ -289,7 +289,45 @@ object WizardOps {
       |FROM ro r1 JOIN rn r2 ON r1.log_id = r2.log_id AND r1.field = r2.field
       |ORDER BY r1.log_id""".stripMargin
 
+  /** q133 — document resequencing (etl_account/wizard/
+    * account_resequence.py via [[graft.operators.Resequence]]): each
+    * priority-journal's order numbers are redistributed over its documents
+    * in (date, name) order; numbers are conserved per journal. */
+  def q133(s: SparkSession, d: String): DataFrame = {
+    val mv = Tables.orders(s, d)
+      .filter(col("o_orderdate").between(
+        to_date(lit("1995-01-01")), to_date(lit("1995-03-31"))))
+      .select(col("o_orderpriority").as("journal"),
+        concat(lit("INV/"),
+          lpad(col("o_orderkey").cast("string"), 12, "0")).as("name"),
+        col("o_orderkey").as("seq"), col("o_orderdate").as("dt"))
+    graft.operators.Resequence.byDate(mv)
+      .select(col("journal"), col("old_name"),
+        date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+        concat(lit("INV/"),
+          lpad(col("new_seq").cast("string"), 12, "0")).as("new_name"))
+      .orderBy(col("journal"), col("old_name"))
+  }
+
+  val q133Sql: String =
+    """WITH mv AS (
+      |  SELECT o_orderpriority AS j,
+      |         'INV/' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS nm,
+      |         o_orderkey AS sq, o_orderdate AS dt
+      |  FROM orders
+      |  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'),
+      |bn AS (SELECT j, sq AS new_seq,
+      |         row_number() OVER (PARTITION BY j ORDER BY sq) AS rk FROM mv),
+      |bd AS (SELECT j, nm, dt,
+      |         row_number() OVER (PARTITION BY j ORDER BY dt, nm) AS rk FROM mv)
+      |SELECT bd.j AS journal, bd.nm AS old_name,
+      |  strftime(bd.dt, '%Y-%m-%d') AS dt,
+      |  'INV/' || lpad(CAST(bn.new_seq AS VARCHAR), 12, '0') AS new_name
+      |FROM bd JOIN bn ON bd.j = bn.j AND bd.rk = bn.rk
+      |ORDER BY journal, old_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_resequence" -> (q133 _),
     "q127_document_summary" -> (q127 _),
     "q128_serial_register" -> (q128 _),
     "q129_statement_import" -> (q129 _),
@@ -297,6 +335,7 @@ object WizardOps {
     "q131_audit_value_pairs" -> (q131 _))
 
   def oracle: Map[String, String] = Map(
+    "q133_resequence" -> q133Sql,
     "q127_document_summary" -> q127Sql,
     "q128_serial_register" -> q128Sql,
     "q129_statement_import" -> q129Sql,

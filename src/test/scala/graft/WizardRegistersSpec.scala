@@ -130,4 +130,23 @@ class WizardRegistersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0).getString(2) == "(2,Beta); (99,DELETED)")
     assert(out(0).getString(3) == "(1,Alpha)")
   }
+
+  test("resequence conserves each journal's number set, reassigns by date") {
+    val s = spark; import s.implicits._
+    val mv = Seq(
+      // journal A: numbers 5,2,9 on out-of-order dates
+      ("A", "N5", 5L, "2024-01-03"), ("A", "N2", 2L, "2024-01-01"),
+      ("A", "N9", 9L, "2024-01-02"),
+      // journal B untouched by A's numbers
+      ("B", "N7", 7L, "2024-02-01"), ("B", "N1", 1L, "2024-01-15"))
+      .toDF("journal", "name", "seq", "dt")
+      .withColumn("dt", to_date(col("dt")))
+    val out = graft.operators.Resequence.byDate(mv)
+      .orderBy("journal", "dt").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    // A by date: N2(01-01)->2, N9(01-02)->5, N5(01-03)->9
+    assert(out.toSeq == Seq(
+      ("A", "N2", 2L), ("A", "N9", 5L), ("A", "N5", 9L),
+      ("B", "N1", 1L), ("B", "N7", 7L)))
+  }
 }
