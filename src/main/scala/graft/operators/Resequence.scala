@@ -23,7 +23,10 @@ object Resequence {
 
   /** `moves`: (journal, name, seq long, dt date). Returns one row per
     * document: (journal, old_name, dt, new_seq) where new_seq is the
-    * journal's seq set redistributed in (dt, name) order. */
+    * journal's seq set redistributed in (dt, name) order. Determinism
+    * contract: `name` must be unique within a journal (document serials
+    * are) — it is the (dt, name) tiebreaker, the same total order the
+    * reference's `order='date,name'` search uses. */
   def byDate(moves: DataFrame): DataFrame = {
     val byNum = moves.select(col("journal"), col("seq").as("new_seq"))
       .withColumn("rk",

@@ -45,13 +45,37 @@ object StatementImport {
 
   private def r2(x: Double): Double = math.floor(x * 100 + 0.5) / 100
 
+  /** Minimal quote-aware CSV field split for the prologue row (the
+    * narration may be quoted and contain commas, like the reference's
+    * csv_reader handles); `""` inside quotes unescapes to `"`. */
+  private def splitCsv(line: String, max: Int): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') {
+          cur += '"'; i += 1
+        } else if (c == '"') inQ = false
+        else cur += c
+      } else if (c == '"') inQ = true
+      else if (c == ',' && out.length < max - 1) { out += cur.result(); cur.clear() }
+      else cur += c
+      i += 1
+    }
+    out += cur.result()
+    out.toArray
+  }
+
   def read(spark: SparkSession, path: String,
            previousEnding: Option[Double] = None): Statement = {
     // Bounded prologue read: 2 CSV rows, never the line table.
     val src = scala.io.Source.fromFile(path)
     val prologue = try src.getLines().take(2).toList finally src.close()
     require(prologue.length == 2, s"statement file $path has no balance row")
-    val bal = prologue(1).split(",", 3)
+    val bal = splitCsv(prologue(1), 3)
     val start = r2(bal(0).trim.toDouble)
     val end = r2(bal(1).trim.toDouble)
     val narration = if (bal.length > 2) bal(2).trim else ""

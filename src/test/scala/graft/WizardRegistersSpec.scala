@@ -76,6 +76,16 @@ class WizardRegistersSpec extends AnyFunSuite with BeforeAndAfterAll {
       StatementImport.read(spark, f.getPath, previousEnding = Some(123.0))
     }
     assert(err.expected == 123.0 && err.got == 500.0)
+    // quoted narration with commas and escaped quotes parses intact
+    val f2 = new java.io.File(dir, "st2.csv")
+    val w2 = new java.io.PrintWriter(f2)
+    w2.write("start,end,narration\n")
+    w2.write("1.00,2.00,\"FEB, \"\"final\"\" statement\"\n")
+    w2.write("Date,Label,Amount\n")
+    w2.close()
+    val st2 = StatementImport.read(spark, f2.getPath)
+    assert(st2.narration == "FEB, \"final\" statement")
+    assert(st2.lines.count() == 0)
   }
 
   test("serial register: as-of fixed-point sums, zero-qty serials dropped") {
