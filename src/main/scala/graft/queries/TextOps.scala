@@ -186,11 +186,43 @@ object TextOps {
       |SELECT doc_id, rn AS rank, th AS term_hash, score
       |FROM rk WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** q134 — vocab-induction statistics (the BPE-shaped first round):
+    * corpus-wide adjacent word-pair (merge-candidate) counts, min-count
+    * floored, top-50 by (count desc, bigram) — the "most frequent pair"
+    * table a tokenizer trainer consumes each merge round. Scale: one
+    * map-side explode of in-row adjacent pairs (no window, no self-join)
+    * into one count aggregation; top-k is a TakeOrdered, never a global
+    * sort of the counts. */
+  def q134(s: SparkSession, d: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables.documents(s, d)
+      .filter(size(ws) >= 2)
+      .select(explode(transform(sequence(lit(0), size(ws) - lit(2)),
+        i => concat_ws(" ", element_at(ws, i + lit(1)),
+          element_at(ws, i + lit(2))))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
+  val q134Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      |  SELECT ws[i] || ' ' || ws[i+1] AS bigram
+      |  FROM w, generate_series(1, 2000) t(i)
+      |  WHERE i + 1 <= len(ws)),
+      |c AS (SELECT bigram, count(*) AS n FROM bg GROUP BY 1 HAVING count(*) >= 5)
+      |SELECT bigram, CAST(n AS BIGINT) AS n FROM c
+      |ORDER BY n DESC, bigram LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_langid" -> (q37 _), "q38_quality_score" -> (q38 _),
-    "q39_token_count" -> (q39 _), "q84_tfidf_topterms" -> (q84 _))
+    "q39_token_count" -> (q39 _), "q84_tfidf_topterms" -> (q84 _),
+    "q134_bigram_vocab" -> (q134 _))
 
   val oracle: Map[String, String] = Map(
     "q37_langid" -> q37Sql, "q38_quality_score" -> q38Sql,
-    "q39_token_count" -> q39Sql, "q84_tfidf_topterms" -> q84Sql)
+    "q39_token_count" -> q39Sql, "q84_tfidf_topterms" -> q84Sql,
+    "q134_bigram_vocab" -> q134Sql)
 }
