@@ -140,7 +140,10 @@ object ProfileCC {
   }
 }
 
-/** Dev tool: stage-level timing inside jaccardPairs at sf0.1. */
+/** Dev tool: stage-level timing inside the CURRENT jaccardPairs shape
+  * (kernel-distinct shingles at the scan, df-cap via broadcast hot-set
+  * anti-join). Historical variants A/B/C above are kept as the record of
+  * the experiments that led here. */
 object ProfilePairs {
   import Profile.time
   def main(args: Array[String]): Unit = {
@@ -155,17 +158,15 @@ object ProfilePairs {
     val docs = Tables.documents(spark, sfDir)
     time("warmup docs scan") { docs.count() }
     val sh0 = docs
-      .select(col("doc_id"), explode(graft.functions.ShingleHash.of(col("text"))).as("s"))
-      .distinct()
-    time("explode only (no distinct)") { println(docs
-      .select(col("doc_id"), explode(graft.functions.ShingleHash.of(col("text"))).as("s")).count()) }
-    time("sh0 = explode+distinct") { println(sh0.count()) }
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash.distinctOf(col("text"))).as("s"))
+      .cache()
+    time("sh0 = kernel-distinct explode + cache") { println(sh0.count()) }
     val cap = docs.agg(greatest(lit(5L), floor(count(lit(1)) / lit(100)).cast("long")).as("cap"))
-    val keep = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(cap)).filter(col("df") <= col("cap")).select(col("s"))
-    time("keep (df agg)") { println(keep.count()) }
-    val sh = sh0.join(keep, Seq("s")).cache()
-    time("sh = join back + cache") { println(sh.count()) }
+    val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(cap)).filter(col("df") > col("cap")).select(col("s"))
+    time("hot set (df agg)") { println(hot.count()) }
+    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     time("sizes") { println(sizes.count()) }
     val inter = sh.as("a").join(sh.as("b"),

@@ -11,8 +11,16 @@ package graft
   * this path — it is driver-side PrintWriter territory, dim tables only.
   */
 object Scratch {
-  private lazy val base: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
-    s"/root/repo/target/scratch-${ProcessHandle.current().pid()}")
+  private lazy val base: String = {
+    val b = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+      s"/root/repo/target/scratch-${ProcessHandle.current().pid()}")
+    // the pid default is unique per process, so nothing else ever reuses
+    // it — remove it at exit or target/ accrues one orphan dir per run
+    if (!sys.env.contains("SPARK_GRAFT_SCRATCH"))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRec(new java.io.File(b))))
+    b
+  }
 
   /** A fresh, empty scratch subdirectory (recreated on every call). */
   def fresh(sub: String): java.io.File = {

@@ -74,7 +74,10 @@ object ChangelogDiff {
     if (rule.captureRecord) afterFields
     else {
       val keep = afterFields.filter(col("op") =!= "unlink")
-      val markers = afterFields.filter(col("op") === "unlink")
+      // markers derive from the USER-filtered lines, NOT the field-filtered
+      // ones: the reference still creates the unlink log record even when
+      // every one of its fields is excluded — only the value lines vanish
+      val markers = afterUser.filter(col("op") === "unlink")
         .select(col("res_id"), col("op"), col("user_id")).distinct()
         .withColumn("field", lit(null).cast("string"))
         .withColumn("old_value", lit(null).cast("string"))

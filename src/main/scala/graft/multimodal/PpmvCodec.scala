@@ -50,8 +50,13 @@ object PpmvCodec {
     var off = 8
     var i = 0
     while (i < n) {
+      require(off + 4 <= payload.length,
+        s"truncated PPMV payload: frame $i length prefix past end")
       val len = ByteBuffer.wrap(payload, off, 4).getInt
       off += 4
+      require(len >= 0 && off + len <= payload.length,
+        s"corrupt PPMV payload: frame $i declares $len bytes, " +
+          s"${payload.length - off} remain")
       if (take(i)) {
         out += i -> PpmCodec.decode(
           java.util.Arrays.copyOfRange(payload, off, off + len))

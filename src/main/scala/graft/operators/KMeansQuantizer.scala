@@ -72,6 +72,12 @@ object KMeansQuantizer {
         .localCheckpoint(false)
       it += 1
     }
-    (assign(centroids).select(col("vec_id"), col("cid")), centroids)
+    // materialize the final assignment, then RELEASE the vector cache —
+    // train() must not pin the embedding set for the session's lifetime
+    // (a composed pipeline keeps running after training)
+    val assignment = assign(centroids)
+      .select(col("vec_id"), col("cid")).localCheckpoint(true)
+    v.unpersist()
+    (assignment, centroids)
   }
 }

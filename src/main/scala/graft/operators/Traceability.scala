@@ -43,6 +43,10 @@ object Traceability {
         .localCheckpoint(false)
       visited = visited.unionByName(frontier)
     }
+    // exit via depth == maxHops skips the isEmpty that would have
+    // materialized the last lazy checkpoint — force it BEFORE dropping the
+    // edge cache, or the caller's first action recomputes that hop uncached
+    if (depth == maxHops) frontier.count(): Unit
     e.unpersist()
     visited
   }

@@ -40,8 +40,12 @@ object DedupStream {
       seen.update(true)
     override def handleInputRows(key: String, rows: Iterator[DocIn],
                                  timerValues: TimerValues): Iterator[DedupOut] = {
+      // sort by doc_id: the iterator's inter-partition arrival order is
+      // arbitrary, so "which duplicate counts as first" must be pinned —
+      // smallest doc_id wins, same as the batch exact-dedup gates. The
+      // sort is bounded: same-hash arrivals within ONE micro-batch.
       val out = scala.collection.mutable.ListBuffer[DedupOut]()
-      rows.foreach { d =>
+      rows.toSeq.sortBy(_.doc_id).foreach { d =>
         val dup = seen.exists()
         if (!dup) seen.update(true)
         out += DedupOut(d.doc_id, d.h, if (dup) "exact_dup" else "unique")
@@ -54,8 +58,9 @@ object DedupStream {
     * `md5(text)` computed upstream. `corpusHashes`: the existing corpus's
     * distinct content hashes (batch Dataset — becomes initial state).
     * Output: (doc_id, h, dedup_class) per arriving doc. Within one
-    * micro-batch, the first arrival of a new hash is `unique` and later
-    * ones `exact_dup` (iterator order per key = ingestion order). */
+    * micro-batch, the SMALLEST doc_id of a new hash is `unique` and the
+    * rest `exact_dup` (arrival order across source partitions is not
+    * deterministic, so the winner is pinned by id). */
   def classify(stream: Dataset[DocIn],
                corpusHashes: Dataset[String]): Dataset[DedupOut] = {
     val spark = stream.sparkSession

@@ -176,5 +176,12 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       && unl(0).isNullAt(unl(0).fieldIndex("field")))
     // default rule is a no-op
     assert(ChangelogDiff.applyRule(lines, AuditRule()).count() == lines.count())
+    // unlink marker survives even when EVERY field is excluded — the
+    // reference still creates the log record; only value lines vanish
+    val all = ChangelogDiff.applyRule(lines,
+      AuditRule(fieldsToExclude = Set("name", "qty"), captureRecord = false))
+    val mk = all.filter(col("op") === "unlink").collect()
+    assert(mk.length == 1 && mk(0).getAs[Long]("res_id") == 3L)
+    assert(all.filter(col("op") =!= "unlink").count() == 0)
   }
 }
