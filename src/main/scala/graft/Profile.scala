@@ -177,3 +177,253 @@ object ProfilePairs {
     spark.stop()
   }
 }
+
+/** Dev tool: stage-level timing inside q62 (curate pipeline). */
+object ProfileCurate {
+  import Profile.time
+  import graft.operators.DupClusters
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, sfDir)
+    time("warmup docs scan") { docs.count() }
+    val nWords = size(split(col("text"), " "))
+    val quality = docs.filter(nWords.between(20, 80))
+    time("quality count") { println("q=" + quality.count()) }
+    val exactSurvivors = quality
+      .withColumn("__h", md5(col("text")))
+      .withColumn("__keep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+      .filter(col("doc_id") === col("__keep"))
+      .drop("__h", "__keep")
+      .cache()
+    time("exact survivors (cache)") { println("s=" + exactSurvivors.count()) }
+    val pairs = queries.DedupOps.jaccardPairs(exactSurvivors, 0.5)
+      .select(col("d1").as("a"), col("d2").as("b"))
+    time("pairs on survivors") { println("p=" + pairs.count()) }
+    val clusters = time("cc") {
+      DupClusters.connectedComponents(pairs, uniquePairs = true)
+        .localCheckpoint(true)
+    }
+    val nearSurvivors = exactSurvivors
+      .join(clusters, exactSurvivors("doc_id") === clusters("id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .drop("id", "cluster")
+    time("near survivors + stats") {
+      nearSurvivors.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs")).collect()
+    }
+    time("q62 full uninstrumented") {
+      graft.pipelines.TrainingDataPipeline.curate(
+        Tables.documents(spark, sfDir),
+        d => queries.DedupOps.jaccardPairs(d, 0.5), 20, 80).count()
+    }
+    spark.stop()
+  }
+}
+
+/** Dev tool: per-round timing of the CC loop (replicates DupClusters). */
+object ProfileCCRounds {
+  import Profile.time
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, sfDir)
+    docs.count()
+    val pairs = queries.DedupOps.jaccardPairs(docs, 0.5)
+      .select(col("d1").as("a"), col("d2").as("b"))
+    val sym = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b"))).cache()
+    time("sym materialize") { println("edges=" + sym.count()) }
+    var labels = time("seed") {
+      sym.groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("cluster"))
+        .select(col("a").as("id"), col("cluster"))
+        .localCheckpoint(true)
+    }
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      val nbrMin = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid")).agg(min(col("cluster")).as("nbr_min"))
+      val prop = labels.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("c1"),
+          col("cluster").as("c0"))
+      val next0 = prop.join(
+          labels.select(col("id").as("pid"), col("cluster").as("pc")),
+          col("c1") === col("pid"), "left")
+        .select(col("id"),
+          least(col("c1"), coalesce(col("pc"), col("c1"))).as("cluster"),
+          col("c0").as("prev"))
+      val next = next0.localCheckpoint(false)
+      time(s"round $round (count+checkpoint)") {
+        changed = next.filter(col("cluster") < col("prev")).count()
+      }
+      println(s"round $round changed=$changed")
+      labels = next.select(col("id"), col("cluster"))
+    }
+    spark.stop()
+  }
+}
+
+/** Dev tool: q134 bigram stage timing. */
+object Profile134 {
+  import Profile.time
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, sfDir)
+    time("warmup") { docs.count() }
+    val ws = split(col("text"), " ")
+    val exploded = docs.filter(size(ws) >= 2)
+      .select(explode(transform(sequence(lit(0), size(ws) - lit(2)),
+        i => concat_ws(" ", element_at(ws, i + lit(1)),
+          element_at(ws, i + lit(2))))).as("bigram"))
+    time("explode only (count)") { println(exploded.count()) }
+    time("explode+agg") {
+      println(exploded.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5).count())
+    }
+    time("full q134") {
+      queries.TextOps.q134(spark, sfDir).collect()
+    }
+    time("full q134 again") {
+      queries.TextOps.q134(spark, sfDir).collect()
+    }
+    spark.stop()
+  }
+}
+
+/** Dev tool: q134 variant — pre-materialized words array. */
+object Profile134b {
+  import Profile.time
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, sfDir)
+    time("warmup") { docs.count() }
+    val exploded = docs
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - lit(2)),
+        i => concat_ws(" ", element_at(col("ws"), i + lit(1)),
+          element_at(col("ws"), i + lit(2))))).as("bigram"))
+    time("explode only (ws materialized)") { println(exploded.count()) }
+    time("agg+topk") {
+      exploded.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5)
+        .orderBy(col("n").desc, col("bigram")).limit(50).collect()
+    }
+    // zip_with variant: pair ws with its own tail, no index arithmetic
+    val z = docs.select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1), (a, b) -> concat(a, ' ', b))")).as("bigram"))
+    time("zip_with explode") { println(z.count()) }
+    spark.stop()
+  }
+}
+
+/** Dev tool: q85 timing, warm. */
+object Profile85 {
+  import Profile.time
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.embeddings(spark, sfDir).count()
+    time("q85 run 1") { queries.SimilarityOps.q85(spark, sfDir).collect() }
+    spark.catalog.clearCache()
+    time("q85 run 2") { queries.SimilarityOps.q85(spark, sfDir).collect() }
+    spark.catalog.clearCache()
+    time("q85 run 3") { queries.SimilarityOps.q85(spark, sfDir).collect() }
+    spark.stop()
+  }
+}
+
+/** Dev tool: old-vs-new kmeans assign shapes, cold-ish comparison. */
+object Profile85b {
+  import Profile.time
+  import org.apache.spark.sql.{Column, DataFrame}
+  private val Q = 1000000.0
+  private def d2(vec: Column, cen: Column): Column =
+    aggregate(zip_with(vec, cen, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+  def trainOld(vecs: DataFrame, k: Int, iterations: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding")).cache()
+    var centroids = v.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), _.cast("double")).as("cvec"))
+      .localCheckpoint(true)
+    def assign(c: DataFrame): DataFrame = v
+      .crossJoin(broadcast(c))
+      .select(col("vec_id"), col("embedding"),
+        struct(d2(col("embedding"), col("cvec")).as("d"), col("cid")).as("dc"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(min(col("dc")).as("m"))
+      .select(col("vec_id"), col("embedding"), col("m.cid").as("cid"))
+    var it = 0
+    while (it < iterations) {
+      val upd = assign(centroids)
+        .select(col("cid"), posexplode(col("embedding")))
+        .select(col("cid"), col("pos"),
+          floor(col("col").cast("double") * Q + 0.5).cast("long").as("q"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          (col("sq").cast("double") / (col("n") * lit(Q))).as("mean"))
+      centroids = upd.groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("cvec"))
+        .localCheckpoint(false)
+      it += 1
+    }
+    val assignment = assign(centroids)
+      .select(col("vec_id"), col("cid")).localCheckpoint(true)
+    v.unpersist()
+    assignment
+  }
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val which = if (args.length > 1) args(1) else "old"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.embeddings(spark, sfDir).count()
+    if (which == "old")
+      time("OLD train cold") { println(trainOld(Tables.embeddings(spark, sfDir), 8, 2).count()) }
+    else
+      time("NEW train cold") { println(graft.operators.KMeansQuantizer.train(Tables.embeddings(spark, sfDir), 8, 2)._1.count()) }
+    spark.stop()
+  }
+}

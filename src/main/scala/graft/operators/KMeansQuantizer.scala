@@ -45,13 +45,22 @@ object KMeansQuantizer {
         transform(col("embedding"), _.cast("double")).as("cvec"))
       .localCheckpoint(true)
 
-    def assign(c: DataFrame): DataFrame = v
-      .crossJoin(broadcast(c))
-      .select(col("vec_id"), col("embedding"),
-        struct(d2(col("embedding"), col("cvec")).as("d"), col("cid")).as("dc"))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(min(col("dc")).as("m"))
-      .select(col("vec_id"), col("embedding"), col("m.cid").as("cid"))
+    // Assignment is fully MAP-SIDE: the k centroids collapse into a single
+    // broadcast row holding an array of (cid, cvec) structs, and the argmin
+    // is array_min over per-centroid (distance, cid) structs — the same
+    // lexicographic (d, cid) minimum the previous groupBy(vec_id)-of-
+    // min(struct) computed, with ties still going to the smaller cid, but
+    // with ZERO shuffle of the vector table (the old shape exchanged
+    // |v|·k rows keyed by the embedding array every round).
+    def assign(c: DataFrame): DataFrame = {
+      val cenArr = c.agg(collect_list(struct(col("cid"), col("cvec"))).as("cs"))
+      v.crossJoin(broadcast(cenArr))
+        .select(col("vec_id"), col("embedding"),
+          array_min(transform(col("cs"),
+            cc => struct(d2(col("embedding"), cc.getField("cvec")).as("d"),
+              cc.getField("cid").as("cid")))).as("m"))
+        .select(col("vec_id"), col("embedding"), col("m.cid").as("cid"))
+    }
 
     var it = 0
     while (it < iterations) {

@@ -82,10 +82,14 @@ object TrainingDataPipeline {
     * windows, no global sort, no driver state. */
   def curateV2(documents: DataFrame, pattern: String, blockWords: Long,
                minRetained: Long, maxRepRatio: Double): DataFrame = {
+    // cached: three consumers (block explosion, the repetition signal, and
+    // the final doc_id/lang projection) — without it the regexp scrub +
+    // tokenize scan runs once per branch
     val withW = documents
       .select(col("doc_id"), col("lang"),
         split(regexp_replace(col("text"), pattern, "<ENTITY>"), " ").as("__w"))
       .withColumn("nw", size(col("__w")).cast("long"))
+      .cache()
     val blocks = withW
       .select(col("doc_id"), col("__w"), col("nw"),
         explode(sequence(lit(0L),
@@ -94,6 +98,7 @@ object TrainingDataPipeline {
         md5(concat_ws(" ", slice(col("__w"),
           (col("k") * blockWords + 1).cast("int"), lit(blockWords.toInt)))).as("bh"),
         least(lit(blockWords), col("nw") - col("k") * blockWords).as("btok"))
+      .cache() // consumed by the block-df aggregation AND the join probe
     val dfc = blocks.groupBy(col("bh")).agg(countDistinct(col("doc_id")).as("df"))
     val retained = blocks.join(dfc, Seq("bh"))
       .groupBy(col("doc_id"))

