@@ -566,6 +566,102 @@ object CurationOps {
        |FROM t JOIN ret USING (doc_id) JOIN rep USING (doc_id)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q136 — corpus DATA CARD: the release-notes summary table every corpus
+    * version ships with (per-language, per-source, per-cell, and overall
+    * doc/token/char statistics plus the short-doc fraction). ONE scan of
+    * the corpus: CUBE(lang, source) computes all four aggregation levels
+    * in a single pass — the same Expand-based plan a hand-written
+    * UNION ALL of four GROUP BYs would need four scans for. NULL grouping
+    * keys from CUBE render as '(all)' (the corpus langs/sources are
+    * non-null by schema; a corpus with genuinely-null labels would bucket
+    * them into '(all)' — normalize labels upstream first). */
+  def q136(s: SparkSession, d: String): DataFrame = {
+    val nw = size(split(col("text"), " ")).cast("long")
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), col("n_chars"), nw.as("nw"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        Parity.fr(sum(col("nw")).cast("double") / count(lit(1)), 2).as("avg_tokens"),
+        sum(when(col("nw") < 20, 1L).otherwise(0L)).as("n_short"))
+      .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+        coalesce(col("source"), lit("(all)")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("avg_tokens"),
+        col("n_short"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q136Sql: String =
+    """SELECT coalesce(lang, '(all)') AS lang,
+      |  coalesce(source, '(all)') AS source,
+      |  count(*)::BIGINT AS n_docs,
+      |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+      |  sum(n_chars)::BIGINT AS n_chars,
+      |  floor(sum(len(string_split(text, ' ')))::DOUBLE / count(*) * 1e2 + 0.5) / 1e2 AS avg_tokens,
+      |  CAST(sum(CASE WHEN len(string_split(text, ' ')) < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+      |FROM documents
+      |GROUP BY CUBE (lang, source)
+      |ORDER BY lang, source""".stripMargin
+
+  /** Per-language token budget for [[q137]] — a stand-in for a corpus-mix
+    * token target; the selection math is budget-agnostic. */
+  val TokenBudget = 3000L
+
+  /** q137 — token-budget corpus selection: keep the best documents per
+    * language until the language's token budget is spent (the greedy
+    * knapsack every corpus-mix step runs once target token counts per
+    * language are fixed — cf. the mix rates of q111, which SAMPLE by rate;
+    * this SELECTS by quality until a budget). Quality is the q38 score
+    * (stopword ratio + length bonus); ties break on doc_id so re-runs
+    * select identical corpora. A doc is kept while the running token sum
+    * INCLUDING it fits the budget; selection stops at the first overflow
+    * (no skip-and-continue — deterministic prefix, not bin packing).
+    * Scale: the only window is partitioned by lang and bounded by the
+    * per-language candidate pool; no global sort, no driver state. */
+  def q137(s: SparkSession, d: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nWords = size(ws).cast("long")
+    val stopHits = (Seq("a", "the", "row", "data", "value")
+      .map(w => ((length(col("text")) - length(regexp_replace(col("text"), s"\\b$w\\b", ""))) / w.length).cast("long"))
+      .reduce(_ + _))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), nWords.as("n_words"),
+        Parity.fr(stopHits.cast("double") / nWords + nWords.cast("double") / lit(1000.0), 4).as("quality"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("cum_tokens", sum(col("n_words")).over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("lang"), col("n_words"), col("quality"),
+        col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens"))
+  }
+
+  val q137Sql: String =
+    s"""WITH m AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text, ' '))::BIGINT AS n_words,
+      |    ( (length(text) - length(regexp_replace(text, '\\ba\\b', '', 'g'))) / 1
+      |    + (length(text) - length(regexp_replace(text, '\\bthe\\b', '', 'g'))) / 3
+      |    + (length(text) - length(regexp_replace(text, '\\brow\\b', '', 'g'))) / 3
+      |    + (length(text) - length(regexp_replace(text, '\\bdata\\b', '', 'g'))) / 4
+      |    + (length(text) - length(regexp_replace(text, '\\bvalue\\b', '', 'g'))) / 5
+      |    )::DOUBLE AS stop_hits
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, lang, n_words,
+      |    floor((stop_hits / n_words + n_words / 1000.0) * 1e4 + 0.5) / 1e4 AS quality
+      |  FROM m),
+      |ranked AS (
+      |  SELECT doc_id, lang, n_words, quality,
+      |    CAST(sum(n_words) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+      |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM scored)
+      |SELECT doc_id, lang, n_words, quality, cum_tokens
+      |FROM ranked WHERE cum_tokens <= $TokenBudget
+      |ORDER BY lang, cum_tokens""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_seq_packing" -> (q101 _), "q102_contamination" -> (q102 _),
     "q103_embedding_stats" -> (q103 _), "q104_repetition" -> (q104 _),
@@ -574,7 +670,8 @@ object CurationOps {
     "q110_overlap_chunking" -> (q110 _), "q111_corpus_mix" -> (q111 _),
     "q112_best_per_lang" -> (q112 _), "q119_paragraph_dedup" -> (q119 _),
     "q120_epoch_shuffle" -> (q120 _), "q121_redaction" -> (q121 _),
-    "q126_curation_v2" -> (q126 _))
+    "q126_curation_v2" -> (q126 _), "q136_data_card" -> (q136 _),
+    "q137_token_budget" -> (q137 _))
 
   val oracle: Map[String, String] = Map(
     "q101_seq_packing" -> q101Sql, "q102_contamination" -> q102Sql,
@@ -584,5 +681,6 @@ object CurationOps {
     "q110_overlap_chunking" -> q110Sql, "q111_corpus_mix" -> q111Sql,
     "q112_best_per_lang" -> q112Sql, "q119_paragraph_dedup" -> q119Sql,
     "q120_epoch_shuffle" -> q120Sql, "q121_redaction" -> q121Sql,
-    "q126_curation_v2" -> q126Sql)
+    "q126_curation_v2" -> q126Sql, "q136_data_card" -> q136Sql,
+    "q137_token_budget" -> q137Sql)
 }

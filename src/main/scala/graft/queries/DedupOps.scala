@@ -471,16 +471,67 @@ object DedupOps {
       |SELECT src AS doc_id, min(node) AS cluster
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** q135 — cross-document SPAN overlap: the substring-level dedup signal
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" — repeated spans, not whole-document copies). q119 removes
+    * FIXED word blocks; this detects copied text at ANY alignment, because
+    * winnowing guarantees any ≥(window+gram)-char shared substring leaves
+    * at least one common fingerprint. Per doc: fingerprint count, count
+    * shared with another doc, and the shared fraction — the score a
+    * curation pass thresholds to route docs into span-level scrubbing.
+    * Scale: fingerprints are computed by the one-pass native kernel (only
+    * 8-byte fingerprints ever shuffle); the df is one count aggregation
+    * keyed by the fingerprint; the rest is doc_id-keyed. No windows, no
+    * self-join of documents. */
+  def q135(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d)
+      .filter(length(col("text")) >= 8)
+      // per-doc distinct by the kernel, so df below counts DOCUMENTS
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.of(col("text"))).as("wm"))
+      .cache() // two consumers: the df aggregation and the join probe
+    val fdf = fp.groupBy(col("wm")).agg(count(lit(1)).as("df"))
+    fp.join(fdf, Seq("wm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_fp"), col("n_shared"),
+        Parity.fr(col("n_shared").cast("double") / col("n_fp"), 4).as("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q135Sql: String =
+    s"""WITH grams AS (
+      |  SELECT doc_id, i - 1 AS pos, substring(text, i, 5) AS g
+      |  FROM documents, generate_series(1, 2000) t(i)
+      |  WHERE length(text) >= 8 AND i <= length(text) - 4),
+      |hashed AS (SELECT doc_id, pos, (${Parity.strHashSql("g")} * 2654435761) % 1000003 AS hg
+      |           FROM grams),
+      |wins AS (
+      |  SELECT doc_id, pos,
+      |    min(hg) OVER (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) wm,
+      |    max(pos) OVER (PARTITION BY doc_id) maxp
+      |  FROM hashed),
+      |fp AS (SELECT DISTINCT doc_id, wm FROM wins WHERE pos <= maxp - 3),
+      |fdf AS (SELECT wm, count(*) AS df FROM fp GROUP BY wm)
+      |SELECT doc_id, count(*)::BIGINT AS n_fp,
+      |  CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  floor(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) * 1e4 + 0.5) / 1e4 AS overlap
+      |FROM fp JOIN fdf USING (wm)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31 _), "q32_ngram_jaccard" -> (q32 _),
     "q33_minhash_lsh" -> (q33 _), "q34_simhash" -> (q34 _),
     "q40_winnow_fingerprint" -> (q40 _), "q59_dup_clusters" -> (q59 _),
-    "q115_minhash_recall" -> (q115 _),
+    "q115_minhash_recall" -> (q115 _), "q135_span_overlap" -> (q135 _),
     "q62_curation_pipeline" -> (q62 _))
 
   val oracle: Map[String, String] = Map(
     "q31_dedup_exact" -> q31Sql, "q32_ngram_jaccard" -> q32Sql,
     "q33_minhash_lsh" -> q33Sql, "q34_simhash" -> q34Sql,
     "q40_winnow_fingerprint" -> q40Sql, "q115_minhash_recall" -> q115Sql, "q59_dup_clusters" -> q59Sql,
+    "q135_span_overlap" -> q135Sql,
     "q62_curation_pipeline" -> q62Sql)
 }

@@ -221,13 +221,61 @@ object TextOps {
       |SELECT bigram, CAST(n AS BIGINT) AS n FROM c
       |ORDER BY n DESC, bigram LIMIT 50""".stripMargin
 
+  /** q138 — corpus bigram language-model scoring (the KenLM-shaped
+    * fluency filter: score every document under an n-gram LM trained on
+    * the corpus itself, flag the tail as suspect). Per doc: the mean
+    * conditional bigram probability avg over positions of
+    * P(w2|w1) = C(w1 w2) / Σ_x C(w1 x), with counts from the WHOLE corpus —
+    * a perplexity proxy in pure count arithmetic (no log/exp, so DuckDB
+    * computes bit-identical ratios before the one rounded mean).
+    * Scale: bigram explosion is the map-side zip_with of q134; the model
+    * is two count aggregations (bigram, then prefix-word marginal); scoring
+    * is one join keyed by the bigram string plus a doc_id-keyed mean. The
+    * "model" stays distributed — nothing collects; a hot prefix word is
+    * one aggregation key, never a list. */
+  def q138(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1),
+        (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+      .cache() // consumers: the bigram model counts and the scoring probe
+    val bc = bg.groupBy(col("w1"), col("bg")).agg(count(lit(1)).as("cb"))
+    val pc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
+    val model = bc.join(pc, Seq("w1"))
+      .select(col("bg"), (col("cb").cast("double") / col("cw")).as("p"))
+    bg.join(model, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Parity.fr(avg(col("p")), 4).as("mean_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q138Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bg
+      |  FROM t, generate_series(1, 2000) s(i)
+      |  WHERE i + 1 <= len(ws)),
+      |bc AS (SELECT w1, bg, count(*) cb FROM bg GROUP BY 1, 2),
+      |pc AS (SELECT w1, sum(cb) cw FROM bc GROUP BY 1),
+      |model AS (SELECT bg, cb::DOUBLE / cw AS p FROM bc JOIN pc USING (w1))
+      |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |  floor(avg(p) * 1e4 + 0.5) / 1e4 AS mean_p
+      |FROM bg JOIN model USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_langid" -> (q37 _), "q38_quality_score" -> (q38 _),
     "q39_token_count" -> (q39 _), "q84_tfidf_topterms" -> (q84 _),
-    "q134_bigram_vocab" -> (q134 _))
+    "q134_bigram_vocab" -> (q134 _), "q138_bigram_lm" -> (q138 _))
 
   val oracle: Map[String, String] = Map(
     "q37_langid" -> q37Sql, "q38_quality_score" -> q38Sql,
     "q39_token_count" -> q39Sql, "q84_tfidf_topterms" -> q84Sql,
-    "q134_bigram_vocab" -> q134Sql)
+    "q134_bigram_vocab" -> q134Sql, "q138_bigram_lm" -> q138Sql)
 }

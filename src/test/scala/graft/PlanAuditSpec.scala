@@ -145,4 +145,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p130 = plan("q130_stock_reconcile")
     assert(p130.contains("BroadcastHashJoin") && !p130.contains("NestedLoop"))
   }
+
+  test("span overlap fingerprints in the kernel: no windows, no loop joins") {
+    // the ORACLE needs windows to replicate winnowing; the Spark side must
+    // not — the kernel does the per-doc window-min in one pass
+    val p = plan("q135_span_overlap")
+    assert(p.contains("winnow_fingerprints"),
+      "q135 must fingerprint via the native winnow kernel")
+    assert(!p.contains("Window ["), "q135 must not window")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("data card computes all cube levels in ONE corpus scan") {
+    val p = plan("q136_data_card")
+    assert(p.contains("Expand"), "q136 must cube via Expand, not UNION ALL")
+    assert(p.sliding("documents.parquet".length).count(
+      _ == "documents.parquet") <= 1, "q136 must scan the corpus once")
+  }
+
+  test("token budget selection windows per language, never globally") {
+    val p = plan("q137_token_budget")
+    assert(p.contains("windowspecdefinition(lang#"),
+      "the cumulative-token window must be partitioned by lang")
+  }
+
+  test("bigram LM: map-side explode + keyed aggs, no loop joins") {
+    val p = plan("q138_bigram_lm")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+    assert(!p.contains("Window ["), "q138 must not window")
+  }
 }
