@@ -427,3 +427,29 @@ object Profile85b {
     spark.stop()
   }
 }
+
+/** Dev tool: candidate-pair count with/without the length filter. */
+object ProfileLenFilter {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, sfDir)
+    val sh0 = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHash.distinctOf(col("text"))).as("s")).cache()
+    val sizes = sh0.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shN = sh0.join(broadcast(sizes), Seq("doc_id"))
+    val all = shN.as("a").join(shN.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    println("joinrows_nofilter=" + all.count())
+    val filt = shN.as("a").join(shN.as("b"),
+      col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") * 0.5 <= col("b.n") && col("b.n") * 0.5 <= col("a.n"))
+    println("joinrows_lenfilter=" + filt.count())
+    spark.stop()
+  }
+}

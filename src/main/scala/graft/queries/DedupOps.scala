@@ -147,14 +147,21 @@ object DedupOps {
     // derived map-side from the cached sh0 — cheap per use, not re-cached
     val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // Decorate every index row with its doc's (capped) set size so the
+    // LENGTH FILTER (the PPJoin prefix-family bound: J(A,B) ≤ min/max, so
+    // J ≥ t requires t·max ≤ min) prunes candidate pairs INSIDE the join —
+    // before they are ever shuffled to the pair aggregation. Exact: no
+    // qualifying pair is dropped. Carrying n through the join also makes
+    // the post-aggregation size lookups free (n1/n2 ride the group key).
+    val shN = sh.join(broadcast(sizes), Seq("doc_id"))
+    val lt = lit(threshold)
+    shN.as("a").join(shN.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * lt <= col("b.n") && col("b.n") * lt <= col("a.n") &&
           pairPred(col("a.doc_id"), col("b.doc_id")))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
