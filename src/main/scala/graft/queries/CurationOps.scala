@@ -662,6 +662,47 @@ object CurationOps {
       |FROM ranked WHERE cum_tokens <= $TokenBudget
       |ORDER BY lang, cum_tokens""".stripMargin
 
+  /** Shard count for [[q139]]. */
+  val RangeShards = 8
+
+  /** q139 — range-sharded layout planning: HOW a 100 TB engine writes
+    * globally-ordered output without a global sort. Exact interpolated
+    * percentile cuts of the sort key (one aggregation) become broadcast
+    * shard boundaries; every row maps to the shard counting the cuts below
+    * its key (map-side), so shard i's key range sits entirely below shard
+    * i+1's and a per-shard LOCAL sort yields global order. The gate
+    * reports per-shard row counts and key ranges — the count balance and
+    * the non-overlapping min/max ARE the layout's correctness property.
+    * (Spark's interpolating `percentile` ≡ DuckDB `quantile_cont`, the
+    * same identity q100 gates.) */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    val ps = (1 until RangeShards).map(_.toDouble / RangeShards)
+    val cuts = Tables.documents(s, d)
+      .agg(percentile(col("n_chars"), lit(ps.toArray)).as("cuts"))
+    Tables.documents(s, d)
+      .crossJoin(broadcast(cuts))
+      .select(col("n_chars"),
+        aggregate(col("cuts"), lit(0L),
+          (acc, c) => acc + when(col("n_chars") > c, 1L).otherwise(0L)).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_key"), max(col("n_chars")).as("max_key"))
+      .orderBy(col("shard"))
+  }
+
+  val q139Sql: String = {
+    val ps = (1 until RangeShards).map(_.toDouble / RangeShards)
+    s"""WITH cuts AS (
+      |  SELECT quantile_cont(n_chars, [${ps.mkString(", ")}]) AS c
+      |  FROM documents)
+      |SELECT shard, count(*)::BIGINT AS n_docs,
+      |  min(n_chars)::BIGINT AS min_key, max(n_chars)::BIGINT AS max_key
+      |FROM (SELECT n_chars,
+      |        CAST(len(list_filter((SELECT c FROM cuts), x -> n_chars > x)) AS BIGINT) AS shard
+      |      FROM documents)
+      |GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_seq_packing" -> (q101 _), "q102_contamination" -> (q102 _),
     "q103_embedding_stats" -> (q103 _), "q104_repetition" -> (q104 _),
@@ -671,7 +712,7 @@ object CurationOps {
     "q112_best_per_lang" -> (q112 _), "q119_paragraph_dedup" -> (q119 _),
     "q120_epoch_shuffle" -> (q120 _), "q121_redaction" -> (q121 _),
     "q126_curation_v2" -> (q126 _), "q136_data_card" -> (q136 _),
-    "q137_token_budget" -> (q137 _))
+    "q137_token_budget" -> (q137 _), "q139_range_shards" -> (q139 _))
 
   val oracle: Map[String, String] = Map(
     "q101_seq_packing" -> q101Sql, "q102_contamination" -> q102Sql,
@@ -682,5 +723,5 @@ object CurationOps {
     "q112_best_per_lang" -> q112Sql, "q119_paragraph_dedup" -> q119Sql,
     "q120_epoch_shuffle" -> q120Sql, "q121_redaction" -> q121Sql,
     "q126_curation_v2" -> q126Sql, "q136_data_card" -> q136Sql,
-    "q137_token_budget" -> q137Sql)
+    "q137_token_budget" -> q137Sql, "q139_range_shards" -> q139Sql)
 }

@@ -265,16 +265,21 @@ object DedupOps {
     * quadratic cartesian — the plan that survives 100 TB. */
   def q34(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val wc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    // Straight from word INSTANCES: Σ_w cnt(w)·sign_b(hw(w)) over a doc's
+    // distinct-word counts is identically Σ over raw instances of
+    // sign_b(hw) — so the per-(doc, word) count aggregation the textbook
+    // formulation (and the oracle CTE) writes is skipped entirely, and the
+    // ONLY shuffle before the probe is doc_id-keyed 16-buffer partials
+    // (map-side combined; the exchange carries one row per doc per task).
     // Word ids are map-side strHash — no dictionary, no global sort.
-    val h = wc
-      .withColumn("hw", (Parity.strHash(col("w")) * lit(2654435761L)) % 65536L)
+    val h = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"),
+        ((Parity.strHash(col("w")) * lit(2654435761L)) % 65536L).as("hw"))
     // All 16 bit-plane sums as aggregation buffers of ONE groupBy (no 16×
-    // row blowup): bit b = sign of sum(cnt * ±1) over the doc's words.
+    // row blowup): bit b = sign of sum(±1) over the doc's word instances.
     val bitCols = (0 until 16).map { b =>
-      when(sum(col("cnt") * (shiftright(col("hw"), b) % 2 * lit(2) - lit(1))) > 0,
+      when(sum(shiftright(col("hw"), b) % 2 * lit(2) - lit(1)) > 0,
         lit(1L << b)).otherwise(lit(0L)).as(s"p$b")
     }
     val sig = h.groupBy(col("doc_id"))
@@ -528,17 +533,109 @@ object DedupOps {
       |FROM fp JOIN fdf USING (wm)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q140 — leakage-safe train/val/test split: assign documents to splits
+    * by their NEAR-DUP CLUSTER id, not their own id, so no near-duplicate
+    * pair ever straddles train and eval (the eval-contamination failure
+    * mode of naive per-document hashing — a val doc whose near-copy sits
+    * in train silently inflates the benchmark). Both strategies run over
+    * the same q83 hash-bucket split; the gate reports, per strategy, the
+    * split sizes AND the number of near-dup pairs crossing splits —
+    * by_cluster must show 0 leaked pairs BY CONSTRUCTION, and by_doc shows
+    * what naive splitting would have leaked. Scale: clusters via the
+    * iterative CC operator, assignment map-side, the leak count two
+    * doc_id-keyed joins of the bounded pair set. */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = jaccardPairs(docs, 0.5).select(col("d1"), col("d2")).cache()
+    val clusters = graft.operators.DupClusters.connectedComponents(
+      pairs.select(col("d1").as("a"), col("d2").as("b")), uniquePairs = true)
+    def splitOf(key: Column): Column = {
+      val b = pmod(key * lit(2654435761L), lit(1000L))
+      when(b < 800, "train").when(b < 900, "val").otherwise("test")
+    }
+    val assigned = docs.select(col("doc_id"))
+      .join(clusters, docs("doc_id") === clusters("id"), "left")
+      .select(col("doc_id"),
+        splitOf(col("doc_id")).as("by_doc"),
+        splitOf(coalesce(col("cluster"), col("doc_id"))).as("by_cluster"))
+      .cache()
+    def strategyRow(c: String): DataFrame = {
+      val leaks = pairs
+        .join(assigned.select(col("doc_id").as("d1"), col(c).as("s1")), Seq("d1"))
+        .join(assigned.select(col("doc_id").as("d2"), col(c).as("s2")), Seq("d2"))
+        .agg(coalesce(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)),
+          lit(0L)).as("leaked_pairs"))
+      assigned.agg(
+          sum(when(col(c) === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col(c) === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col(c) === "test", 1L).otherwise(0L)).as("n_test"))
+        .crossJoin(leaks) // 1×1
+        .select(lit(c).as("strategy"), col("n_train"), col("n_val"),
+          col("n_test"), col("leaked_pairs"))
+    }
+    strategyRow("by_cluster").unionByName(strategyRow("by_doc"))
+      .orderBy(col("strategy"))
+  }
+
+  val q140Sql: String =
+    s"""WITH RECURSIVE ${cappedShSql("documents")},
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |prs AS (
+      |  SELECT a.doc_id d1, b.doc_id d2, count(*) inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |dup AS (
+      |  SELECT d1, d2 FROM prs
+      |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |  WHERE round(inter::DOUBLE / (s1.n + s2.n - inter), 4) >= 0.5),
+      |edges AS (SELECT d1 a, d2 b FROM dup UNION SELECT d2, d1 FROM dup),
+      |verts AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (
+      |  SELECT id AS src, id AS node FROM verts
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+      |cl AS (SELECT src AS doc_id, min(node) AS cluster FROM reach GROUP BY src),
+      |asg AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN (d.doc_id*2654435761)%1000 < 800 THEN 'train'
+      |         WHEN (d.doc_id*2654435761)%1000 < 900 THEN 'val'
+      |         ELSE 'test' END AS by_doc,
+      |    CASE WHEN (coalesce(cl.cluster, d.doc_id)*2654435761)%1000 < 800 THEN 'train'
+      |         WHEN (coalesce(cl.cluster, d.doc_id)*2654435761)%1000 < 900 THEN 'val'
+      |         ELSE 'test' END AS by_cluster
+      |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+      |lk AS (
+      |  SELECT
+      |    coalesce(sum(CASE WHEN a1.by_doc <> a2.by_doc THEN 1 ELSE 0 END), 0) ld,
+      |    coalesce(sum(CASE WHEN a1.by_cluster <> a2.by_cluster THEN 1 ELSE 0 END), 0) lc
+      |  FROM dup p JOIN asg a1 ON p.d1 = a1.doc_id JOIN asg a2 ON p.d2 = a2.doc_id)
+      |SELECT 'by_cluster' AS strategy,
+      |  CAST(sum(CASE WHEN by_cluster = 'train' THEN 1 ELSE 0 END) AS BIGINT) n_train,
+      |  CAST(sum(CASE WHEN by_cluster = 'val' THEN 1 ELSE 0 END) AS BIGINT) n_val,
+      |  CAST(sum(CASE WHEN by_cluster = 'test' THEN 1 ELSE 0 END) AS BIGINT) n_test,
+      |  CAST((SELECT lc FROM lk) AS BIGINT) leaked_pairs
+      |FROM asg
+      |UNION ALL
+      |SELECT 'by_doc',
+      |  CAST(sum(CASE WHEN by_doc = 'train' THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(sum(CASE WHEN by_doc = 'val' THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(sum(CASE WHEN by_doc = 'test' THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST((SELECT ld FROM lk) AS BIGINT)
+      |FROM asg
+      |ORDER BY strategy""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31 _), "q32_ngram_jaccard" -> (q32 _),
     "q33_minhash_lsh" -> (q33 _), "q34_simhash" -> (q34 _),
     "q40_winnow_fingerprint" -> (q40 _), "q59_dup_clusters" -> (q59 _),
     "q115_minhash_recall" -> (q115 _), "q135_span_overlap" -> (q135 _),
+    "q140_leakage_split" -> (q140 _),
     "q62_curation_pipeline" -> (q62 _))
 
   val oracle: Map[String, String] = Map(
     "q31_dedup_exact" -> q31Sql, "q32_ngram_jaccard" -> q32Sql,
     "q33_minhash_lsh" -> q33Sql, "q34_simhash" -> q34Sql,
     "q40_winnow_fingerprint" -> q40Sql, "q115_minhash_recall" -> q115Sql, "q59_dup_clusters" -> q59Sql,
-    "q135_span_overlap" -> q135Sql,
+    "q135_span_overlap" -> q135Sql, "q140_leakage_split" -> q140Sql,
     "q62_curation_pipeline" -> q62Sql)
 }

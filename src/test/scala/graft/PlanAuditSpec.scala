@@ -174,4 +174,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
     assert(!p.contains("Window ["), "q138 must not window")
   }
+
+  test("range sharding broadcasts cuts; never sorts or windows the corpus") {
+    // the whole point: global ORDER comes from percentile cuts + local
+    // sorts, so a global Sort or window in the PLAN defeats the operator
+    val p = plan("q139_range_shards")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row cut array must broadcast")
+    assert(!p.contains("Window ["), "q139 must not window")
+  }
+
+  test("leakage-safe split joins the bounded pair set, never the corpus²") {
+    val p = plan("q140_leakage_split")
+    assert(onlyScalarBnlj(p))
+    assert(!p.contains("Window ["), "q140 must not window")
+  }
 }
