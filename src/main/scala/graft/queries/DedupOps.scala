@@ -153,7 +153,12 @@ object DedupOps {
     // before they are ever shuffled to the pair aggregation. Exact: no
     // qualifying pair is dropped. Carrying n through the join also makes
     // the post-aggregation size lookups free (n1/n2 ride the group key).
-    val shN = sh.join(broadcast(sizes), Seq("doc_id"))
+    // NO broadcast hint on sizes: it is one row PER DOCUMENT (billions at
+    // 100 TB — never driver-collectable); AQE broadcasts it at gate scale
+    // and shuffle-joins it at corpus scale, both correct. Cached: the
+    // self-join consumes the decorated index twice — without the cache
+    // each side re-runs the hot-set and size aggregations.
+    val shN = sh.join(sizes, Seq("doc_id")).cache()
     val lt = lit(threshold)
     shN.as("a").join(shN.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&

@@ -134,4 +134,36 @@ class KernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // ...and exactly the set the plain kernel produces
     assert(dedup.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap == plain)
   }
+
+  test("jaccard length bound drops no qualifying pair (exactness)") {
+    // jaccardPairs prunes candidates with t·max(|A|,|B|) > min(|A|,|B|)
+    // inside the self-join; this pins that the bound is EXACT by comparing
+    // against the unfiltered formulation on real data at sf0.001.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val filtered = graft.queries.DedupOps.jaccardPairs(docs, 0.5)
+      .select("d1", "d2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: same index, no length predicate, sizes joined post-agg
+    val sh0 = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHash.distinctOf(col("text"))).as("s"))
+    val cap = docs.agg(greatest(lit(5L),
+      floor(count(lit(1)) / lit(100)).cast("long")).as("cap"))
+    val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(cap)).filter(col("df") > col("cap")).select(col("s"))
+    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val reference = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select("d1", "d2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(filtered == reference)
+    assert(reference.nonEmpty, "fixture must exercise the pair path")
+  }
 }
