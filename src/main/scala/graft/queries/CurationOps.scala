@@ -703,6 +703,98 @@ object CurationOps {
       |GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** q141 — the composed RELEASE REPORT: token-budget selection (q137)
+    * feeding the data card (q136) over the SELECTED corpus — the two-stage
+    * flow a release runs last ("pick the corpus under budget, then publish
+    * its card"), in ONE declarative plan. The cumulative-budget window
+    * stays lang-partitioned; the card is a single CUBE pass over the
+    * selection. */
+  def q141(s: SparkSession, d: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nWords = size(ws).cast("long")
+    val stopHits = (Seq("a", "the", "row", "data", "value")
+      .map(w => ((length(col("text")) - length(regexp_replace(col("text"), s"\\b$w\\b", ""))) / w.length).cast("long"))
+      .reduce(_ + _))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        nWords.as("n_words"),
+        Parity.fr(stopHits.cast("double") / nWords + nWords.cast("double") / lit(1000.0), 4).as("quality"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val selected = scored
+      .withColumn("cum_tokens", sum(col("n_words")).over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+    selected
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        Parity.fr(avg(col("quality")), 4).as("avg_quality"))
+      .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+        coalesce(col("source"), lit("(all)")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("avg_quality"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q141Sql: String =
+    s"""WITH m AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    len(string_split(text, ' '))::BIGINT AS n_words,
+      |    ( (length(text) - length(regexp_replace(text, '\\ba\\b', '', 'g'))) / 1
+      |    + (length(text) - length(regexp_replace(text, '\\bthe\\b', '', 'g'))) / 3
+      |    + (length(text) - length(regexp_replace(text, '\\brow\\b', '', 'g'))) / 3
+      |    + (length(text) - length(regexp_replace(text, '\\bdata\\b', '', 'g'))) / 4
+      |    + (length(text) - length(regexp_replace(text, '\\bvalue\\b', '', 'g'))) / 5
+      |    )::DOUBLE AS stop_hits
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, lang, source, n_chars, n_words,
+      |    floor((stop_hits / n_words + n_words / 1000.0) * 1e4 + 0.5) / 1e4 AS quality
+      |  FROM m),
+      |sel AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, lang, source, n_chars, n_words, quality,
+      |      CAST(sum(n_words) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+      |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |    FROM scored)
+      |  WHERE cum_tokens <= $TokenBudget)
+      |SELECT coalesce(lang, '(all)') AS lang,
+      |  coalesce(source, '(all)') AS source,
+      |  count(*)::BIGINT AS n_docs,
+      |  sum(n_words)::BIGINT AS n_tokens,
+      |  sum(n_chars)::BIGINT AS n_chars,
+      |  floor(avg(quality) * 1e4 + 0.5) / 1e4 AS avg_quality
+      |FROM sel
+      |GROUP BY CUBE (lang, source)
+      |ORDER BY lang, source""".stripMargin
+
+  /** q142 — key-partitioned parquet sink round-trip (the parquet sibling
+    * of the q67 CSV / q106 JSONL ingestion gates, exercising the WRITE
+    * side): the corpus lands under `lang=<v>/` partition directories —
+    * the physical layout that makes per-language reads partition-pruned
+    * at 100 TB — is read back through partition discovery, and the gate
+    * aggregates the READ-BACK rows. The oracle aggregates the source
+    * directly, so a row lost or a partition value mangled in the
+    * round-trip fails the hash compare. */
+  def q142(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.fresh("gate_shards").getPath
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  val q142Sql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+      |  count(DISTINCT source)::BIGINT AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_seq_packing" -> (q101 _), "q102_contamination" -> (q102 _),
     "q103_embedding_stats" -> (q103 _), "q104_repetition" -> (q104 _),
@@ -712,7 +804,8 @@ object CurationOps {
     "q112_best_per_lang" -> (q112 _), "q119_paragraph_dedup" -> (q119 _),
     "q120_epoch_shuffle" -> (q120 _), "q121_redaction" -> (q121 _),
     "q126_curation_v2" -> (q126 _), "q136_data_card" -> (q136 _),
-    "q137_token_budget" -> (q137 _), "q139_range_shards" -> (q139 _))
+    "q137_token_budget" -> (q137 _), "q139_range_shards" -> (q139 _),
+    "q141_release_report" -> (q141 _), "q142_partitioned_sink" -> (q142 _))
 
   val oracle: Map[String, String] = Map(
     "q101_seq_packing" -> q101Sql, "q102_contamination" -> q102Sql,
@@ -723,5 +816,6 @@ object CurationOps {
     "q112_best_per_lang" -> q112Sql, "q119_paragraph_dedup" -> q119Sql,
     "q120_epoch_shuffle" -> q120Sql, "q121_redaction" -> q121Sql,
     "q126_curation_v2" -> q126Sql, "q136_data_card" -> q136Sql,
-    "q137_token_budget" -> q137Sql, "q139_range_shards" -> q139Sql)
+    "q137_token_budget" -> q137Sql, "q139_range_shards" -> q139Sql,
+    "q141_release_report" -> q141Sql, "q142_partitioned_sink" -> q142Sql)
 }

@@ -189,4 +189,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(onlyScalarBnlj(p))
     assert(!p.contains("Window ["), "q140 must not window")
   }
+
+  test("release report: lang-partitioned budget window into one cube pass") {
+    val p = plan("q141_release_report")
+    assert(p.contains("windowspecdefinition(lang#"),
+      "the budget window must stay partitioned by lang")
+    assert(p.contains("Expand"), "the card must cube via Expand")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
 }
