@@ -197,4 +197,41 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Expand"), "the card must cube via Expand")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
+
+  test("GLOBAL sweep: no query plans a cartesian product, a non-scalar " +
+      "nested loop, or a partition-less window") {
+    // Every per-query audit above pins a query someone already suspected;
+    // this sweep catches the one nobody did. Three corpus-scale killers,
+    // checked over ALL registered gates at sf0.001:
+    //   1. CartesianProduct — corpus² rows;
+    //   2. BroadcastNestedLoopJoin that is not the 1-row scalar pattern;
+    //   3. a Window whose spec opens with an ordering (no partition keys):
+    //      plans as windowspecdefinition(<attr> ASC/DESC ..., i.e. the
+    //      whole input sorts on ONE task.
+    // Queries whose FINAL presentation orderBy plans a global Sort are
+    // fine — Sort is allowed, single-partition WINDOW state is not.
+    // A window spec's first argument being an ORDERING (contains ASC/DESC
+    // before the first comma) means no partition keys precede it.
+    val partitionlessWindow =
+      """windowspecdefinition\([^,()]*(ASC|DESC)""".r
+    // Tolerated non-equi broadcast loops — each builds a PROVABLY BOUNDED
+    // side (never fact-scale), so the loop is dim-bounded at any corpus
+    // size; the queries' own scaladocs carry the argument:
+    val bnljWaivers = Map(
+      "q10_prefix_membership" -> "prefix dim (bounded code list) broadcast under a startsWith condition",
+      "q35_cosine_topk" -> "brute-force BASELINE over the bounded query set (the scale path is q36/q52)",
+      "q69_multimodal_meta" -> "tiny codec-fixture frame broadcast for the outer metadata join",
+      "q77_topk_native_agg" -> "bounded query set broadcast against the corpus for per-query top-k")
+    val offenders = Queries.all.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      val bad = Seq(
+        if (p.contains("CartesianProduct")) Some("cartesian") else None,
+        if (!onlyScalarBnlj(p) && !bnljWaivers.contains(name))
+          Some("non-scalar BNLJ") else None,
+        partitionlessWindow.findFirstIn(p).map(_ => "partition-less window")
+      ).flatten
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
