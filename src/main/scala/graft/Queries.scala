@@ -13,7 +13,8 @@ object Queries {
       queries.SimilarityOps.queries ++ queries.EngineOps.queries ++
       queries.ReportOps.queries ++ queries.GateOps.queries ++
       queries.StockOps.queries ++ queries.SketchOps.queries ++
-      queries.CurationOps.queries ++ queries.WizardOps.queries
+      queries.CurationOps.queries ++ queries.WizardOps.queries ++
+      queries.SelectionOps.queries
 
   def oracle: Map[String, String] =
     queries.RelationalA.oracle ++ queries.RelationalB.oracle ++
@@ -21,5 +22,6 @@ object Queries {
       queries.SimilarityOps.oracle ++ queries.EngineOps.oracle ++
       queries.ReportOps.oracle ++ queries.GateOps.oracle ++
       queries.StockOps.oracle ++ queries.SketchOps.oracle ++
-      queries.CurationOps.oracle ++ queries.WizardOps.oracle
+      queries.CurationOps.oracle ++ queries.WizardOps.oracle ++
+      queries.SelectionOps.oracle
 }

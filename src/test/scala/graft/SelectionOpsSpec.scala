@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior contracts of the data-SELECTION operators
+  * ([[graft.queries.SelectionOps]]) that the DuckDB parity gates cannot
+  * express: the Bloom screen's one-sided error, the DSIR selection's
+  * shard-budget invariant, and the plan shapes that carry both to 100 TB. */
+class SelectionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("bloom screen has NO false negatives and really bites") {
+    val r = queries.SelectionOps.q144(spark, sf)
+      .agg(sum(when(col("n_bloom_hit") < col("n_exact_hit"), 1L).otherwise(0L))
+          .as("fn"),
+        sum(col("n_exact_hit")).as("hits"))
+      .head()
+    assert(r.getLong(0) == 0L, "a true Bloom filter cannot miss a member")
+    assert(r.getLong(1) > 0L, "the fixture must exercise real block overlap")
+  }
+
+  test("bloom probe is map-side: broadcast bitmap literal, no probe-side shuffle join on positions") {
+    val p = queries.SelectionOps.q144(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the position test must be an expression over the array literal, not
+    // a join against a positions table
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dsir selection never exceeds the per-shard budget") {
+    val over = queries.SelectionOps.q143(spark, sf)
+      .filter(col("selected") === 1L)
+      .groupBy(col("lang"), col("source")).count()
+      .filter(col("count") > queries.SelectionOps.SelectPerShard)
+      .count()
+    assert(over == 0L)
+  }
+
+  test("dsir weights favor the target slice: en docs outscore non-en on average") {
+    val r = queries.SelectionOps.q143(spark, sf)
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("score").cast("double") / col("n_bigrams")).as("s"))
+      .collect().map(x => (x.getBoolean(0), x.getDouble(1))).toMap
+    assert(r(true) > r(false),
+      "per-bigram importance must rank the target distribution higher")
+  }
+
+  test("dsir weight dim is broadcast against the per-doc features") {
+    val p = queries.SelectionOps.q143(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=1024-bucket weight table must broadcast, not shuffle the features")
+  }
+}
