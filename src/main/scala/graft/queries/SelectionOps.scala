@@ -208,9 +208,167 @@ object SelectionOps {
        |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Cosine threshold above which two same-cell vectors are semantic
+    * duplicates in [[q145]]. */
+  val SemTau = 0.4
+
+  /** q145 — semantic dedup over embedding cells (the SemDeDup shape:
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", Abbas et al. 2023): cluster the embedding space with
+    * the SAME deterministic k-means the IVF quantizer trains (q85), then
+    * inside each cell drop every vector that has a LOWER-id neighbor with
+    * cosine >= [[SemTau]] — one representative survives per near-identical
+    * group, without any transitive-closure iteration. Candidate pairs are
+    * additionally bounded to the q63 hyperplane bucket, so pair work is
+    * (cell × bucket)-local.
+    *
+    * Scale: assignment is the broadcast-centroid map of the quantizer; the
+    * pair join is an equi-join on (cid, bucket) — production picks k so
+    * cells stay bounded (SemDeDup's own design), and the bucket cut keeps
+    * each group's pair count quadratic only in a tiny group size. The
+    * keep-lowest-id rule needs no iteration, unlike connected components —
+    * the price is that chains A~B~C with cos(A,C) < τ keep only A (the
+    * paper's ε-ball semantics, not transitive closure). */
+  def q145(s: SparkSession, d: String): DataFrame = {
+    val fdot = graft.functions.VectorDot.dot _
+    val (assign, _) = graft.operators.KMeansQuantizer.train(
+      Tables.embeddings(s, d), k = 8, iterations = 2)
+    // decorated vectors feed BOTH sides of the pair join and the final
+    // per-cell rollup — cache so bucket/norm compute runs once
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("bucket", SimilarityOps.planeBucket(col("v")))
+      .withColumn("n2", fdot(col("v"), col("v")))
+      .join(assign.select(col("vec_id"), col("cid")), Seq("vec_id"))
+      .cache()
+    val x = e.select(col("vec_id").as("v1"), col("v").as("va"),
+      col("cid").as("cid1"), col("bucket").as("b1"), col("n2").as("na"))
+    val y = e.select(col("vec_id").as("v2"), col("v").as("vb"),
+      col("cid").as("cid2"), col("bucket").as("b2"), col("n2").as("nb"))
+    val removed = x.join(y,
+        col("cid1") === col("cid2") && col("b1") === col("b2") &&
+          col("v1") < col("v2"))
+      .filter(fdot(col("va"), col("vb")) / sqrt(col("na") * col("nb"))
+        >= SemTau)
+      .select(col("v2").as("vec_id")).distinct()
+    e.join(removed.withColumn("__r", lit(1L)), Seq("vec_id"), "left")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(coalesce(col("__r"), lit(0L))).as("n_removed"))
+      .withColumn("n_kept", col("n_vectors") - col("n_removed"))
+      .orderBy(col("cid"))
+  }
+
+  val q145Sql: String =
+    s"""WITH ${SimilarityOps.KmeansCtes},
+       |bk AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(
+       |      list_transform(e, x -> CAST(x AS DOUBLE)),
+       |      list_transform(range(64), i ->
+       |        ((1103515245 * (j * 64 + i) + 12345) % 2147483648)
+       |          / 2147483648.0 - 0.5)) > 0
+       |    THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) bucket
+       |  FROM v CROSS JOIN generate_series(0, 7) t(j) GROUP BY vec_id),
+       |f AS (SELECT a3.vec_id, a3.cid, bk.bucket,
+       |        list_transform(a3.e, x -> CAST(x AS DOUBLE)) vd
+       |      FROM a3 JOIN bk USING (vec_id)),
+       |rm AS (SELECT DISTINCT y.vec_id FROM f x JOIN f y
+       |       ON x.cid = y.cid AND x.bucket = y.bucket
+       |         AND x.vec_id < y.vec_id
+       |       WHERE list_dot_product(x.vd, y.vd)
+       |         / sqrt(list_dot_product(x.vd, x.vd)
+       |              * list_dot_product(y.vd, y.vd)) >= $SemTau)
+       |SELECT cid, count(*)::BIGINT n_vectors,
+       |  CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM rm)
+       |    THEN 1 ELSE 0 END) AS BIGINT) n_removed,
+       |  count(*) - CAST(sum(CASE WHEN vec_id IN (SELECT vec_id FROM rm)
+       |    THEN 1 ELSE 0 END) AS BIGINT) n_kept
+       |FROM f GROUP BY cid ORDER BY cid""".stripMargin
+
+  /** Coreset size for [[q146]] — tiny by design (the selected set is
+    * broadcast every round). */
+  val CoresetK = 5
+
+  /** q146 — diversity coreset by greedy k-center (farthest-point
+    * traversal, the 2-approximation of Gonzalez 1985 used for
+    * diversity-aware data selection): seed with the smallest vec_id, then
+    * [[CoresetK]]−1 rounds of "pick the vector farthest from the selected
+    * set" (ties to the smaller id). Emits each selected center with its
+    * final population and coverage radius — the certificate a curator
+    * reads (radius stops shrinking ⇒ k large enough).
+    *
+    * Scale: each round BROADCASTS the ≤k selected centers as literals and
+    * runs one distributed min-distance scan + TakeOrdered(1) — k bounded
+    * driver rows total, never a fact-scale collect; the final
+    * assignment/rollup is the same broadcast-argmin map the k-means
+    * quantizer uses. d² is the identical fold the q85 oracle replays, so
+    * every round's argmax agrees bit-for-bit with DuckDB's. */
+  def q146(s: SparkSession, d: String): DataFrame = {
+    def d2(vec: Column, cen: Column): Column =
+      aggregate(zip_with(vec, cen, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("vd"))
+      .cache()
+    val seed = v.orderBy(col("vec_id")).limit(1).collect()(0)
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double])](
+      (seed.getLong(0), seed.getSeq[Double](1)))
+    for (_ <- 2 to CoresetK) {
+      val centers = array(sel.toSeq.map(c => typedlit(c._2)): _*)
+      val far = v
+        .select(col("vec_id"), col("vd"),
+          array_min(transform(centers, c => d2(col("vd"), c))).as("d2"))
+        .orderBy(col("d2").desc, col("vec_id")).limit(1).collect()(0)
+      sel += ((far.getLong(0), far.getSeq[Double](1)))
+    }
+    val cenStructs = array(sel.map { case (cid, vec) =>
+      struct(lit(cid).as("cid"), typedlit(vec).as("cvec"))
+    }.toSeq: _*)
+    val best = array_min(transform(cenStructs,
+      cc => struct(d2(col("vd"), cc.getField("cvec")).as("d"),
+        cc.getField("cid").as("cid"))))
+    v.select(col("vec_id"), best.getField("cid").as("cid"),
+        best.getField("d").as("d2"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        Parity.fr(max(col("d2")), 6).as("radius2"))
+      .orderBy(col("cid"))
+  }
+
+  val q146Sql: String = {
+    val dd = "list_dot_product(" +
+      "list_transform(range(64), i -> v.vd[i+1] - s.vd[i+1]), " +
+      "list_transform(range(64), i -> v.vd[i+1] - s.vd[i+1]))"
+    val rounds = (2 to CoresetK).map { r =>
+      val prev = (1 until r).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""d$r AS (SELECT v.vec_id, v.vd, min($dd) d2
+         |  FROM v CROSS JOIN ($prev) s GROUP BY v.vec_id, v.vd),
+         |s$r AS (SELECT vec_id, vd FROM d$r ORDER BY d2 DESC, vec_id LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val all = (1 to CoresetK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) vd
+       |  FROM embeddings),
+       |s1 AS (SELECT vec_id, vd FROM v ORDER BY vec_id LIMIT 1),
+       |$rounds,
+       |cen AS ($all),
+       |da AS (SELECT v.vec_id, s.vec_id cid, $dd d2
+       |       FROM v CROSS JOIN cen s),
+       |asg AS (SELECT vec_id, cid, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, cid) rn FROM da) WHERE rn = 1)
+       |SELECT cid, count(*)::BIGINT n_assigned,
+       |  floor(max(d2) * 1e6 + 0.5) / 1e6 radius2
+       |FROM asg GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q143_dsir_weights" -> (q143 _), "q144_bloom_screen" -> (q144 _))
+    "q143_dsir_weights" -> (q143 _), "q144_bloom_screen" -> (q144 _),
+    "q145_semantic_dedup" -> (q145 _), "q146_coreset_kcenter" -> (q146 _))
 
   val oracle: Map[String, String] = Map(
-    "q143_dsir_weights" -> q143Sql, "q144_bloom_screen" -> q144Sql)
+    "q143_dsir_weights" -> q143Sql, "q144_bloom_screen" -> q144Sql,
+    "q145_semantic_dedup" -> q145Sql, "q146_coreset_kcenter" -> q146Sql)
 }

@@ -59,6 +59,22 @@ class SelectionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "per-bigram importance must rank the target distribution higher")
   }
 
+  test("semantic dedup keeps at least one representative per cell") {
+    val r = queries.SelectionOps.q145(spark, sf)
+    assert(r.filter(col("n_kept") < 1L).count() == 0L,
+      "keep-lowest-id can never empty a cell")
+    assert(r.filter(col("n_kept") + col("n_removed") =!= col("n_vectors"))
+      .count() == 0L)
+  }
+
+  test("coreset returns exactly k centers covering every vector") {
+    val r = queries.SelectionOps.q146(spark, sf).collect()
+    assert(r.length == queries.SelectionOps.CoresetK)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(r.map(_.getLong(1)).sum == total,
+      "every vector must be assigned to exactly one center")
+  }
+
   test("dsir weight dim is broadcast against the per-doc features") {
     val p = queries.SelectionOps.q143(spark, sf)
       .queryExecution.executedPlan.toString
