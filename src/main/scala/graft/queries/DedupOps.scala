@@ -564,21 +564,34 @@ object DedupOps {
         splitOf(col("doc_id")).as("by_doc"),
         splitOf(coalesce(col("cluster"), col("doc_id"))).as("by_cluster"))
       .cache()
-    def strategyRow(c: String): DataFrame = {
-      val leaks = pairs
-        .join(assigned.select(col("doc_id").as("d1"), col(c).as("s1")), Seq("d1"))
-        .join(assigned.select(col("doc_id").as("d2"), col(c).as("s2")), Seq("d2"))
-        .agg(coalesce(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)),
-          lit(0L)).as("leaked_pairs"))
-      assigned.agg(
-          sum(when(col(c) === "train", 1L).otherwise(0L)).as("n_train"),
-          sum(when(col(c) === "val", 1L).otherwise(0L)).as("n_val"),
-          sum(when(col(c) === "test", 1L).otherwise(0L)).as("n_test"))
-        .crossJoin(leaks) // 1×1
-        .select(lit(c).as("strategy"), col("n_train"), col("n_val"),
-          col("n_test"), col("leaked_pairs"))
-    }
-    strategyRow("by_cluster").unionByName(strategyRow("by_doc"))
+    // BOTH strategies in one pass: a single pair join carrying both split
+    // labels and a single size scan, reshaped to two rows at the end —
+    // the previous per-strategy helper ran the pair join and the assigned
+    // scan twice each
+    val leaks = pairs
+      .join(assigned.select(col("doc_id").as("d1"),
+        col("by_doc").as("bd1"), col("by_cluster").as("bc1")), Seq("d1"))
+      .join(assigned.select(col("doc_id").as("d2"),
+        col("by_doc").as("bd2"), col("by_cluster").as("bc2")), Seq("d2"))
+      .agg(
+        coalesce(sum(when(col("bd1") =!= col("bd2"), 1L).otherwise(0L)),
+          lit(0L)).as("leak_doc"),
+        coalesce(sum(when(col("bc1") =!= col("bc2"), 1L).otherwise(0L)),
+          lit(0L)).as("leak_cluster"))
+    def n(c: String, v: String): Column =
+      sum(when(col(c) === v, 1L).otherwise(0L)).as(s"${c}_$v")
+    assigned.agg(n("by_doc", "train"), n("by_doc", "val"), n("by_doc", "test"),
+        n("by_cluster", "train"), n("by_cluster", "val"), n("by_cluster", "test"))
+      .crossJoin(leaks) // 1×1
+      .select(explode(array(
+        struct(lit("by_cluster").as("strategy"),
+          col("by_cluster_train").as("n_train"), col("by_cluster_val").as("n_val"),
+          col("by_cluster_test").as("n_test"), col("leak_cluster").as("leaked_pairs")),
+        struct(lit("by_doc").as("strategy"),
+          col("by_doc_train").as("n_train"), col("by_doc_val").as("n_val"),
+          col("by_doc_test").as("n_test"), col("leak_doc").as("leaked_pairs"))))
+        .as("r"))
+      .select(col("r.*"))
       .orderBy(col("strategy"))
   }
 
