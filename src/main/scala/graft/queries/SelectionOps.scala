@@ -364,11 +364,85 @@ object SelectionOps {
        |FROM asg GROUP BY cid ORDER BY cid""".stripMargin
   }
 
+  /** PQ geometry for [[q147]]: 64 dims split into [[PqBlocks]] sub-spaces
+    * of [[PqDims]] dims, each quantized to [[PqK]] centroids after
+    * [[PqRounds]] Lloyd round(s) — a 64-float vector compresses to 4
+    * codes of 2 bits. */
+  val PqBlocks = 4
+  val PqDims = 16
+  val PqK = 4
+  val PqRounds = 1
+
+  /** q147 — product-quantization codebook training + encoding (the PQ of
+    * Jégou et al. 2011, the storage half of IVF-PQ ANN — q52/q76 are the
+    * routing half, q85 trains their coarse cells): each 16-dim sub-block
+    * gets its own deterministic Lloyd codebook ([[graft.operators
+    * .KMeansQuantizer]] verbatim — dimension-agnostic by construction),
+    * every vector is encoded as its per-block nearest-centroid ids, and
+    * the gate emits the codes plus the exact reconstruction error the
+    * encoding pays. The quality number a real pipeline watches when it
+    * chooses block/centroid counts.
+    *
+    * Scale: per block, training is the quantizer's broadcast-assign loop
+    * (zero vector shuffle); encoding is one map over the vectors with the
+    * 4-row codebook broadcast; the 4 per-block frames join back on
+    * vec_id. Everything downstream of the scan is map/broadcast work. */
+  def q147(s: SparkSession, d: String): DataFrame = {
+    def d2(vec: Column, cen: Column): Column =
+      aggregate(zip_with(vec, cen, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val perBlock = (0 until PqBlocks).map { b =>
+      val sub = base.select(col("vec_id"),
+        slice(col("embedding"), b * PqDims + 1, PqDims).as("embedding"))
+      val (assign, cents) = graft.operators.KMeansQuantizer.train(
+        sub, k = PqK, iterations = PqRounds)
+      sub.join(assign, Seq("vec_id"))
+        .join(broadcast(cents), Seq("cid"))
+        .select(col("vec_id"), col("cid").as(s"code$b"),
+          d2(col("embedding"), col("cvec")).as(s"err$b"))
+    }
+    val outCols = col("vec_id") +:
+      (0 until PqBlocks).map(b => col(s"code$b")) :+
+      Parity.fr((0 until PqBlocks).map(b => col(s"err$b"))
+        .reduce(_ + _), 6).as("err2")
+    perBlock.reduce(_.join(_, Seq("vec_id")))
+      .select(outCols: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  val q147Sql: String = {
+    val blocks = (0 until PqBlocks).map { b =>
+      val src =
+        s"""vb$b AS (SELECT vec_id, e[${b * PqDims + 1}:${(b + 1) * PqDims}] e
+           |        FROM v)""".stripMargin
+      val chain = SimilarityOps.kmeansCtes(s"vb$b", PqDims, PqK, PqRounds, s"pq${b}_")
+      val err =
+        s"""e$b AS (SELECT a.vec_id, a.cid, list_dot_product(
+           |    list_transform(range($PqDims), i -> CAST(a.e[i+1] AS DOUBLE) - c.c[i+1]),
+           |    list_transform(range($PqDims), i -> CAST(a.e[i+1] AS DOUBLE) - c.c[i+1])) err
+           |  FROM pq${b}_a${PqRounds + 1} a
+           |  JOIN pq${b}_c$PqRounds c ON a.cid = c.cid)""".stripMargin
+      s"$src,\n$chain,\n$err"
+    }.mkString(",\n")
+    val codes = (0 until PqBlocks).map(b => s"e$b.cid code$b").mkString(", ")
+    val errSum = (0 until PqBlocks).map(b => s"e$b.err").mkString(" + ")
+    val joins = (1 until PqBlocks)
+      .map(b => s"JOIN e$b ON e0.vec_id = e$b.vec_id").mkString(" ")
+    s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+       |$blocks
+       |SELECT e0.vec_id, $codes,
+       |  floor(($errSum) * 1e6 + 0.5) / 1e6 err2
+       |FROM e0 $joins ORDER BY e0.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_dsir_weights" -> (q143 _), "q144_bloom_screen" -> (q144 _),
-    "q145_semantic_dedup" -> (q145 _), "q146_coreset_kcenter" -> (q146 _))
+    "q145_semantic_dedup" -> (q145 _), "q146_coreset_kcenter" -> (q146 _),
+    "q147_pq_codes" -> (q147 _))
 
   val oracle: Map[String, String] = Map(
     "q143_dsir_weights" -> q143Sql, "q144_bloom_screen" -> q144Sql,
-    "q145_semantic_dedup" -> q145Sql, "q146_coreset_kcenter" -> q146Sql)
+    "q145_semantic_dedup" -> q145Sql, "q146_coreset_kcenter" -> q146Sql,
+    "q147_pq_codes" -> q147Sql)
 }

@@ -75,6 +75,18 @@ class SelectionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every vector must be assigned to exactly one center")
   }
 
+  test("pq codebooks discriminate: every block uses >1 code, codes < k") {
+    val r = queries.SelectionOps.q147(spark, sf).cache()
+    for (b <- 0 until queries.SelectionOps.PqBlocks) {
+      val distinct = r.select(col(s"code$b")).distinct().collect().map(_.getLong(0))
+      assert(distinct.length > 1, s"block $b collapsed to one centroid")
+      assert(distinct.forall(c => c >= 0 && c < 500),
+        s"block $b code out of the seeded id range")
+    }
+    assert(r.filter(col("err2") < 0).count() == 0)
+    r.unpersist()
+  }
+
   test("dsir weight dim is broadcast against the per-doc features") {
     val p = queries.SelectionOps.q143(spark, sf)
       .queryExecution.executedPlan.toString
