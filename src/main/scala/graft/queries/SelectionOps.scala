@@ -564,13 +564,67 @@ object SelectionOps {
        |ORDER BY query_id""".stripMargin
   }
 
+  /** Samples drawn per (lang, source) shard in [[q149]]. */
+  val SamplePerShard = 4L
+
+  /** q149 — weight-proportional systematic sampling (the "sample K docs
+    * per shard with probability ∝ quality weight" step of corpus mixing,
+    * where q107's quota sampler counts heads and q83's splitter hashes
+    * uniformly): walk each shard in doc_id order accumulating integer
+    * weights (here n_chars — any BIGINT quality score works), and select
+    * the documents where `floor(K·cum/total)` advances. The K slots
+    * always sum up (`Σ n_slots = K` per shard); a document heavier than
+    * total/K absorbs several slots while being emitted once — the
+    * standard PPS-without-replacement cap, surfaced in the `n_slots`
+    * column. Zero RNG, integer-only — heavier documents proportionally
+    * likelier, the low-variance systematic design instead of Poisson
+    * draws.
+    *
+    * Scale: the cumulative window and the total are both per (lang,
+    * source) shard — the bounded packing shard, never a global sort; the
+    * totals join is shard-keyed. */
+  def q149(s: SparkSession, d: String): DataFrame = {
+    val K = SamplePerShard
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").as("wt"))
+      .withColumn("cum", sum(col("wt")).over(w))
+    val tot = t.groupBy(col("lang"), col("source"))
+      .agg(max(col("cum")).as("total"))
+    t.join(tot, Seq("lang", "source"))
+      .withColumn("pick",
+        expr(s"($K * cum) div total") - expr(s"($K * (cum - wt)) div total"))
+      .filter(col("pick") > 0)
+      .select(col("lang"), col("source"), col("doc_id"), col("wt"),
+        col("pick").as("n_slots"))
+      .orderBy(col("lang"), col("source"), col("doc_id"))
+  }
+
+  val q149Sql: String = {
+    val K = SamplePerShard
+    s"""WITH t AS (SELECT doc_id, lang, source, n_chars wt,
+       |    CAST(sum(n_chars) OVER (PARTITION BY lang, source
+       |      ORDER BY doc_id) AS BIGINT) cum
+       |  FROM documents),
+       |tot AS (SELECT lang, source, CAST(max(cum) AS BIGINT) total
+       |        FROM t GROUP BY 1, 2)
+       |SELECT lang, source, doc_id, wt,
+       |  ($K * cum) // total - ($K * (cum - wt)) // total n_slots
+       |FROM t JOIN tot USING (lang, source)
+       |WHERE ($K * cum) // total - ($K * (cum - wt)) // total > 0
+       |ORDER BY lang, source, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_dsir_weights" -> (q143 _), "q144_bloom_screen" -> (q144 _),
     "q145_semantic_dedup" -> (q145 _), "q146_coreset_kcenter" -> (q146 _),
-    "q147_pq_codes" -> (q147 _), "q148_pq_adc_recall" -> (q148 _))
+    "q147_pq_codes" -> (q147 _), "q148_pq_adc_recall" -> (q148 _),
+    "q149_weighted_sample" -> (q149 _))
 
   val oracle: Map[String, String] = Map(
     "q143_dsir_weights" -> q143Sql, "q144_bloom_screen" -> q144Sql,
     "q145_semantic_dedup" -> q145Sql, "q146_coreset_kcenter" -> q146Sql,
-    "q147_pq_codes" -> q147Sql, "q148_pq_adc_recall" -> q148Sql)
+    "q147_pq_codes" -> q147Sql, "q148_pq_adc_recall" -> q148Sql,
+    "q149_weighted_sample" -> q149Sql)
 }

@@ -87,6 +87,15 @@ class SelectionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     r.unpersist()
   }
 
+  test("systematic sampler's slots always sum to K per shard") {
+    val bad = queries.SelectionOps.q149(spark, sf)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_slots")).as("slots"))
+      .filter(col("slots") =!= queries.SelectionOps.SamplePerShard)
+      .count()
+    assert(bad == 0L, "systematic PPS must allocate exactly K slots per shard")
+  }
+
   test("dsir weight dim is broadcast against the per-doc features") {
     val p = queries.SelectionOps.q143(spark, sf)
       .queryExecution.executedPlan.toString
