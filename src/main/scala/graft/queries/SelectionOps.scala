@@ -46,7 +46,9 @@ object SelectionOps {
     * source/target marginals collapse to ≤ [[FeatureBuckets]] rows each —
     * a broadcast dim. Selection ranks inside the (lang, source) shard
     * (the same bounded shard q101/q120 use), never globally. */
-  def q143(s: SparkSession, d: String): DataFrame = {
+  /** The DSIR scoring stage of [[q143]] — (doc_id, lang, source,
+    * n_bigrams, score) — shared with the composed pipeline [[q150]]. */
+  private[queries] def dsirScores(s: SparkSession, d: String): DataFrame = {
     val B = FeatureBuckets
     // project the split FIRST — a split() referenced inside the zip_with
     // lambda would re-evaluate per element (no CSE across HOF boundaries)
@@ -69,21 +71,25 @@ object SelectionOps {
     val wt = cs.join(ct, Seq("b"), "left")
       .select(col("b"),
         expr("(1000000 * (coalesce(ct, 0) + 1)) div (cs + 1)").as("w"))
-    val sc = nf.join(broadcast(wt), Seq("b"))
+    nf.join(broadcast(wt), Seq("b"))
       .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(sum(col("c")).as("n_bigrams"), sum(col("c") * col("w")).as("score"))
-    sc.withColumn("rk", row_number().over(
+  }
+
+  def q143(s: SparkSession, d: String): DataFrame =
+    dsirScores(s, d).withColumn("rk", row_number().over(
         Window.partitionBy(col("lang"), col("source"))
           .orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_bigrams"), col("score"),
         when(col("rk") <= SelectPerShard, 1L).otherwise(0L).as("selected"))
       .orderBy(col("doc_id"))
-  }
 
-  val q143Sql: String = {
+  /** DuckDB CTE prefix computing the [[dsirScores]] frame as `sc` —
+    * shared by [[q143Sql]] and [[q150Sql]]. */
+  private val DsirCtes: String = {
     val B = FeatureBuckets
-    s"""WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') ws
+    s"""w AS (SELECT doc_id, lang, source, string_split(text, ' ') ws
        |           FROM documents),
        |bg AS (SELECT doc_id, lang, source, ws[i] || ' ' || ws[i+1] bg
        |       FROM (SELECT doc_id, lang, source, ws,
@@ -98,14 +104,17 @@ object SelectionOps {
        |       FROM cs LEFT JOIN ct USING (b)),
        |sc AS (SELECT doc_id, lang, source, CAST(sum(c) AS BIGINT) n_bigrams,
        |         CAST(sum(c * w) AS BIGINT) score
-       |       FROM nf JOIN wt USING (b) GROUP BY 1, 2, 3),
+       |       FROM nf JOIN wt USING (b) GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  val q143Sql: String =
+    s"""WITH $DsirCtes,
        |r AS (SELECT *, row_number() OVER (PARTITION BY lang, source
        |        ORDER BY score DESC, doc_id) rk FROM sc)
        |SELECT doc_id, lang, source, n_bigrams, score,
        |  CAST(CASE WHEN rk <= $SelectPerShard THEN 1 ELSE 0 END AS BIGINT)
        |    selected
        |FROM r ORDER BY doc_id""".stripMargin
-  }
 
   /** Bloom bit-array size (bits) and hash count for [[q144]]. 2^18 bits =
     * 32 KiB as 4096 longs — ~10 bits/key for the sf0.1 block population; a
@@ -616,15 +625,64 @@ object SelectionOps {
        |ORDER BY lang, source, doc_id""".stripMargin
   }
 
+  /** q150 — the composed SELECTION release pipeline, one declarative
+    * plan: DSIR importance scoring ([[dsirScores]]) feeds
+    * weight-proportional systematic sampling (the q149 design with the
+    * DSIR score as the weight — distribution-matched AND size-controlled
+    * selection in one pass), rolled up into the per-language release
+    * summary a curator signs off on. The composed twin for the selection
+    * layer, as `curateV2` (q126) is for the cleaning layer.
+    *
+    * Scale: inherits the stages' postures — bounded broadcast weight dim,
+    * shard-bounded windows, shard-keyed totals join; the rollup is one
+    * lang-keyed aggregation. */
+  def q150(s: SparkSession, d: String): DataFrame = {
+    val K = SamplePerShard
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    val t = dsirScores(s, d)
+      .withColumn("cum", sum(col("score")).over(w))
+    val tot = t.groupBy(col("lang"), col("source"))
+      .agg(max(col("cum")).as("total"))
+    t.join(tot, Seq("lang", "source"))
+      .withColumn("n_slots",
+        expr(s"($K * cum) div total") - expr(s"($K * (cum - score)) div total"))
+      .filter(col("n_slots") > 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_slots")).as("n_slots"),
+        sum(col("score")).as("score_mass"),
+        sum(col("n_bigrams")).as("n_bigrams"))
+      .orderBy(col("lang"))
+  }
+
+  val q150Sql: String = {
+    val K = SamplePerShard
+    s"""WITH $DsirCtes,
+       |t AS (SELECT *, CAST(sum(score) OVER (PARTITION BY lang, source
+       |        ORDER BY doc_id) AS BIGINT) cum FROM sc),
+       |tot AS (SELECT lang, source, CAST(max(cum) AS BIGINT) total
+       |        FROM t GROUP BY 1, 2),
+       |picks AS (
+       |  SELECT t.*, ($K * cum) // total - ($K * (cum - score)) // total
+       |           n_slots
+       |  FROM t JOIN tot USING (lang, source)
+       |  WHERE ($K * cum) // total - ($K * (cum - score)) // total > 0)
+       |SELECT lang, count(*)::BIGINT n_sampled,
+       |  CAST(sum(n_slots) AS BIGINT) n_slots,
+       |  CAST(sum(score) AS BIGINT) score_mass,
+       |  CAST(sum(n_bigrams) AS BIGINT) n_bigrams
+       |FROM picks GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_dsir_weights" -> (q143 _), "q144_bloom_screen" -> (q144 _),
     "q145_semantic_dedup" -> (q145 _), "q146_coreset_kcenter" -> (q146 _),
     "q147_pq_codes" -> (q147 _), "q148_pq_adc_recall" -> (q148 _),
-    "q149_weighted_sample" -> (q149 _))
+    "q149_weighted_sample" -> (q149 _), "q150_selection_pipeline" -> (q150 _))
 
   val oracle: Map[String, String] = Map(
     "q143_dsir_weights" -> q143Sql, "q144_bloom_screen" -> q144Sql,
     "q145_semantic_dedup" -> q145Sql, "q146_coreset_kcenter" -> q146Sql,
     "q147_pq_codes" -> q147Sql, "q148_pq_adc_recall" -> q148Sql,
-    "q149_weighted_sample" -> q149Sql)
+    "q149_weighted_sample" -> q149Sql, "q150_selection_pipeline" -> q150Sql)
 }
