@@ -390,6 +390,46 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming bloom screen: pre-batch classification, idempotent OR-fold") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.BloomStream
+    import graft.streaming.BloomStream.{Bitmap, DocIn, ScreenOut}
+    val m = 4096L; val k = 3
+    val bitmap = new Bitmap(m)
+    // pre-seed the "frozen corpus" with hash 7777
+    BloomStream.positions(7777L, m, k).foreach(bitmap.set)
+    val out = scala.collection.mutable.ArrayBuffer[ScreenOut]()
+    val src = MemoryStream[DocIn]
+    val q = BloomStream.screen(src.toDS(), bitmap, m, k,
+      ds => out.synchronized { out ++= ds.collect() })
+    // batch 1: 7777 is corpus -> hit; 1234 unknown -> miss (and twice in
+    // the SAME batch still miss: classification is against the PRE-batch
+    // bitmap)
+    src.addData(DocIn(7777L, 1), DocIn(1234L, 2), DocIn(1234L, 3))
+    q.processAllAvailable()
+    // batch 2: 1234 folded in batch 1 -> hit now; 9999 miss
+    src.addData(DocIn(1234L, 4), DocIn(9999L, 5))
+    q.processAllAvailable()
+    q.stop()
+    val byDoc = out.map(o => o.doc_id -> o.bloom_hit).toMap
+    assert(byDoc.size == 5, s"expected 5 classified docs: $byDoc")
+    assert(byDoc(1L), "corpus-seeded hash must hit")
+    assert(!byDoc(2L) && !byDoc(3L),
+      "unknown hash must miss, including its same-batch repeat")
+    assert(byDoc(4L), "batch-1-folded hash must hit in batch 2")
+    assert(!byDoc(5L), "fresh hash must miss (fp odds ~0 at this fill)")
+    // replay idempotence: re-folding every seen hash changes nothing
+    val before = bitmap.snapshot.toSeq
+    Seq(7777L, 1234L, 9999L).foreach(h =>
+      BloomStream.positions(h, m, k).foreach(bitmap.set))
+    assert(bitmap.snapshot.toSeq == before,
+      "OR-fold must be a no-op on replay")
+    // the membership contract: every folded hash now tests positive
+    Seq(7777L, 1234L, 9999L).foreach(h =>
+      assert(BloomStream.positions(h, m, k).forall(bitmap.test)))
+  }
+
   test("ppmv container: round-trip and seek-only-sampled-frames decode") {
     import graft.multimodal.{PpmCodec, PpmvCodec}
     val frames = (0 until 5).map { f =>
