@@ -39,7 +39,9 @@ object SelectionOps {
     * division — exact in both engines) and a document scores
     * `Σ_b n_b · w(b)`. Monotone in the same direction as DSIR's
     * log-ratio for the dominant buckets and bit-identical across engines,
-    * which a float log-sum is not.
+    * which a float log-sum is not. A document with fewer than two words
+    * has no features and is absent from the output (both engines) — a
+    * caller that must keep such documents left-joins the scores back.
     *
     * Scale: bigrams explode map-side from one projected split; per-doc
     * features are one (doc_id, bucket)-keyed aggregation; the
@@ -587,7 +589,10 @@ object SelectionOps {
     * standard PPS-without-replacement cap, surfaced in the `n_slots`
     * column. Zero RNG, integer-only — heavier documents proportionally
     * likelier, the low-variance systematic design instead of Poisson
-    * draws.
+    * draws. A shard whose weights are all zero has `total = 0`; the
+    * slot divisions go NULL and the shard emits nothing — the defensible
+    * reading of "sample proportional to zero mass" (n_chars is positive
+    * on real corpora).
     *
     * Scale: the cumulative window and the total are both per (lang,
     * source) shard — the bounded packing shard, never a global sort; the

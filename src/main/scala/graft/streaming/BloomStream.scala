@@ -1,23 +1,29 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming maintenance of the Bloom corpus screen
   * ([[graft.queries.SelectionOps.q144]] is the batch gate): the corpus
   * bitmap lives on the driver (bounded by m/64 words — 4 KiB at the gate's
   * 2^18 bits, megabytes at production sizes), every micro-batch is screened
-  * against the bitmap AS OF the previous batch, then its own positions are
-  * OR-folded in for the next batch.
+  * against the bitmap AS OF the start of the batch, then its own positions
+  * are OR-folded in for the next batch.
   *
   * Why a Bloom and not the exact-set state of [[DedupStream]]: the OR-fold
-  * is IDEMPOTENT, so at-least-once foreachBatch replay needs no version
-  * bookkeeping at all (re-OR-ing a replayed batch is a no-op — contrast
-  * [[EventsStream.maintainAggregate]]'s `latestVersionBefore` machinery),
-  * and the state size is fixed up front instead of growing with the
-  * corpus. The price is one-sided error: a hit may be false, a miss never
-  * is — the screen's contract, same as the batch gate.
+  * is IDEMPOTENT and the state size is fixed up front instead of growing
+  * with the corpus. The price is one-sided error: a hit may be false, a
+  * miss never is — the screen's contract, same as the batch gate.
+  *
+  * Replay semantics: the pre-batch snapshot is PINNED per batchId, so an
+  * in-process foreachBatch retry of the same batch re-screens against the
+  * identical snapshot (same classifications) and its re-fold is a no-op —
+  * no version bookkeeping à la [[EventsStream.maintainAggregate]] needed.
+  * Across a DRIVER RESTART the in-memory bitmap is gone by design: the
+  * deployment contract is to re-seed from the released corpus at startup
+  * (one scan rebuilds the bitmap — that cheap rebuild is exactly why
+  * production dedup screens favor Blooms over exact sets) and resume the
+  * source from the checkpoint passed to [[screen]].
   *
   * Scale: screening is a distributed map over the batch with the bitmap
   * BROADCAST (the documents never leave the executors); the only driver
@@ -25,23 +31,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * m, not by batch size. */
 object BloomStream {
 
-  /** `h`: the portable content/block hash ([[graft.queries.Parity.strHash]]
-    * shape); `doc_id`: the document the hash came from. */
+  /** `h`: the content/block hash — ANY long, negative accepted (the
+    * position math floor-mods); `doc_id`: the document it came from. */
   case class DocIn(h: Long, doc_id: Long)
   case class ScreenOut(doc_id: Long, bloom_hit: Boolean)
 
-  /** Same double-hashing position math as the q144 gate (Kirsch–
-    * Mitzenmacher): position_j = (h mod m + j·(1 + h mod (m−1))) mod m. */
+  /** Same double-hashing position shape as the q144 gate (Kirsch–
+    * Mitzenmacher): position_j = (h1 + j·h2) mod m, with floor-mod so any
+    * Long hash yields positions in [0, m) and h2 in [1, m−1] (never 0 —
+    * a zero stride would collapse all k probes onto one bit). The single
+    * source of the math: the executor probe and the driver fold both call
+    * this (the q144 COLUMN twin feeds only the non-negative
+    * [[graft.queries.Parity.strHash]], where % and floorMod agree). */
   def positions(h: Long, m: Long, k: Int): Seq[Long] = {
-    val h1 = h % m
-    val h2 = 1L + h % (m - 1)
+    val h1 = java.lang.Math.floorMod(h, m)
+    val h2 = 1L + java.lang.Math.floorMod(h, m - 1)
     (0 until k).map(j => (h1 + j * h2) % m)
   }
 
   /** A fixed-size bit array with idempotent OR-fold — the driver-held
-    * streaming state. */
+    * streaming state. Word count rounds UP so a non-multiple-of-64 size
+    * cannot under-allocate the last partial word. */
   final class Bitmap(val bits: Long) {
-    val words = new Array[Long]((bits / 64).toInt)
+    require(bits >= 2, s"a $bits-bit bloom cannot carry a nonzero stride")
+    val words = new Array[Long](((bits + 63) / 64).toInt)
     def set(p: Long): Unit = words((p / 64).toInt) |= (1L << (p % 64))
     def test(p: Long): Boolean =
       ((words((p / 64).toInt) >>> (p % 64)) & 1L) == 1L
@@ -49,34 +62,50 @@ object BloomStream {
   }
 
   /** Start the screen: each micro-batch of `src` is classified against the
-    * bitmap state BEFORE the batch (batch granularity — a doc's own
-    * batch-mates don't mark it; [[DedupStream]] gives row granularity),
-    * the classified batch goes to `sink` (production: a parquet append;
-    * tests: a collect), and the batch's positions fold into the bitmap.
-    * `bitmap` may be pre-seeded from a frozen corpus (the q144 shape). */
-  def screen(src: Dataset[DocIn], bitmap: Bitmap, m: Long, k: Int,
-      sink: Dataset[ScreenOut] => Unit): StreamingQuery = {
-    src.writeStream.outputMode("append").foreachBatch {
-      (batch: Dataset[DocIn], _: Long) =>
+    * bitmap state at the START of the batch (batch granularity — a doc's
+    * own batch-mates don't mark it; [[DedupStream]] gives row
+    * granularity), the classified batch goes to `sink` (production: a
+    * parquet append; tests: a collect), and the batch's positions fold
+    * into the bitmap. `bitmap` is pre-seeded from the frozen corpus (the
+    * q144 shape); positions are derived with `bitmap.bits` as m, so the
+    * screen can never index outside the state. */
+  def screen(src: Dataset[DocIn], bitmap: Bitmap, k: Int,
+      sink: Dataset[ScreenOut] => Unit,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val m = bitmap.bits
+    var pinnedBatch = -1L
+    var pinned: Array[Long] = bitmap.snapshot
+    val writer = src.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[DocIn], batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         val kk = k
         val mm = m
-        // DISTRIBUTED screen against the broadcast pre-batch bitmap
-        val pre = spark.sparkContext.broadcast(bitmap.snapshot)
-        val classified = batch.map { r =>
-          val hit = positions(r.h, mm, kk).forall { p =>
-            ((pre.value((p / 64).toInt) >>> (p % 64)) & 1L) == 1L
-          }
-          ScreenOut(r.doc_id, hit)
+        // pin the pre-batch snapshot per batchId: an in-process RETRY of
+        // this batch must re-screen against the same bits even though the
+        // first attempt may already have folded its positions in
+        if (batchId != pinnedBatch) {
+          pinned = bitmap.snapshot
+          pinnedBatch = batchId
         }
-        sink(classified)
-        // bounded driver fold: ≤ m distinct positions, idempotent —
-        // replaying this whole batch is a no-op
-        batch.select(explode(typedLit((0 until kk).toList)).as("j"), col("h"))
-          .select(((col("h") % mm) + col("j") * (lit(1L) + col("h") % (mm - 1))) % mm)
-          .distinct().collect().foreach(r => bitmap.set(r.getLong(0)))
+        batch.persist() // two jobs below (screen + fold): read source once
+        try {
+          val pre = spark.sparkContext.broadcast(pinned)
+          try {
+            val classified = batch.map { r =>
+              val hit = positions(r.h, mm, kk).forall { p =>
+                ((pre.value((p / 64).toInt) >>> (p % 64)) & 1L) == 1L
+              }
+              ScreenOut(r.doc_id, hit)
+            }
+            sink(classified)
+            // bounded driver fold: ≤ m distinct positions, idempotent
+            batch.flatMap(r => positions(r.h, mm, kk))
+              .distinct().collect().foreach(bitmap.set)
+          } finally pre.unpersist(blocking = false)
+        } finally batch.unpersist()
         ()
-    }.start()
+    }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
 }

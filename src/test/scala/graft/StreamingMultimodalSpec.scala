@@ -401,33 +401,39 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     BloomStream.positions(7777L, m, k).foreach(bitmap.set)
     val out = scala.collection.mutable.ArrayBuffer[ScreenOut]()
     val src = MemoryStream[DocIn]
-    val q = BloomStream.screen(src.toDS(), bitmap, m, k,
+    val q = BloomStream.screen(src.toDS(), bitmap, k,
       ds => out.synchronized { out ++= ds.collect() })
     // batch 1: 7777 is corpus -> hit; 1234 unknown -> miss (and twice in
     // the SAME batch still miss: classification is against the PRE-batch
-    // bitmap)
-    src.addData(DocIn(7777L, 1), DocIn(1234L, 2), DocIn(1234L, 3))
+    // bitmap); a NEGATIVE hash must floor-mod, not crash
+    src.addData(DocIn(7777L, 1), DocIn(1234L, 2), DocIn(1234L, 3),
+      DocIn(-987654321L, 6))
     q.processAllAvailable()
-    // batch 2: 1234 folded in batch 1 -> hit now; 9999 miss
-    src.addData(DocIn(1234L, 4), DocIn(9999L, 5))
+    // batch 2: 1234 and the negative hash folded in batch 1 -> hits; 9999 miss
+    src.addData(DocIn(1234L, 4), DocIn(9999L, 5), DocIn(-987654321L, 7))
     q.processAllAvailable()
     q.stop()
     val byDoc = out.map(o => o.doc_id -> o.bloom_hit).toMap
-    assert(byDoc.size == 5, s"expected 5 classified docs: $byDoc")
+    assert(byDoc.size == 7, s"expected 7 classified docs: $byDoc")
     assert(byDoc(1L), "corpus-seeded hash must hit")
     assert(!byDoc(2L) && !byDoc(3L),
       "unknown hash must miss, including its same-batch repeat")
     assert(byDoc(4L), "batch-1-folded hash must hit in batch 2")
     assert(!byDoc(5L), "fresh hash must miss (fp odds ~0 at this fill)")
+    assert(!byDoc(6L) && byDoc(7L),
+      "negative hash: miss on first sight, hit after its fold")
     // replay idempotence: re-folding every seen hash changes nothing
     val before = bitmap.snapshot.toSeq
-    Seq(7777L, 1234L, 9999L).foreach(h =>
+    Seq(7777L, 1234L, 9999L, -987654321L).foreach(h =>
       BloomStream.positions(h, m, k).foreach(bitmap.set))
     assert(bitmap.snapshot.toSeq == before,
       "OR-fold must be a no-op on replay")
-    // the membership contract: every folded hash now tests positive
-    Seq(7777L, 1234L, 9999L).foreach(h =>
+    // the membership contract: every folded hash now tests positive, and
+    // every position of any Long hash stays inside [0, m)
+    Seq(7777L, 1234L, 9999L, -987654321L).foreach(h =>
       assert(BloomStream.positions(h, m, k).forall(bitmap.test)))
+    Seq(Long.MinValue, -1L, 0L, Long.MaxValue).foreach(h =>
+      BloomStream.positions(h, m, k).foreach(p => assert(p >= 0 && p < m)))
   }
 
   test("ppmv container: round-trip and seek-only-sampled-frames decode") {
