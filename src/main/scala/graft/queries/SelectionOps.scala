@@ -339,6 +339,10 @@ object SelectionOps {
     val best = array_min(transform(cenStructs,
       cc => struct(d2(col("vd"), cc.getField("cvec")).as("d"),
         cc.getField("cid").as("cid"))))
+    // the cache served the k selection rounds (all actions above); the
+    // final rollup is ONE more scan — release rather than pin the vectors
+    // for the session's lifetime (the KMeansQuantizer.train discipline)
+    v.unpersist()
     v.select(col("vec_id"), best.getField("cid").as("cid"),
         best.getField("d").as("d2"))
       .groupBy(col("cid"))
@@ -396,7 +400,7 @@ object SelectionOps {
     *
     * Scale: per block, training is the quantizer's broadcast-assign loop
     * (zero vector shuffle); encoding is one map over the vectors with the
-    * 4-row codebook broadcast; the 4 per-block frames join back on
+    * k-row codebook broadcast; the 4 per-block frames join back on
     * vec_id. Everything downstream of the scan is map/broadcast work. */
   /** The exact-IEEE squared distance fold both the trainer and the q85
     * oracle use (left-to-right, float cast to double per element). */
@@ -462,8 +466,9 @@ object SelectionOps {
 
   /** q148 — ADC search quality (asymmetric distance computation, the
     * query-time half of PQ): each query keeps its EXACT sub-block
-    * distances to every codebook centroid (a 4×4 lookup table), database
-    * vectors contribute only their 2-bit codes, and the approximate
+    * distances to every codebook centroid (a 4-block × k lookup table),
+    * database
+    * vectors contribute only their 3-bit codes, and the approximate
     * distance is the sum of the per-block table lookups. The gate runs
     * ADC top-5 against exact L2 top-5 and reports recall@5 per query —
     * the number that decides whether the PQ geometry (blocks × centroids)
@@ -597,38 +602,51 @@ object SelectionOps {
     * Scale: the cumulative window and the total are both per (lang,
     * source) shard — the bounded packing shard, never a global sort; the
     * totals join is shard-keyed. */
-  def q149(s: SparkSession, d: String): DataFrame = {
-    val K = SamplePerShard
+  /** The PPS-systematic core shared by [[q149]] and the composed
+    * pipeline [[q150]]: `df` must carry (doc_id, lang, source, wt);
+    * returns the picked rows with their `n_slots` multiplicity. One
+    * implementation so the composed gate samples with exactly the q149
+    * rule (the same reason [[dsirScores]] is shared). */
+  private def systematicPicks(df: DataFrame, K: Long): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
-    val t = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("n_chars").as("wt"))
-      .withColumn("cum", sum(col("wt")).over(w))
+    val t = df.withColumn("cum", sum(col("wt")).over(w))
     val tot = t.groupBy(col("lang"), col("source"))
       .agg(max(col("cum")).as("total"))
     t.join(tot, Seq("lang", "source"))
-      .withColumn("pick",
+      .withColumn("n_slots",
         expr(s"($K * cum) div total") - expr(s"($K * (cum - wt)) div total"))
-      .filter(col("pick") > 0)
-      .select(col("lang"), col("source"), col("doc_id"), col("wt"),
-        col("pick").as("n_slots"))
-      .orderBy(col("lang"), col("source"), col("doc_id"))
+      .filter(col("n_slots") > 0)
   }
 
-  val q149Sql: String = {
-    val K = SamplePerShard
-    s"""WITH t AS (SELECT doc_id, lang, source, n_chars wt,
-       |    CAST(sum(n_chars) OVER (PARTITION BY lang, source
-       |      ORDER BY doc_id) AS BIGINT) cum
-       |  FROM documents),
+  /** DuckDB twin of [[systematicPicks]]: CTEs `t`/`tot`/`picks` over a
+    * source CTE exposing (doc_id, lang, source, wt, ...). */
+  private def systematicPicksSql(srcCte: String, K: Long): String =
+    s"""t AS (SELECT *, CAST(sum(wt) OVER (PARTITION BY lang, source
+       |      ORDER BY doc_id) AS BIGINT) cum FROM $srcCte),
        |tot AS (SELECT lang, source, CAST(max(cum) AS BIGINT) total
-       |        FROM t GROUP BY 1, 2)
-       |SELECT lang, source, doc_id, wt,
-       |  ($K * cum) // total - ($K * (cum - wt)) // total n_slots
-       |FROM t JOIN tot USING (lang, source)
-       |WHERE ($K * cum) // total - ($K * (cum - wt)) // total > 0
-       |ORDER BY lang, source, doc_id""".stripMargin
-  }
+       |        FROM t GROUP BY 1, 2),
+       |picks AS (
+       |  SELECT t.*, ($K * cum) // total - ($K * (cum - wt)) // total
+       |           n_slots
+       |  FROM t JOIN tot USING (lang, source)
+       |  WHERE ($K * cum) // total - ($K * (cum - wt)) // total > 0)"""
+      .stripMargin
+
+  def q149(s: SparkSession, d: String): DataFrame =
+    systematicPicks(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").as("wt")),
+      SamplePerShard)
+      .select(col("lang"), col("source"), col("doc_id"), col("wt"),
+        col("n_slots"))
+      .orderBy(col("lang"), col("source"), col("doc_id"))
+
+  val q149Sql: String =
+    s"""WITH src AS (SELECT doc_id, lang, source, n_chars wt FROM documents),
+       |${systematicPicksSql("src", SamplePerShard)}
+       |SELECT lang, source, doc_id, wt, n_slots
+       |FROM picks ORDER BY lang, source, doc_id""".stripMargin
 
   /** q150 — the composed SELECTION release pipeline, one declarative
     * plan: DSIR importance scoring ([[dsirScores]]) feeds
@@ -641,43 +659,25 @@ object SelectionOps {
     * Scale: inherits the stages' postures — bounded broadcast weight dim,
     * shard-bounded windows, shard-keyed totals join; the rollup is one
     * lang-keyed aggregation. */
-  def q150(s: SparkSession, d: String): DataFrame = {
-    val K = SamplePerShard
-    val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
-    val t = dsirScores(s, d)
-      .withColumn("cum", sum(col("score")).over(w))
-    val tot = t.groupBy(col("lang"), col("source"))
-      .agg(max(col("cum")).as("total"))
-    t.join(tot, Seq("lang", "source"))
-      .withColumn("n_slots",
-        expr(s"($K * cum) div total") - expr(s"($K * (cum - score)) div total"))
-      .filter(col("n_slots") > 0)
+  def q150(s: SparkSession, d: String): DataFrame =
+    systematicPicks(dsirScores(s, d).withColumn("wt", col("score")),
+      SamplePerShard)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"),
         sum(col("n_slots")).as("n_slots"),
         sum(col("score")).as("score_mass"),
         sum(col("n_bigrams")).as("n_bigrams"))
       .orderBy(col("lang"))
-  }
 
-  val q150Sql: String = {
-    val K = SamplePerShard
+  val q150Sql: String =
     s"""WITH $DsirCtes,
-       |t AS (SELECT *, CAST(sum(score) OVER (PARTITION BY lang, source
-       |        ORDER BY doc_id) AS BIGINT) cum FROM sc),
-       |tot AS (SELECT lang, source, CAST(max(cum) AS BIGINT) total
-       |        FROM t GROUP BY 1, 2),
-       |picks AS (
-       |  SELECT t.*, ($K * cum) // total - ($K * (cum - score)) // total
-       |           n_slots
-       |  FROM t JOIN tot USING (lang, source)
-       |  WHERE ($K * cum) // total - ($K * (cum - score)) // total > 0)
+       |src AS (SELECT *, score wt FROM sc),
+       |${systematicPicksSql("src", SamplePerShard)}
        |SELECT lang, count(*)::BIGINT n_sampled,
        |  CAST(sum(n_slots) AS BIGINT) n_slots,
        |  CAST(sum(score) AS BIGINT) score_mass,
        |  CAST(sum(n_bigrams) AS BIGINT) n_bigrams
        |FROM picks GROUP BY lang ORDER BY lang""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_dsir_weights" -> (q143 _), "q144_bloom_screen" -> (q144 _),

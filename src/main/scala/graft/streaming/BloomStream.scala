@@ -59,6 +59,21 @@ object BloomStream {
     def test(p: Long): Boolean =
       ((words((p / 64).toInt) >>> (p % 64)) & 1L) == 1L
     def snapshot: Array[Long] = words.clone()
+
+    // The replay pin lives WITH the state, not with a screen() call: a
+    // foreachBatch failure terminates the query, and recovery re-invokes
+    // screen() over the SAME Bitmap — per-call vars would re-snapshot
+    // AFTER the failed batch's fold and flip its classifications on
+    // replay. (A recovery that instead re-seeds a FRESH bitmap discards
+    // the fold state together with the pin — consistent by construction.)
+    private var pinnedBatch = -1L
+    private var pinned: Array[Long] = null
+    /** The pre-batch snapshot for `batchId`, pinned on first sight so a
+      * replay of the same batch re-screens against identical bits. */
+    def snapshotFor(batchId: Long): Array[Long] = synchronized {
+      if (batchId != pinnedBatch) { pinned = snapshot; pinnedBatch = batchId }
+      pinned
+    }
   }
 
   /** Start the screen: each micro-batch of `src` is classified against the
@@ -73,24 +88,18 @@ object BloomStream {
       sink: Dataset[ScreenOut] => Unit,
       checkpoint: Option[String] = None): StreamingQuery = {
     val m = bitmap.bits
-    var pinnedBatch = -1L
-    var pinned: Array[Long] = bitmap.snapshot
     val writer = src.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[DocIn], batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         val kk = k
         val mm = m
-        // pin the pre-batch snapshot per batchId: an in-process RETRY of
-        // this batch must re-screen against the same bits even though the
-        // first attempt may already have folded its positions in
-        if (batchId != pinnedBatch) {
-          pinned = bitmap.snapshot
-          pinnedBatch = batchId
-        }
         batch.persist() // two jobs below (screen + fold): read source once
         try {
-          val pre = spark.sparkContext.broadcast(pinned)
+          // pre-batch snapshot pinned per batchId INSIDE the bitmap — a
+          // replayed batch re-screens against its original bits even when
+          // recovery went through a fresh screen() call (see Bitmap)
+          val pre = spark.sparkContext.broadcast(bitmap.snapshotFor(batchId))
           try {
             val classified = batch.map { r =>
               val hit = positions(r.h, mm, kk).forall { p =>

@@ -434,6 +434,15 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(BloomStream.positions(h, m, k).forall(bitmap.test)))
     Seq(Long.MinValue, -1L, 0L, Long.MaxValue).foreach(h =>
       BloomStream.positions(h, m, k).foreach(p => assert(p >= 0 && p < m)))
+    // the replay pin travels with the BITMAP: within one batchId the
+    // snapshot ignores later folds; the next batchId sees them
+    val b2 = new Bitmap(128)
+    val s0 = b2.snapshotFor(7L).toSeq
+    b2.set(5)
+    assert(b2.snapshotFor(7L).toSeq == s0,
+      "replaying a batch must re-screen against its original bits")
+    assert(b2.snapshotFor(8L).toSeq != s0,
+      "the following batch must see the fold")
   }
 
   test("ppmv container: round-trip and seek-only-sampled-frames decode") {
