@@ -528,7 +528,11 @@ object SelectionOps {
       .orderBy(col("query_id"))
   }
 
-  val q148Sql: String = {
+  /** Shared oracle CTE block for the PQ serving path (q148, q151): the
+    * per-block chains, `cd` (per-vector codes) and `lut0..3` (per-query
+    * block LUTs). Prepend `v AS (SELECT vec_id, embedding e FROM
+    * embeddings)`. */
+  private def pqSearchCtes: String = {
     val chains = (0 until PqBlocks).map { b =>
       s"""vb$b AS (SELECT vec_id, e[${b * PqDims + 1}:${(b + 1) * PqDims}] e
          |        FROM v),
@@ -547,22 +551,15 @@ object SelectionOps {
          |  FROM (SELECT vec_id, e FROM vb$b WHERE vec_id < 10) q
          |  CROSS JOIN pq${b}_c$PqRounds c)""".stripMargin
     }.mkString(",\n")
-    val lutJoin = (1 until PqBlocks)
-      .map(b => s"JOIN lut$b l$b ON l$b.qid = l0.qid AND l$b.cid = cd.code$b")
-      .mkString(" ")
-    val adcSum = (0 until PqBlocks).map(b => s"l$b.d").mkString(" + ")
-    s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
-       |$chains,
+    s"""$chains,
        |cd AS (SELECT a0.vec_id, $codeCols
        |       FROM pq0_a${PqRounds + 1} a0 $codeJoin),
-       |$lutCtes,
-       |adc AS (SELECT l0.qid, cd.vec_id nid, $adcSum adc
-       |        FROM cd JOIN lut0 l0 ON l0.cid = cd.code0 $lutJoin
-       |        WHERE cd.vec_id <> l0.qid),
-       |adc5 AS (SELECT qid, list(nid ORDER BY rn) ids FROM (
-       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
-       |      ORDER BY adc, nid) rn FROM adc) WHERE rn <= 5 GROUP BY qid),
-       |ex AS (SELECT q.vec_id qid, c.vec_id nid,
+       |$lutCtes""".stripMargin
+  }
+
+  /** Exact-L2 top-5 oracle CTEs (`ex`, `ex5`) for the PQ eval gates. */
+  private val ExactTop5Ctes: String =
+    s"""ex AS (SELECT q.vec_id qid, c.vec_id nid,
        |    list_dot_product(
        |      list_transform(range(64), i -> CAST(q.e[i+1] AS DOUBLE) - CAST(c.e[i+1] AS DOUBLE)),
        |      list_transform(range(64), i -> CAST(q.e[i+1] AS DOUBLE) - CAST(c.e[i+1] AS DOUBLE))) d
@@ -570,7 +567,25 @@ object SelectionOps {
        |  JOIN v c ON c.vec_id <> q.vec_id),
        |ex5 AS (SELECT qid, list(nid ORDER BY rn) ids FROM (
        |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
-       |      ORDER BY d, nid) rn FROM ex) WHERE rn <= 5 GROUP BY qid)
+       |      ORDER BY d, nid) rn FROM ex) WHERE rn <= 5 GROUP BY qid)"""
+      .stripMargin
+
+  private val PqAdcSum: String =
+    (0 until PqBlocks).map(b => s"l$b.d").mkString(" + ")
+
+  val q148Sql: String = {
+    val lutJoin = (1 until PqBlocks)
+      .map(b => s"JOIN lut$b l$b ON l$b.qid = l0.qid AND l$b.cid = cd.code$b")
+      .mkString(" ")
+    s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+       |$pqSearchCtes,
+       |adc AS (SELECT l0.qid, cd.vec_id nid, $PqAdcSum adc
+       |        FROM cd JOIN lut0 l0 ON l0.cid = cd.code0 $lutJoin
+       |        WHERE cd.vec_id <> l0.qid),
+       |adc5 AS (SELECT qid, list(nid ORDER BY rn) ids FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc, nid) rn FROM adc) WHERE rn <= 5 GROUP BY qid),
+       |$ExactTop5Ctes
        |SELECT x.qid query_id,
        |  CAST(len(x.ids) AS BIGINT) n_exact,
        |  CAST(len(a.ids) AS BIGINT) n_adc,
@@ -679,15 +694,131 @@ object SelectionOps {
        |  CAST(sum(n_bigrams) AS BIGINT) n_bigrams
        |FROM picks GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q151 — the complete IVF-PQ serving path (Jégou et al. 2011 end to
+    * end): queries route to their top-2 IVF cells (the fixed LCG coarse
+    * centroids of q52/q76/q90), only the CODES of vectors in probed cells
+    * are scored — by the q148 ADC lookup — and the probed top-5 is graded
+    * against exact L2 top-5. This is the query a production ANN service
+    * runs: coarse routing bounds the candidate set, PQ codes bound the
+    * bytes touched per candidate, and the gate reports both the candidate
+    * count and the recall that geometry buys.
+    *
+    * Scale: routing is a map over literal centroids (no shuffle); the
+    * candidate join is cell-keyed; the LUT side stays queries × k per
+    * block (broadcast); nothing ships full vectors except the bounded
+    * query set's own LUT build. */
+  def q151(s: SparkSession, d: String): DataFrame = {
+    val parts = pqTrain(s, d)
+    val codes = parts.zipWithIndex.map { case ((_, a, _), b) =>
+      a.select(col("vec_id"), col("cid").as(s"code$b"))
+    }.reduce(_.join(_, Seq("vec_id")))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+    // database-side routing: argmax_j score_j, ties to the smaller j
+    val cellCol = -greatest((0 until 8).map(j =>
+      struct(SimilarityOps.ivfCellScore(col("v"), j).as("score"),
+        lit(-j).as("nj"))): _*).getField("nj")
+    val cells = e.select(col("vec_id"), cellCol.as("cell"))
+    // query-side multiprobe: top-2 cells per query
+    val probes = e.filter(col("vec_id") < 10)
+      .withColumn("sc", explode(array((0 until 8).map(j =>
+        struct(SimilarityOps.ivfCellScore(col("v"), j).as("score"),
+          lit(j).as("j"))): _*)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("sc.score").desc, col("sc.j"))))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("qid"), col("sc.j").as("pcell"))
+    val lutsR = parts.zipWithIndex.map { case ((sub, _, cents), b) =>
+      sub.filter(col("vec_id") < 10)
+        .select(col("vec_id").as(s"q$b"), col("embedding").as("qe"))
+        .crossJoin(broadcast(cents))
+        .select(col(s"q$b"), col("cid").as(s"c$b"),
+          pqD2(col("qe"), col("cvec")).as(s"d$b"))
+    }
+    val cand = codes.join(cells, Seq("vec_id"))
+      .join(probes, col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+    val adc = (0 until PqBlocks).foldLeft(cand) { (acc, b) =>
+        acc.join(broadcast(lutsR(b)),
+          col(s"code$b") === col(s"c$b") && col("qid") === col(s"q$b"))
+      }
+      .select(col("qid"), col("vec_id").as("nid"),
+        (0 until PqBlocks).map(b => col(s"d$b")).reduce(_ + _).as("adc"))
+    val nCand = adc.groupBy(col("qid")).agg(count(lit(1)).as("n_cand"))
+    val ivf5 = adc.groupBy(col("qid"))
+      .agg(graft.functions.TopKByScore.topK(-col("adc"), col("nid"), 5).as("t"))
+      .select(col("qid"), transform(col("t"), _.getField("id")).as("ivf_ids"))
+    val exact5 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(e.select(col("vec_id").as("nid"), col("v").as("cv")))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        pqD2(col("qv"), transform(col("cv"), _.cast("double"))).as("d"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKByScore.topK(-col("d"), col("nid"), 5).as("t"))
+      .select(col("qid"), transform(col("t"), _.getField("id")).as("exact_ids"))
+    exact5.join(ivf5, Seq("qid"), "left").join(nCand, Seq("qid"), "left")
+      .select(col("qid").as("query_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(size(array_intersect(col("exact_ids"), col("ivf_ids"))), lit(0))
+          .cast("long").as("hits"))
+      .withColumn("recall", col("hits").cast("double") / 5)
+      .orderBy(col("query_id"))
+  }
+
+  val q151Sql: String = {
+    val lutJoin = (0 until PqBlocks)
+      .map(b => s"JOIN lut$b l$b ON l$b.qid = cand.qid AND l$b.cid = cand.code$b")
+      .mkString(" ")
+    val codeCols = (0 until PqBlocks).map(b => s"cd.code$b").mkString(", ")
+    s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
+       |$pqSearchCtes,
+       |cj AS (SELECT j, list_transform(range(64), i ->
+       |    ((1103515245 * (100000 + j * 64 + i) + 12345) % 2147483648)
+       |      / 2147483648.0 - 0.5) AS c
+       |  FROM generate_series(0, 7) t(j)),
+       |asn AS (SELECT vec_id,  j,
+       |    list_dot_product(list_transform(e, x -> CAST(x AS DOUBLE)), c)
+       |      - list_dot_product(c, c) / 2.0 AS score
+       |  FROM v CROSS JOIN cj),
+       |cells AS (SELECT vec_id, j AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, j) rn FROM asn) WHERE rn = 1),
+       |probes AS (SELECT vec_id qid, j pcell FROM (
+       |    SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, j) rn FROM asn WHERE vec_id < 10)
+       |  WHERE rn <= 2),
+       |cand AS (SELECT p.qid, c.vec_id, $codeCols
+       |         FROM probes p JOIN cells c ON c.cell = p.pcell
+       |           AND c.vec_id <> p.qid
+       |         JOIN cd ON cd.vec_id = c.vec_id),
+       |adc AS (SELECT cand.qid, cand.vec_id nid, $PqAdcSum adc
+       |        FROM cand $lutJoin),
+       |nc AS (SELECT qid, count(*)::BIGINT n_cand FROM adc GROUP BY qid),
+       |ivf5 AS (SELECT qid, list(nid ORDER BY rn) ids FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc, nid) rn FROM adc) WHERE rn <= 5 GROUP BY qid),
+       |$ExactTop5Ctes
+       |SELECT x.qid query_id,
+       |  CAST(coalesce(nc.n_cand, 0) AS BIGINT) n_cand,
+       |  CAST(coalesce(len(list_intersect(x.ids, i.ids)), 0) AS BIGINT) hits,
+       |  CAST(coalesce(len(list_intersect(x.ids, i.ids)), 0) AS DOUBLE) / 5
+       |    recall
+       |FROM ex5 x LEFT JOIN ivf5 i ON i.qid = x.qid
+       |LEFT JOIN nc ON nc.qid = x.qid
+       |ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_dsir_weights" -> (q143 _), "q144_bloom_screen" -> (q144 _),
     "q145_semantic_dedup" -> (q145 _), "q146_coreset_kcenter" -> (q146 _),
     "q147_pq_codes" -> (q147 _), "q148_pq_adc_recall" -> (q148 _),
-    "q149_weighted_sample" -> (q149 _), "q150_selection_pipeline" -> (q150 _))
+    "q149_weighted_sample" -> (q149 _), "q150_selection_pipeline" -> (q150 _),
+    "q151_ivfpq_search" -> (q151 _))
 
   val oracle: Map[String, String] = Map(
     "q143_dsir_weights" -> q143Sql, "q144_bloom_screen" -> q144Sql,
     "q145_semantic_dedup" -> q145Sql, "q146_coreset_kcenter" -> q146Sql,
     "q147_pq_codes" -> q147Sql, "q148_pq_adc_recall" -> q148Sql,
-    "q149_weighted_sample" -> q149Sql, "q150_selection_pipeline" -> q150Sql)
+    "q149_weighted_sample" -> q149Sql, "q150_selection_pipeline" -> q150Sql,
+    "q151_ivfpq_search" -> q151Sql)
 }

@@ -96,6 +96,15 @@ class SelectionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0L, "systematic PPS must allocate exactly K slots per shard")
   }
 
+  test("ivf-pq search really bounds its candidates via the probed cells") {
+    val total = Tables.embeddings(spark, sf).count()
+    val r = queries.SelectionOps.q151(spark, sf)
+      .agg(max(col("n_cand")).as("mx"), min(col("n_cand")).as("mn")).head()
+    assert(r.getLong(0) < total,
+      "multiprobe must score a strict subset of the corpus")
+    assert(r.getLong(1) > 0L, "2-of-8 cells can never be empty on this fixture")
+  }
+
   test("dsir weight dim is broadcast against the per-doc features") {
     val p = queries.SelectionOps.q143(spark, sf)
       .queryExecution.executedPlan.toString
