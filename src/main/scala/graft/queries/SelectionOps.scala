@@ -808,17 +808,101 @@ object SelectionOps {
        |ORDER BY query_id""".stripMargin
   }
 
+  /** Minimum cell size for the [[q152]] release. */
+  val KAnonMin = 7L
+
+  /** q152 — k-anonymous release aggregation (the minimum-cell-size rule
+    * every public data release applies): per-(lang, source) corpus stats
+    * are published only for groups of at least [[KAnonMin]] documents;
+    * every smaller group is pooled into ONE residual row, so no released
+    * row describes fewer than k individuals and the totals still
+    * reconcile. The privacy gate a data-card pipeline (q136) runs before
+    * the card leaves the building.
+    *
+    * Scale: one grouped aggregation plus a 1-row residual fold — the
+    * suppression adds no shuffle beyond the release rollup itself. */
+  def q152(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val big = g.filter(col("n_docs") >= KAnonMin)
+    val pooled = g.filter(col("n_docs") < KAnonMin)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+      .select(lit("_suppressed_").as("lang"), lit("_pooled_").as("source"),
+        col("n_docs"), col("n_tokens"))
+      .filter(col("n_docs") > 0)
+    big.unionByName(pooled).orderBy(col("lang"), col("source"))
+  }
+
+  val q152Sql: String =
+    s"""WITH g AS (SELECT lang, source, count(*)::BIGINT n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) n_tokens
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT lang, source, n_docs, n_tokens FROM g WHERE n_docs >= $KAnonMin
+       |UNION ALL
+       |SELECT '_suppressed_', '_pooled_', CAST(sum(n_docs) AS BIGINT),
+       |  CAST(sum(n_tokens) AS BIGINT)
+       |FROM g WHERE n_docs < $KAnonMin HAVING count(*) > 0
+       |ORDER BY lang, source""".stripMargin
+
+  /** q153 — temperature-smoothed multilingual mixing rates (the α=0.5
+    * rebalancing of mT5/XLM-R: sampling mass ∝ tokens^α lifts low-resource
+    * languages without flattening the mix): per language, the natural
+    * token share, the smoothed target share, and the resulting up/down-
+    * sampling factor. Integer-exact across engines because α=1/2 is the
+    * one temperature with an exact portable form — `floor(sqrt(n))` on a
+    * BIGINT is bit-identical in both engines (IEEE sqrt is correctly
+    * rounded; n ≪ 2^52), so no pow()/ln() enters the plan ([[Parity]]
+    * bans transcendentals). Shares and factors in fixed-point ppm /
+    * milli-x, BIGINT division.
+    *
+    * Scale: a per-lang aggregate (≤ language-count rows) and one
+    * broadcast total — nothing corpus-sized moves. */
+  def q153(s: SparkSession, d: String): DataFrame = {
+    val lt = Tables.documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy(col("lang")).agg(sum(col("ntok")).as("tok"))
+      .withColumn("isq", floor(sqrt(col("tok"))).cast("long"))
+    val tot = lt.agg(sum(col("tok")).as("T"), sum(col("isq")).as("S"))
+    lt.crossJoin(broadcast(tot))
+      .select(col("lang"), col("tok"),
+        expr("(1000000 * tok) div T").as("natural_ppm"),
+        expr("(1000000 * isq) div S").as("rate_ppm"))
+      .withColumn("upsample_milli",
+        expr("(1000 * rate_ppm) div natural_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val q153Sql: String =
+    """WITH lt AS (SELECT lang,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) tok
+      |  FROM documents GROUP BY lang),
+      |i AS (SELECT lang, tok, CAST(floor(sqrt(tok)) AS BIGINT) isq FROM lt),
+      |tot AS (SELECT CAST(sum(tok) AS BIGINT) T, CAST(sum(isq) AS BIGINT) S
+      |        FROM i)
+      |SELECT lang, tok,
+      |  (1000000 * tok) // T natural_ppm,
+      |  (1000000 * isq) // S rate_ppm,
+      |  (1000 * ((1000000 * isq) // S)) // ((1000000 * tok) // T)
+      |    upsample_milli
+      |FROM i CROSS JOIN tot ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_dsir_weights" -> (q143 _), "q144_bloom_screen" -> (q144 _),
     "q145_semantic_dedup" -> (q145 _), "q146_coreset_kcenter" -> (q146 _),
     "q147_pq_codes" -> (q147 _), "q148_pq_adc_recall" -> (q148 _),
     "q149_weighted_sample" -> (q149 _), "q150_selection_pipeline" -> (q150 _),
-    "q151_ivfpq_search" -> (q151 _))
+    "q151_ivfpq_search" -> (q151 _), "q152_kanon_release" -> (q152 _),
+    "q153_temperature_mix" -> (q153 _))
 
   val oracle: Map[String, String] = Map(
     "q143_dsir_weights" -> q143Sql, "q144_bloom_screen" -> q144Sql,
     "q145_semantic_dedup" -> q145Sql, "q146_coreset_kcenter" -> q146Sql,
     "q147_pq_codes" -> q147Sql, "q148_pq_adc_recall" -> q148Sql,
     "q149_weighted_sample" -> q149Sql, "q150_selection_pipeline" -> q150Sql,
-    "q151_ivfpq_search" -> q151Sql)
+    "q151_ivfpq_search" -> q151Sql, "q152_kanon_release" -> q152Sql,
+    "q153_temperature_mix" -> q153Sql)
 }

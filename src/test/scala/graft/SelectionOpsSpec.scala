@@ -105,6 +105,25 @@ class SelectionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(1) > 0L, "2-of-8 cells can never be empty on this fixture")
   }
 
+  test("k-anon release: no published cell under k, totals reconcile") {
+    val r = queries.SelectionOps.q152(spark, sf).cache()
+    val k = queries.SelectionOps.KAnonMin
+    assert(r.filter(col("lang") =!= "_suppressed_" && col("n_docs") < k)
+      .count() == 0L, "a released cell must describe at least k documents")
+    val released = r.agg(sum(col("n_docs"))).head().getLong(0)
+    val total = Tables.documents(spark, sf).count()
+    assert(released == total, "suppression must pool, not drop")
+    r.unpersist()
+  }
+
+  test("temperature mix lifts low-resource languages, shrinks the head") {
+    val r = queries.SelectionOps.q153(spark, sf).collect()
+      .map(x => x.getString(0) -> x.getLong(4)).toMap
+    assert(r("en") < 1000L, "the dominant language must downsample")
+    assert(r.filterKeys(_ != "en").values.forall(_ > 1000L),
+      "every tail language must upsample")
+  }
+
   test("dsir weight dim is broadcast against the per-doc features") {
     val p = queries.SelectionOps.q143(spark, sf)
       .queryExecution.executedPlan.toString
