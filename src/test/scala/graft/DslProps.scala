@@ -108,4 +108,31 @@ object DslProps extends Properties("graft.dsl") {
     Prop.forAll(genDomain(4)) { n =>
       (Domain.parse(toPolish(n)) == n) :| n.toString
     }
+
+  // ---- integer kernels of the selection operators ----------------------
+
+  /** The q149/q150 systematic-PPS slot rule is pure integer arithmetic;
+    * the telescoping sum must allocate EXACTLY K slots for any positive
+    * weight sequence (the SelectionOpsSpec pins the same invariant on the
+    * fixture; this pins it on adversarial weights — huge heads, singleton
+    * shards, K larger than the shard). */
+  property("systematic PPS slots telescope to exactly K, never negative") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(1L, 1000000L)),
+      Gen.choose(1L, 64L)) { (ws, k) =>
+      val cums = ws.scanLeft(0L)(_ + _).tail
+      val total = cums.last
+      val slots = ws.zip(cums).map { case (w, c) =>
+        k * c / total - k * (c - w) / total
+      }
+      (slots.sum == k && slots.forall(_ >= 0)) :| s"k=$k ws=${ws.take(8)}"
+    }
+
+  /** Bloom double-hashing: any Long hash (negative included) must land
+    * every probe in [0, m) with a nonzero stride. */
+  property("bloom positions stay in range with nonzero stride for any hash") =
+    Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue),
+      Gen.choose(2L, 1 << 20), Gen.choose(1, 8)) { (h, m, k) =>
+      val ps = graft.streaming.BloomStream.positions(h, m, k)
+      ps.forall(p => p >= 0 && p < m) :| s"h=$h m=$m ps=$ps"
+    }
 }
