@@ -439,26 +439,30 @@ object SelectionOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-block `vb$b` slice + k-means chain CTEs — the training prefix
+    * every PQ oracle (q147, q148, q151) starts from. */
+  private def pqChainsSql: String = (0 until PqBlocks).map { b =>
+    s"""vb$b AS (SELECT vec_id, e[${b * PqDims + 1}:${(b + 1) * PqDims}] e
+       |        FROM v),
+       |${SimilarityOps.kmeansCtes(s"vb$b", PqDims, PqK, PqRounds, s"pq${b}_")}"""
+      .stripMargin
+  }.mkString(",\n")
+
   val q147Sql: String = {
-    val blocks = (0 until PqBlocks).map { b =>
-      val src =
-        s"""vb$b AS (SELECT vec_id, e[${b * PqDims + 1}:${(b + 1) * PqDims}] e
-           |        FROM v)""".stripMargin
-      val chain = SimilarityOps.kmeansCtes(s"vb$b", PqDims, PqK, PqRounds, s"pq${b}_")
-      val err =
-        s"""e$b AS (SELECT a.vec_id, a.cid, list_dot_product(
-           |    list_transform(range($PqDims), i -> CAST(a.e[i+1] AS DOUBLE) - c.c[i+1]),
-           |    list_transform(range($PqDims), i -> CAST(a.e[i+1] AS DOUBLE) - c.c[i+1])) err
-           |  FROM pq${b}_a${PqRounds + 1} a
-           |  JOIN pq${b}_c$PqRounds c ON a.cid = c.cid)""".stripMargin
-      s"$src,\n$chain,\n$err"
+    val errCtes = (0 until PqBlocks).map { b =>
+      s"""e$b AS (SELECT a.vec_id, a.cid, list_dot_product(
+         |    list_transform(range($PqDims), i -> CAST(a.e[i+1] AS DOUBLE) - c.c[i+1]),
+         |    list_transform(range($PqDims), i -> CAST(a.e[i+1] AS DOUBLE) - c.c[i+1])) err
+         |  FROM pq${b}_a${PqRounds + 1} a
+         |  JOIN pq${b}_c$PqRounds c ON a.cid = c.cid)""".stripMargin
     }.mkString(",\n")
     val codes = (0 until PqBlocks).map(b => s"e$b.cid code$b").mkString(", ")
     val errSum = (0 until PqBlocks).map(b => s"e$b.err").mkString(" + ")
     val joins = (1 until PqBlocks)
       .map(b => s"JOIN e$b ON e0.vec_id = e$b.vec_id").mkString(" ")
     s"""WITH v AS (SELECT vec_id, embedding e FROM embeddings),
-       |$blocks
+       |$pqChainsSql,
+       |$errCtes
        |SELECT e0.vec_id, $codes,
        |  floor(($errSum) * 1e6 + 0.5) / 1e6 err2
        |FROM e0 $joins ORDER BY e0.vec_id""".stripMargin
@@ -481,21 +485,25 @@ object SelectionOps {
     * database side ships CODES ONLY (the whole point of PQ: the 64-float
     * vector never moves at query time); top-5 via the bounded native
     * top-k aggregate, no collect anywhere. */
+  /** Per-block query LUT frames (q$b, c$b, d$b) — the broadcast side of
+    * ADC scoring, shared by [[q148]] and [[q151]]: each query's exact
+    * distance to every sub-block centroid, ≤ queries × [[PqK]] rows. */
+  private def pqQueryLuts(parts: Seq[(DataFrame, DataFrame, DataFrame)])
+      : Seq[DataFrame] =
+    parts.zipWithIndex.map { case ((sub, _, cents), b) =>
+      sub.filter(col("vec_id") < 10)
+        .select(col("vec_id").as(s"q$b"), col("embedding").as("qe"))
+        .crossJoin(broadcast(cents))
+        .select(col(s"q$b"), col("cid").as(s"c$b"),
+          pqD2(col("qe"), col("cvec")).as(s"d$b"))
+    }
+
   def q148(s: SparkSession, d: String): DataFrame = {
     val parts = pqTrain(s, d)
     val codes = parts.zipWithIndex.map { case ((_, a, _), b) =>
       a.select(col("vec_id"), col("cid").as(s"code$b"))
     }.reduce(_.join(_, Seq("vec_id")))
-    // per-block query→centroid LUT: (qid, cid, d_b), ≤ queries × k rows
-    val luts = parts.zipWithIndex.map { case ((sub, _, cents), b) =>
-      sub.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        .crossJoin(broadcast(cents))
-        .select(col("qid"), col("cid"), pqD2(col("qe"), col("cvec")).as(s"d$b"))
-    }
-    val lutsR = luts.zipWithIndex.map { case (lut, b) =>
-      lut.select(col("qid").as(s"q$b"), col("cid").as(s"c$b"), col(s"d$b"))
-    }
+    val lutsR = pqQueryLuts(parts)
     val adc = (1 until PqBlocks).foldLeft(
         codes.join(broadcast(lutsR.head), col("code0") === col("c0"))) {
         (acc, b) =>
@@ -533,12 +541,6 @@ object SelectionOps {
     * block LUTs). Prepend `v AS (SELECT vec_id, embedding e FROM
     * embeddings)`. */
   private def pqSearchCtes: String = {
-    val chains = (0 until PqBlocks).map { b =>
-      s"""vb$b AS (SELECT vec_id, e[${b * PqDims + 1}:${(b + 1) * PqDims}] e
-         |        FROM v),
-         |${SimilarityOps.kmeansCtes(s"vb$b", PqDims, PqK, PqRounds, s"pq${b}_")}"""
-        .stripMargin
-    }.mkString(",\n")
     val codeJoin = (1 until PqBlocks)
       .map(b => s"JOIN pq${b}_a${PqRounds + 1} a$b ON a0.vec_id = a$b.vec_id")
       .mkString(" ")
@@ -551,7 +553,7 @@ object SelectionOps {
          |  FROM (SELECT vec_id, e FROM vb$b WHERE vec_id < 10) q
          |  CROSS JOIN pq${b}_c$PqRounds c)""".stripMargin
     }.mkString(",\n")
-    s"""$chains,
+    s"""$pqChainsSql,
        |cd AS (SELECT a0.vec_id, $codeCols
        |       FROM pq0_a${PqRounds + 1} a0 $codeJoin),
        |$lutCtes""".stripMargin
@@ -609,10 +611,10 @@ object SelectionOps {
     * standard PPS-without-replacement cap, surfaced in the `n_slots`
     * column. Zero RNG, integer-only — heavier documents proportionally
     * likelier, the low-variance systematic design instead of Poisson
-    * draws. A shard whose weights are all zero has `total = 0`; the
-    * slot divisions go NULL and the shard emits nothing — the defensible
-    * reading of "sample proportional to zero mass" (n_chars is positive
-    * on real corpora).
+    * draws. A shard whose weights are all zero has `total = 0` and is
+    * filtered out before any division runs (ANSI `div` would throw on
+    * zero) — "sample proportional to zero mass" selects nothing, on both
+    * engines.
     *
     * Scale: the cumulative window and the total are both per (lang,
     * source) shard — the bounded packing shard, never a global sort; the
@@ -628,6 +630,10 @@ object SelectionOps {
     val tot = t.groupBy(col("lang"), col("source"))
       .agg(max(col("cum")).as("total"))
     t.join(tot, Seq("lang", "source"))
+      // a zero-mass shard emits nothing — filter BEFORE the division:
+      // this Spark build runs ANSI mode, where `div 0` THROWS (DuckDB's
+      // `// 0` returns NULL and the n_slots > 0 filter drops the shard)
+      .filter(col("total") > 0)
       .withColumn("n_slots",
         expr(s"($K * cum) div total") - expr(s"($K * (cum - wt)) div total"))
       .filter(col("n_slots") > 0)
@@ -728,13 +734,7 @@ object SelectionOps {
           .orderBy(col("sc.score").desc, col("sc.j"))))
       .filter(col("rn") <= 2)
       .select(col("vec_id").as("qid"), col("sc.j").as("pcell"))
-    val lutsR = parts.zipWithIndex.map { case ((sub, _, cents), b) =>
-      sub.filter(col("vec_id") < 10)
-        .select(col("vec_id").as(s"q$b"), col("embedding").as("qe"))
-        .crossJoin(broadcast(cents))
-        .select(col(s"q$b"), col("cid").as(s"c$b"),
-          pqD2(col("qe"), col("cvec")).as(s"d$b"))
-    }
+    val lutsR = pqQueryLuts(parts)
     val cand = codes.join(cells, Seq("vec_id"))
       .join(probes, col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
     val adc = (0 until PqBlocks).foldLeft(cand) { (acc, b) =>
@@ -867,28 +867,45 @@ object SelectionOps {
       .groupBy(col("lang")).agg(sum(col("ntok")).as("tok"))
       .withColumn("isq", floor(sqrt(col("tok"))).cast("long"))
     val tot = lt.agg(sum(col("tok")).as("T"), sum(col("isq")).as("S"))
+    // overflow-safe fixed point: above 10^6 totals divide the DENOMINATOR
+    // (no multiplication of a corpus-scale count — 10^6 · 10^13 tokens
+    // would overflow BIGINT on both engines); below, the exact product
+    // form (the fixture path). Same branch taken by both engines.
+    def ppm(num: String, den: String): Column =
+      when(col(den) >= 1000000L, expr(s"$num div ($den div 1000000)"))
+        .otherwise(expr(s"(1000000 * $num) div $den"))
     lt.crossJoin(broadcast(tot))
       .select(col("lang"), col("tok"),
-        expr("(1000000 * tok) div T").as("natural_ppm"),
-        expr("(1000000 * isq) div S").as("rate_ppm"))
+        ppm("tok", "T").as("natural_ppm"),
+        ppm("isq", "S").as("rate_ppm"))
+      // a sub-ppm tail language has natural_ppm = 0: the factor is
+      // undefined (NULL), not a crash — ANSI `div 0` throws, DuckDB's
+      // `// 0` NULLs, so guard the branch explicitly
       .withColumn("upsample_milli",
-        expr("(1000 * rate_ppm) div natural_ppm"))
+        when(col("natural_ppm") > 0,
+          expr("(1000 * rate_ppm) div natural_ppm")))
       .orderBy(col("lang"))
   }
 
-  val q153Sql: String =
-    """WITH lt AS (SELECT lang,
-      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) tok
-      |  FROM documents GROUP BY lang),
-      |i AS (SELECT lang, tok, CAST(floor(sqrt(tok)) AS BIGINT) isq FROM lt),
-      |tot AS (SELECT CAST(sum(tok) AS BIGINT) T, CAST(sum(isq) AS BIGINT) S
-      |        FROM i)
-      |SELECT lang, tok,
-      |  (1000000 * tok) // T natural_ppm,
-      |  (1000000 * isq) // S rate_ppm,
-      |  (1000 * ((1000000 * isq) // S)) // ((1000000 * tok) // T)
-      |    upsample_milli
-      |FROM i CROSS JOIN tot ORDER BY lang""".stripMargin
+  val q153Sql: String = {
+    def ppm(num: String, den: String): String =
+      s"CASE WHEN $den >= 1000000 THEN $num // ($den // 1000000) " +
+        s"ELSE (1000000 * $num) // $den END"
+    s"""WITH lt AS (SELECT lang,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) tok
+       |  FROM documents GROUP BY lang),
+       |i AS (SELECT lang, tok, CAST(floor(sqrt(tok)) AS BIGINT) isq FROM lt),
+       |tot AS (SELECT CAST(sum(tok) AS BIGINT) T, CAST(sum(isq) AS BIGINT) S
+       |        FROM i),
+       |r AS (SELECT lang, tok,
+       |        ${ppm("tok", "T")} natural_ppm,
+       |        ${ppm("isq", "S")} rate_ppm
+       |      FROM i CROSS JOIN tot)
+       |SELECT lang, tok, natural_ppm, rate_ppm,
+       |  CASE WHEN natural_ppm > 0
+       |    THEN (1000 * rate_ppm) // natural_ppm END upsample_milli
+       |FROM r ORDER BY lang""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_dsir_weights" -> (q143 _), "q144_bloom_screen" -> (q144 _),
