@@ -468,8 +468,11 @@ object DedupOps {
       |  floor(sum(n_chars)::DOUBLE / count(*) * 100 + 0.5) / 100 AS avg_chars
       |FROM keep GROUP BY lang ORDER BY lang""".stripMargin
 
-  val q59Sql: String =
-    s"""WITH RECURSIVE ${cappedShSql("documents")},
+  /** The q59 oracle chain through the recursive closure (`dup` = the
+    * jaccard pairs, `reach` = the transitive reachability) — shared with
+    * the cluster-audit gate [[q154]]. */
+  private def ccClusterCtes: String =
+    s"""${cappedShSql("documents")},
       |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id d1, b.doc_id d2, count(*) inter
@@ -484,9 +487,58 @@ object DedupOps {
       |reach AS (
       |  SELECT id AS src, id AS node FROM verts
       |  UNION
-      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)"""
+      .stripMargin
+
+  val q59Sql: String =
+    s"""WITH RECURSIVE $ccClusterCtes
       |SELECT src AS doc_id, min(node) AS cluster
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** q154 — near-dup cluster audit: per cluster SIZE, how many clusters
+    * exist and how dense they are (`2·edges / n·(n−1)` in fixed-point
+    * ppm). The threshold-tuning evidence a dedup pass reads: tight
+    * near-complete cliques say the jaccard threshold is conservative;
+    * large sparse chains say transitive closure is gluing unrelated
+    * documents and the threshold (or the keep-rule) must move. Scale:
+    * everything after the (already-bounded) pair set is cluster-keyed
+    * aggregation; the integer density divides by n·(n−1) only on n ≥ 2
+    * rows (every CC member has an edge, so no ANSI zero-division). */
+  def q154(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(Tables.documents(s, d), 0.5)
+      .select(col("d1"), col("d2")).cache()
+    val clusters = graft.operators.DupClusters.connectedComponents(
+      pairs.select(col("d1").as("a"), col("d2").as("b")), uniquePairs = true)
+    val members = clusters.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    val edges = pairs
+      .join(clusters.select(col("id").as("d1"), col("cluster")), Seq("d1"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("edges"))
+    members.join(edges, Seq("cluster"))
+      .filter(col("n") >= 2)
+      .withColumn("density_ppm",
+        expr("(1000000 * 2 * edges) div (n * (n - 1))"))
+      .groupBy(col("n").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("edges")).as("total_edges"),
+        min(col("density_ppm")).as("min_density_ppm"),
+        max(col("density_ppm")).as("max_density_ppm"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val q154Sql: String =
+    s"""WITH RECURSIVE $ccClusterCtes,
+      |cl AS (SELECT src id, min(node) AS grp FROM reach GROUP BY src),
+      |mem AS (SELECT grp, count(*) n FROM cl GROUP BY grp),
+      |ed AS (SELECT cl.grp, count(*) edges FROM dup
+      |       JOIN cl ON cl.id = dup.d1 GROUP BY 1),
+      |dens AS (SELECT mem.grp, n, edges,
+      |           (1000000 * 2 * edges) // (n * (n - 1)) density_ppm
+      |         FROM mem JOIN ed USING (grp) WHERE n >= 2)
+      |SELECT n cluster_size, count(*)::BIGINT n_clusters,
+      |  CAST(sum(edges) AS BIGINT) total_edges,
+      |  CAST(min(density_ppm) AS BIGINT) min_density_ppm,
+      |  CAST(max(density_ppm) AS BIGINT) max_density_ppm
+      |FROM dens GROUP BY n ORDER BY cluster_size""".stripMargin
 
   /** q135 — cross-document SPAN overlap: the substring-level dedup signal
     * (Lee et al., "Deduplicating Training Data Makes Language Models
@@ -647,7 +699,7 @@ object DedupOps {
     "q33_minhash_lsh" -> (q33 _), "q34_simhash" -> (q34 _),
     "q40_winnow_fingerprint" -> (q40 _), "q59_dup_clusters" -> (q59 _),
     "q115_minhash_recall" -> (q115 _), "q135_span_overlap" -> (q135 _),
-    "q140_leakage_split" -> (q140 _),
+    "q140_leakage_split" -> (q140 _), "q154_cluster_audit" -> (q154 _),
     "q62_curation_pipeline" -> (q62 _))
 
   val oracle: Map[String, String] = Map(
@@ -655,5 +707,5 @@ object DedupOps {
     "q33_minhash_lsh" -> q33Sql, "q34_simhash" -> q34Sql,
     "q40_winnow_fingerprint" -> q40Sql, "q115_minhash_recall" -> q115Sql, "q59_dup_clusters" -> q59Sql,
     "q135_span_overlap" -> q135Sql, "q140_leakage_split" -> q140Sql,
-    "q62_curation_pipeline" -> q62Sql)
+    "q154_cluster_audit" -> q154Sql, "q62_curation_pipeline" -> q62Sql)
 }
