@@ -95,6 +95,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(10L) == 10L && out(11L) == 10L)
   }
 
+  test("cluster audit: densities within (0, 1e6], sizes reconcile with the clustering") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val audit = graft.queries.DedupOps.q154(spark, sf).cache()
+    assert(audit.filter(col("min_density_ppm") <= 0 ||
+      col("max_density_ppm") > 1000000L).count() == 0L,
+      "2E/n(n-1) of a connected component lies in (0, 1]")
+    val members = audit
+      .agg(sum(col("cluster_size") * col("n_clusters"))).head().getLong(0)
+    val clustered = graft.queries.DedupOps.q59(spark, sf).count()
+    assert(members == clustered,
+      "every clustered document appears in exactly one size bucket")
+    audit.unpersist()
+  }
+
   test("fifo valuation: allocation matches hand-walked FIFO, pairs exactly once") {
     val s = spark; import s.implicits._
     import graft.operators.FifoValuation
