@@ -799,7 +799,48 @@ object GateOps {
       |    k -> (doc_id * 31 + f * 13 + (3 * k + 2) * 7) % 256)) AS DOUBLE) / (w * h) AS mean_b
       |FROM s ORDER BY media_id, frame_idx""".stripMargin
 
+  /** q155 — sequence-gap audit: the reference assigns per-fiscal-year
+    * document numbers on create (`etl_purchase/models/purchase.py:80-106`
+    * — max existing sequence + 1 within the year); the statutory inverse
+    * check is whether an issued numbering series has DUPLICATES or GAPS
+    * (tax authorities audit invoice number continuity). Per year of
+    * `orders`: span, missing count, gap count, longest gap, duplicate
+    * count. Scale: ONE window partitioned by the numbering series (the
+    * year shard — the same boundedness argument as the packing shard);
+    * everything else is the year-keyed rollup. */
+  def q155(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("y")).orderBy(col("k"))
+    Tables.orders(s, d)
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        col("o_orderkey").as("k"))
+      .withColumn("nk", lead(col("k"), 1).over(w))
+      .groupBy(col("y"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"),
+        (max(col("k")) - min(col("k")) + 1 - count(lit(1))).as("n_missing"),
+        sum(when(col("nk") - col("k") > 1, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(max(when(col("nk") - col("k") > 1, col("nk") - col("k") - 1)),
+          lit(0L)).as("max_gap"),
+        (count(lit(1)) - countDistinct(col("k"))).as("n_dupes"))
+      .orderBy(col("y"))
+  }
+
+  val q155Sql: String =
+    """WITH k AS (SELECT year(o_orderdate)::BIGINT y, o_orderkey k
+      |           FROM orders),
+      |g AS (SELECT y, k, lead(k) OVER (PARTITION BY y ORDER BY k) nk FROM k)
+      |SELECT y, count(*)::BIGINT n_keys,
+      |  CAST(min(k) AS BIGINT) min_key, CAST(max(k) AS BIGINT) max_key,
+      |  CAST(max(k) - min(k) + 1 - count(*) AS BIGINT) n_missing,
+      |  CAST(sum(CASE WHEN nk - k > 1 THEN 1 ELSE 0 END) AS BIGINT) n_gaps,
+      |  CAST(coalesce(max(CASE WHEN nk - k > 1 THEN nk - k - 1 END), 0)
+      |    AS BIGINT) max_gap,
+      |  CAST(count(*) - count(DISTINCT k) AS BIGINT) n_dupes
+      |FROM g GROUP BY y ORDER BY y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_sequence_gaps" -> (q155 _),
     "q89_wav_decode" -> (q89 _), "q122_quality_audit" -> (q122 _),
     "q132_video_frames" -> (q132 _),
     "q123_skew_profile" -> (q123 _), "q124_table_profile" -> (q124 _),
@@ -824,5 +865,5 @@ object GateOps {
     "q113_bank_reconciliation" -> q113Sql, "q116_match_suggestions" -> q116Sql,
     "q122_quality_audit" -> q122Sql, "q123_skew_profile" -> q123Sql,
     "q124_table_profile" -> q124Sql, "q125_zorder_key" -> q125Sql,
-    "q132_video_frames" -> q132Sql)
+    "q132_video_frames" -> q132Sql, "q155_sequence_gaps" -> q155Sql)
 }
