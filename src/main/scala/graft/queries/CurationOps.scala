@@ -620,14 +620,10 @@ object CurationOps {
     * Scale: the only window is partitioned by lang and bounded by the
     * per-language candidate pool; no global sort, no driver state. */
   def q137(s: SparkSession, d: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val nWords = size(ws).cast("long")
-    val stopHits = (Seq("a", "the", "row", "data", "value")
-      .map(w => ((length(col("text")) - length(regexp_replace(col("text"), s"\\b$w\\b", ""))) / w.length).cast("long"))
-      .reduce(_ + _))
+    val nWords = size(split(col("text"), " ")).cast("long")
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), nWords.as("n_words"),
-        Parity.fr(stopHits.cast("double") / nWords + nWords.cast("double") / lit(1000.0), 4).as("quality"))
+        TextOps.qualityCol(nWords).as("quality"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id"))
     scored
@@ -642,12 +638,7 @@ object CurationOps {
     s"""WITH m AS (
       |  SELECT doc_id, lang,
       |    len(string_split(text, ' '))::BIGINT AS n_words,
-      |    ( (length(text) - length(regexp_replace(text, '\\ba\\b', '', 'g'))) / 1
-      |    + (length(text) - length(regexp_replace(text, '\\bthe\\b', '', 'g'))) / 3
-      |    + (length(text) - length(regexp_replace(text, '\\brow\\b', '', 'g'))) / 3
-      |    + (length(text) - length(regexp_replace(text, '\\bdata\\b', '', 'g'))) / 4
-      |    + (length(text) - length(regexp_replace(text, '\\bvalue\\b', '', 'g'))) / 5
-      |    )::DOUBLE AS stop_hits
+      |    ${TextOps.StopHitsSql} AS stop_hits
       |  FROM documents),
       |scored AS (
       |  SELECT doc_id, lang, n_words,
@@ -710,15 +701,11 @@ object CurationOps {
     * stays lang-partitioned; the card is a single CUBE pass over the
     * selection. */
   def q141(s: SparkSession, d: String): DataFrame = {
-    val ws = split(col("text"), " ")
-    val nWords = size(ws).cast("long")
-    val stopHits = (Seq("a", "the", "row", "data", "value")
-      .map(w => ((length(col("text")) - length(regexp_replace(col("text"), s"\\b$w\\b", ""))) / w.length).cast("long"))
-      .reduce(_ + _))
+    val nWords = size(split(col("text"), " ")).cast("long")
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         nWords.as("n_words"),
-        Parity.fr(stopHits.cast("double") / nWords + nWords.cast("double") / lit(1000.0), 4).as("quality"))
+        TextOps.qualityCol(nWords).as("quality"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id"))
     val selected = scored
@@ -740,12 +727,7 @@ object CurationOps {
     s"""WITH m AS (
       |  SELECT doc_id, lang, source, n_chars,
       |    len(string_split(text, ' '))::BIGINT AS n_words,
-      |    ( (length(text) - length(regexp_replace(text, '\\ba\\b', '', 'g'))) / 1
-      |    + (length(text) - length(regexp_replace(text, '\\bthe\\b', '', 'g'))) / 3
-      |    + (length(text) - length(regexp_replace(text, '\\brow\\b', '', 'g'))) / 3
-      |    + (length(text) - length(regexp_replace(text, '\\bdata\\b', '', 'g'))) / 4
-      |    + (length(text) - length(regexp_replace(text, '\\bvalue\\b', '', 'g'))) / 5
-      |    )::DOUBLE AS stop_hits
+      |    ${TextOps.StopHitsSql} AS stop_hits
       |  FROM documents),
       |scored AS (
       |  SELECT doc_id, lang, source, n_chars, n_words,

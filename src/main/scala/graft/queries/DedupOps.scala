@@ -150,8 +150,13 @@ object DedupOps {
     // Decorate every index row with its doc's (capped) set size so the
     // LENGTH FILTER (the PPJoin prefix-family bound: J(A,B) ≤ min/max, so
     // J ≥ t requires t·max ≤ min) prunes candidate pairs INSIDE the join —
-    // before they are ever shuffled to the pair aggregation. Exact: no
-    // qualifying pair is dropped. Carrying n through the join also makes
+    // before they are ever shuffled to the pair aggregation. The bound is
+    // applied at t − 10⁻⁴ (one step of the output's 4-decimal rounding
+    // grid): the FINAL filter keeps ROUNDED jaccard ≥ t, which raw
+    // J ∈ [t − 5·10⁻⁵, t) can still satisfy — bounding at raw t would
+    // drop those pairs on long documents (min/max < t) while every
+    // oracle keeps them. Exact for the gated predicate: no pair that can
+    // round up to t survives pruning. Carrying n through the join makes
     // the post-aggregation size lookups free (n1/n2 ride the group key).
     // NO broadcast hint on sizes: it is one row PER DOCUMENT (billions at
     // 100 TB — never driver-collectable); AQE broadcasts it at gate scale
@@ -159,7 +164,7 @@ object DedupOps {
     // self-join consumes the decorated index twice — without the cache
     // each side re-runs the hot-set and size aggregations.
     val shN = sh.join(sizes, Seq("doc_id")).cache()
-    val lt = lit(threshold)
+    val lt = lit(math.max(threshold - 1e-4, 0.0))
     shN.as("a").join(shN.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * lt <= col("b.n") && col("b.n") * lt <= col("a.n") &&

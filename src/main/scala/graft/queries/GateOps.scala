@@ -22,10 +22,7 @@ object GateOps {
     * same way driver-side and in DuckDB (see [[Parity.fr]]). */
   private def r2(v: Double): Double = math.floor(v * 100 + 0.5) / 100
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRec))
-    f.delete()
-  }
+  private def deleteRec(f: java.io.File): Unit = graft.Scratch.deleteRec(f)
 
   /** q65 — external engine (§2.5) end-to-end WITH carryover
     * (account_report.py:2866-2943 sum/most_recent, :2971-3057 carryover):

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -85,13 +85,34 @@ object TextOps {
   /** q38 — document quality scoring: word count, average word length,
     * stopword ratio, and a rational-arithmetic composite score (no
     * transcendentals, so Spark and DuckDB agree bit-for-bit). */
+  /** The q38 quality formula's stop-word list and the two shared
+    * expressions built from it — q137's token-budget selection and q141's
+    * release report score documents with EXACTLY this formula, so the
+    * Column and SQL forms live here once (a drifted copy would silently
+    * de-couple the composed gates from the scoring gate). */
+  private[queries] val StopWords = Seq("a", "the", "row", "data", "value")
+
+  private[queries] def stopHitsCol: Column = StopWords
+    .map(w => ((length(col("text")) -
+      length(regexp_replace(col("text"), s"\\b$w\\b", ""))) / w.length)
+      .cast("long"))
+    .reduce(_ + _)
+
+  /** stop-hit ratio + length bonus, 4-decimal fixed rounding. */
+  private[queries] def qualityCol(nWords: Column): Column =
+    Parity.fr(stopHitsCol.cast("double") / nWords +
+      nWords.cast("double") / lit(1000.0), 4)
+
+  /** The same stop-hit sum as a DuckDB expression over `text`. */
+  private[queries] val StopHitsSql: String = StopWords
+    .map(w => s"""(length(text) - length(regexp_replace(text, '\\b$w\\b', '', 'g'))) / ${w.length}""")
+    .mkString("( ", "\n    + ", "\n    )::DOUBLE")
+
   def q38(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val ws = split(col("text"), " ")
     val nWords = size(ws).cast("long")
-    val stopHits = (Seq("a", "the", "row", "data", "value")
-      .map(w => ((length(col("text")) - length(regexp_replace(col("text"), s"\\b$w\\b", ""))) / w.length).cast("long"))
-      .reduce(_ + _))
+    val stopHits = stopHitsCol
     docs.select(
         col("doc_id"),
         nWords.as("n_words"),
@@ -103,15 +124,10 @@ object TextOps {
   }
 
   val q38Sql: String =
-    """WITH m AS (
+    s"""WITH m AS (
       |  SELECT doc_id, n_chars,
       |    len(string_split(text, ' '))::BIGINT AS n_words,
-      |    ( (length(text) - length(regexp_replace(text, '\ba\b', '', 'g'))) / 1
-      |    + (length(text) - length(regexp_replace(text, '\bthe\b', '', 'g'))) / 3
-      |    + (length(text) - length(regexp_replace(text, '\brow\b', '', 'g'))) / 3
-      |    + (length(text) - length(regexp_replace(text, '\bdata\b', '', 'g'))) / 4
-      |    + (length(text) - length(regexp_replace(text, '\bvalue\b', '', 'g'))) / 5
-      |    )::DOUBLE AS stop_hits
+      |    $StopHitsSql AS stop_hits
       |  FROM documents)
       |SELECT doc_id, n_words, n_chars,
       |  floor((n_chars - n_words + 1)::DOUBLE / n_words * 1e3 + 0.5) / 1e3 AS avg_word_len,

@@ -65,14 +65,18 @@ object StockRegisters {
     val qtyM = floor(col("qty") * 1000 + 0.5).cast("long")
     val valC = floor(col("value") * 100 + 0.5).cast("long")
     val inRange = col("mv_date") >= start && col("mv_date") <= end
+    // classify receipts/issues by the ROUNDED milli-qty sign, matching the
+    // oracle's CASE WHEN qty_m > 0 — the raw-double sign diverges for a
+    // sub-milli movement carrying a nonzero value (qty=0.0004 rounds to 0
+    // yet `qty > 0` is true)
     val agg = moves.filter(col("mv_date") <= end)
       .groupBy(col("product_key"))
       .agg(
         sum(when(col("mv_date") < start, qtyM).otherwise(0L)).as("ob_m"),
-        sum(when(inRange && col("qty") > 0, qtyM).otherwise(0L)).as("in_m"),
-        abs(sum(when(inRange && col("qty") < 0, qtyM).otherwise(0L))).as("out_m"),
-        sum(when(inRange && col("qty") > 0, valC).otherwise(0L)).as("in_c"),
-        abs(sum(when(inRange && col("qty") < 0, valC).otherwise(0L))).as("out_c"),
+        sum(when(inRange && qtyM > 0, qtyM).otherwise(0L)).as("in_m"),
+        abs(sum(when(inRange && qtyM < 0, qtyM).otherwise(0L))).as("out_m"),
+        sum(when(inRange && qtyM > 0, valC).otherwise(0L)).as("in_c"),
+        abs(sum(when(inRange && qtyM < 0, valC).otherwise(0L))).as("out_c"),
         sum(valC).as("bal_c"))
       .withColumn("cb_m", col("ob_m") + col("in_m") - col("out_m"))
       .filter(col("ob_m") =!= 0L || col("in_m") =!= 0L ||

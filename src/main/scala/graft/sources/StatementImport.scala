@@ -32,9 +32,15 @@ import org.apache.spark.sql.functions._
 object StatementImport {
 
   /** Parsed statement: header balances + the distributed line table
-    * (columns: date yyyy-MM-dd string, payment_ref, amount double). */
+    * (columns: date yyyy-MM-dd string, payment_ref, amount double), plus
+    * `rejects` — data-shaped rows whose date parses as NEITHER a line nor
+    * the prologue (wrong format, impossible date). The reference wizard
+    * raises on the first bad row; a distributed importer surfaces them
+    * all so the caller can fail (`require(rejects.isEmpty)`) or route
+    * them to a quarantine sink. */
   final case class Statement(balanceStart: Double, balanceEnd: Double,
-                             narration: String, lines: DataFrame)
+                             narration: String, lines: DataFrame,
+                             rejects: DataFrame)
 
   /** Starting balance must chain from the previous statement's ending
     * balance (reference raises UserError otherwise). */
@@ -71,10 +77,13 @@ object StatementImport {
 
   def read(spark: SparkSession, path: String,
            previousEnding: Option[Double] = None): Statement = {
-    // Bounded prologue read: 2 CSV rows, never the line table.
+    // Bounded prologue read: ≤3 CSV rows (file header, balances, column
+    // header), never the line table. The third row's first field joins the
+    // reject exclusions below — harmless when it is really a data row,
+    // because a parseable date never reaches the reject filter.
     val src = scala.io.Source.fromFile(path)
-    val prologue = try src.getLines().take(2).toList finally src.close()
-    require(prologue.length == 2, s"statement file $path has no balance row")
+    val prologue = try src.getLines().take(3).toList finally src.close()
+    require(prologue.length >= 2, s"statement file $path has no balance row")
     val bal = splitCsv(prologue(1), 3)
     val start = r2(bal(0).trim.toDouble)
     val end = r2(bal(1).trim.toDouble)
@@ -97,6 +106,13 @@ object StatementImport {
         date_format(dt, "yyyy-MM-dd").as("date"),
         col("c1").as("payment_ref"),
         regexp_replace(col("c2"), ",", "").cast("double").as("amount"))
-    Statement(start, end, narration, lines)
+    // a malformed DATA row must not silently vanish with the prologue:
+    // anything whose first field is neither a parseable date nor one of
+    // the two physical prologue rows' first fields is a reject
+    val prologueC0 = prologue.map(r => splitCsv(r, 3)(0))
+    val rejects = raw
+      .filter(dt.isNull && !col("c0").isin(prologueC0: _*))
+      .select(col("c0"), col("c1"), col("c2"))
+    Statement(start, end, narration, lines, rejects)
   }
 }

@@ -66,6 +66,7 @@ class WizardRegistersSpec extends AnyFunSuite with BeforeAndAfterAll {
     val st = StatementImport.read(spark, f.getPath, previousEnding = Some(500.0))
     assert(st.balanceStart == 500.0 && st.balanceEnd == 750.25 &&
       st.narration == "FEB STATEMENT")
+    assert(st.rejects.count() == 0L, "well-formed file has no rejects")
     val lines = st.lines.orderBy("date").collect()
     assert(lines.length == 2)
     assert(lines(0).getString(0) == "2024-02-01" &&
@@ -86,6 +87,22 @@ class WizardRegistersSpec extends AnyFunSuite with BeforeAndAfterAll {
     val st2 = StatementImport.read(spark, f2.getPath)
     assert(st2.narration == "FEB, \"final\" statement")
     assert(st2.lines.count() == 0)
+    // a malformed DATA row (bad date format / impossible date) must be
+    // surfaced as a reject, not silently dropped with the prologue
+    val f3 = new java.io.File(dir, "st3.csv")
+    val w3 = new java.io.PrintWriter(f3)
+    w3.write("start,end,narration\n")
+    w3.write("1.00,2.00,MAR\n")
+    w3.write("Date,Label,Amount\n")
+    w3.write("05-03-2024,OK/1,10.00\n")
+    w3.write("2024-03-06,WRONGFMT/2,20.00\n")
+    w3.write("32-13-2024,IMPOSSIBLE/3,30.00\n")
+    w3.close()
+    val st3 = StatementImport.read(spark, f3.getPath)
+    assert(st3.lines.count() == 1L)
+    val rej = st3.rejects.collect().map(_.getString(1)).toSet
+    assert(rej == Set("WRONGFMT/2", "IMPOSSIBLE/3"),
+      s"malformed data rows must be quarantined, got $rej")
   }
 
   test("serial register: as-of fixed-point sums, zero-qty serials dropped") {
