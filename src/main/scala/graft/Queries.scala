@@ -3,7 +3,21 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Registry assembling every gate query (SURVEY §2 inventory + training-data
-  * ops) with its DuckDB oracle. Conventions: see queries/Parity.scala. */
+  * ops) with its DuckDB oracle. Conventions: see queries/Parity.scala.
+  *
+  * Gate-runner contract: `all(name)(spark, dir)` normally returns a LAZY
+  * DataFrame (no jobs until an action), but a few gates execute bounded
+  * Spark work at CONSTRUCTION time, by documented design:
+  *   - q142/q144/q146/q147/q148/q151 (SelectionOps) collect driver-bounded
+  *     artifacts (Bloom positions ≤ m, ≤k coreset centers, PQ codebooks)
+  *     or write a scratch fixture before returning the plan;
+  *   - q106/q129 write ≤25-row scratch fixtures under `Scratch.fresh`;
+  *   - gates that consume the suite-level pair/cluster memo
+  *     ([[graft.queries.PairMemo]]) materialize the shared artifact on
+  *     FIRST construction per (JVM, data dir).
+  * Callers that only want the plan (e.g. plan audits) therefore run real
+  * (bounded) jobs for these names — acceptable at test scale, and the
+  * artifacts are keyed so repeated construction reuses them. */
 object Queries {
   type Q = (SparkSession, String) => DataFrame
 

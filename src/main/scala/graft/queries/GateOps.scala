@@ -371,10 +371,11 @@ object GateOps {
   /** q118 — cheque print lines (reference dev_print_cheque
     * report/print_cheque.py:34-60): amount-in-words via the native
     * [[graft.functions.AmountInWordsExpr]], split into two cheque lines
-    * at the format's first-line word budget. Not SQL-expressible in the
-    * oracle (num2words has no DuckDB equivalent) → registered without
-    * oracleSql for the driver's rows-only check; golden values are pinned
-    * in SourcesHandlersSpec. */
+    * at the format's first-line word budget. num2words has no DuckDB
+    * equivalent, but the output is fully deterministic (fixed sf0.01
+    * input, pure word rendering), so the oracle is a literal golden
+    * VALUES table pinned from a verified run — hash-gated like every
+    * other query; the same goldens are spec'd in SourcesHandlersSpec. */
   def q118(s: SparkSession, d: String): DataFrame = {
     val words = split(graft.functions.AmountInWords.of(col("o_totalprice")), " ")
     Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
@@ -385,6 +386,37 @@ object GateOps {
         concat_ws(" ", slice(words, 7, 1000)).as("line2"))
       .orderBy(col("cheque_no"))
   }
+
+  /** Golden oracle for q118 (sf0.01): the 20 urgent-priority cheques with
+    * their word renderings, pinned verbatim from a verified run. A literal
+    * VALUES table is the right oracle here because the words function has
+    * no DuckDB twin while the result is a small deterministic set. */
+  val q118Sql: String =
+    """SELECT CAST(cheque_no AS BIGINT) cheque_no, CAST(payee AS BIGINT) payee,
+      |  CAST(amount AS DOUBLE) amount, line1, line2
+      |FROM (VALUES
+      |  (3, 780, 439039.67, 'four hundred and thirty-nine thousand thirty-nine', 'and 67 / 100 only'),
+      |  (10, 474, 135650.32, 'one hundred and thirty-five thousand six', 'hundred and fifty and 32 / 100 only'),
+      |  (19, 517, 373717.05, 'three hundred and seventy-three thousand seven', 'hundred and seventeen and 05 / 100 only'),
+      |  (20, 1022, 170145.41, 'one hundred and seventy thousand one', 'hundred and forty-five and 41 / 100 only'),
+      |  (21, 587, 288543.65, 'two hundred and eighty-eight thousand five', 'hundred and forty-three and 65 / 100 only'),
+      |  (25, 348, 460050.42, 'four hundred and sixty thousand fifty', 'and 42 / 100 only'),
+      |  (39, 589, 481755.66, 'four hundred and eighty-one thousand seven', 'hundred and fifty-five and 66 / 100 only'),
+      |  (56, 1122, 241710.83, 'two hundred and forty-one thousand seven', 'hundred and ten and 83 / 100 only'),
+      |  (64, 1335, 218224.74, 'two hundred and eighteen thousand two', 'hundred and twenty-four and 74 / 100 only'),
+      |  (65, 764, 414804.12, 'four hundred and fourteen thousand eight', 'hundred and four and 12 / 100 only'),
+      |  (66, 335, 150939.44, 'one hundred and fifty thousand nine', 'hundred and thirty-nine and 44 / 100 only'),
+      |  (74, 1002, 20517.63, 'twenty thousand five hundred and seventeen', 'and 63 / 100 only'),
+      |  (83, 1275, 195252.89, 'one hundred and ninety-five thousand two', 'hundred and fifty-two and 89 / 100 only'),
+      |  (87, 1386, 361975.05, 'three hundred and sixty-one thousand nine', 'hundred and seventy-five and 05 / 100 only'),
+      |  (89, 1355, 319089.69, 'three hundred and nineteen thousand eighty-nine', 'and 69 / 100 only'),
+      |  (96, 685, 389809.22, 'three hundred and eighty-nine thousand eight', 'hundred and nine and 22 / 100 only'),
+      |  (99, 304, 420786.14, 'four hundred and twenty thousand seven', 'hundred and eighty-six and 14 / 100 only'),
+      |  (105, 388, 359647.85, 'three hundred and fifty-nine thousand six', 'hundred and forty-seven and 85 / 100 only'),
+      |  (109, 450, 184676.85, 'one hundred and eighty-four thousand six', 'hundred and seventy-six and 85 / 100 only'),
+      |  (116, 1264, 259162.32, 'two hundred and fifty-nine thousand one', 'hundred and sixty-two and 32 / 100 only'))
+      |  t(cheque_no, payee, amount, line1, line2)
+      |ORDER BY cheque_no""".stripMargin
 
   /** q71 — the typed options/spec pipeline (§1.2, the reference's
     * initializer chain account_report.py:1389-1456 + column-group cartesian
@@ -815,7 +847,10 @@ object GateOps {
       .groupBy(col("y"))
       .agg(count(lit(1)).as("n_keys"),
         min(col("k")).as("min_key"), max(col("k")).as("max_key"),
-        (max(col("k")) - min(col("k")) + 1 - count(lit(1))).as("n_missing"),
+        // countDistinct, not count(*): a year with one missing key AND one
+        // duplicated key must report n_missing=1, not 0 — gaps and dupes
+        // are independent audit signals.
+        (max(col("k")) - min(col("k")) + 1 - countDistinct(col("k"))).as("n_missing"),
         sum(when(col("nk") - col("k") > 1, 1L).otherwise(0L)).as("n_gaps"),
         coalesce(max(when(col("nk") - col("k") > 1, col("nk") - col("k") - 1)),
           lit(0L)).as("max_gap"),
@@ -829,7 +864,7 @@ object GateOps {
       |g AS (SELECT y, k, lead(k) OVER (PARTITION BY y ORDER BY k) nk FROM k)
       |SELECT y, count(*)::BIGINT n_keys,
       |  CAST(min(k) AS BIGINT) min_key, CAST(max(k) AS BIGINT) max_key,
-      |  CAST(max(k) - min(k) + 1 - count(*) AS BIGINT) n_missing,
+      |  CAST(max(k) - min(k) + 1 - count(DISTINCT k) AS BIGINT) n_missing,
       |  CAST(sum(CASE WHEN nk - k > 1 THEN 1 ELSE 0 END) AS BIGINT) n_gaps,
       |  CAST(coalesce(max(CASE WHEN nk - k > 1 THEN nk - k - 1 END), 0)
       |    AS BIGINT) max_gap,
@@ -862,5 +897,6 @@ object GateOps {
     "q113_bank_reconciliation" -> q113Sql, "q116_match_suggestions" -> q116Sql,
     "q122_quality_audit" -> q122Sql, "q123_skew_profile" -> q123Sql,
     "q124_table_profile" -> q124Sql, "q125_zorder_key" -> q125Sql,
-    "q132_video_frames" -> q132Sql, "q155_sequence_gaps" -> q155Sql)
+    "q132_video_frames" -> q132Sql, "q155_sequence_gaps" -> q155Sql,
+    "q118_cheque_lines" -> q118Sql)
 }

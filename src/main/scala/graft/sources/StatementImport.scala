@@ -78,7 +78,7 @@ object StatementImport {
   def read(spark: SparkSession, path: String,
            previousEnding: Option[Double] = None): Statement = {
     // Bounded prologue read: ≤3 CSV rows (file header, balances, column
-    // header), never the line table. The third row's first field joins the
+    // header), never the line table. The third row's full tuple joins the
     // reject exclusions below — harmless when it is really a data row,
     // because a parseable date never reaches the reject filter.
     val src = scala.io.Source.fromFile(path)
@@ -107,11 +107,20 @@ object StatementImport {
         col("c1").as("payment_ref"),
         regexp_replace(col("c2"), ",", "").cast("double").as("amount"))
     // a malformed DATA row must not silently vanish with the prologue:
-    // anything whose first field is neither a parseable date nor one of
-    // the two physical prologue rows' first fields is a reject
-    val prologueC0 = prologue.map(r => splitCsv(r, 3)(0))
+    // exclude the prologue by matching the FULL row tuple (ADVICE r4 —
+    // first-field-only matching swallowed any malformed data row whose c0
+    // coincidentally equalled e.g. "Date" or the balance figure string).
+    // Spark's CSV reader yields null for absent/empty trailing fields;
+    // normalize the driver-parsed prologue fields the same way.
+    val prologueRows = prologue.map { r =>
+      val p = splitCsv(r, 3)
+      (0 until 3).map(i => p.lift(i).filter(_.nonEmpty).orNull)
+    }
+    val isPrologueRow = prologueRows.map { p =>
+      col("c0") <=> lit(p(0)) && col("c1") <=> lit(p(1)) && col("c2") <=> lit(p(2))
+    }.reduce(_ || _)
     val rejects = raw
-      .filter(dt.isNull && !col("c0").isin(prologueC0: _*))
+      .filter(dt.isNull && !isPrologueRow)
       .select(col("c0"), col("c1"), col("c2"))
     Statement(start, end, narration, lines, rejects)
   }
