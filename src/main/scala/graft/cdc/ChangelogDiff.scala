@@ -44,6 +44,30 @@ object ChangelogDiff {
           col("op") =!= "write")
   }
 
+  /** Read-interception arm of the method patcher (auditlog/models/rule.py
+    * :356-372 `_make_read`, :536-543 `create_logs` read branch, :590-607
+    * `_prepare_log_line_vals_on_read`): a logged read does NOT diff — it
+    * records WHICH fields of WHICH records a user saw, with the value as
+    * read in `old_value` and no `new_value`. Output is the same log-line
+    * grain as [[diff]] with `op='read'` plus the acting `user_id`, so the
+    * same [[AuditRule]] policy composes downstream (excluded user → the
+    * whole read log vanishes; excluded field → that line vanishes).
+    *
+    * Scale: one narrow projection + a generator over the fixed field
+    * list — map-side only, zero shuffle, zero driver state; at 100 TB the
+    * read log is an append-only sink partitioned like the CDC log. */
+  def readLog(snapshot: DataFrame, key: String, fields: Seq[String],
+              userId: org.apache.spark.sql.Column): DataFrame = {
+    val triples = fields.map(f =>
+      struct(lit(f).as("field"), col(f).cast("string").as("old_value"),
+        lit(null).cast("string").as("new_value")))
+    snapshot
+      .select(col(key).as("res_id"), userId.as("user_id"),
+        explode(array(triples: _*)).as("t"))
+      .select(col("res_id"), lit("read").as("op"), col("t.field"),
+        col("t.old_value"), col("t.new_value"), col("user_id"))
+  }
+
   /** Audit-rule policy knobs (auditlog.rule, auditlog/models/rule.py:50-162
     * + tests/test_auditlog.py): which fields and users are excluded from
     * logging, and whether unlink captures the record's values. */

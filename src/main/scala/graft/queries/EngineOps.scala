@@ -206,6 +206,46 @@ object EngineOps {
       |WHERE op <> 'write' OR old_value IS DISTINCT FROM new_value
       |ORDER BY res_id, field""".stripMargin
 
+  /** q156 — auditlog READ capture (§2.10's last arm, rule.py:356-372): a
+    * batch of logged reads — each BUILDING customer with custkey%10=0 read
+    * by user custkey%50 over (name, phone, acctbal) — through
+    * [[ChangelogDiff.readLog]] then the same [[ChangelogDiff.AuditRule]]
+    * policy as the write log: users 7 and 13 are excluded (their reads
+    * leave no log at all), field c_nationkey is excluded (the log exists, the
+    * nation line doesn't). Values land in old_value, new_value stays null —
+    * read logging records exposure, not change. */
+  def q156(s: SparkSession, d: String): DataFrame = {
+    val snap = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") % 10 === 0)
+    val lines = ChangelogDiff.readLog(snap, "c_custkey",
+      Seq("c_name", "c_nationkey", "c_acctbal"), col("c_custkey") % 50)
+    ChangelogDiff.applyRule(lines,
+        ChangelogDiff.AuditRule(fieldsToExclude = Set("c_nationkey"),
+          usersToExclude = Set(7L, 13L)))
+      .orderBy(col("res_id"), col("field"))
+  }
+
+  val q156Sql: String =
+    """WITH r AS (
+      |  SELECT c_custkey res_id, c_custkey % 50 user_id,
+      |    c_name, c_nationkey, c_acctbal
+      |  FROM customer
+      |  WHERE c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0),
+      |lines AS (
+      |  SELECT res_id, 'read' op, 'c_name' field, c_name old_value,
+      |    CAST(NULL AS VARCHAR) new_value, user_id FROM r
+      |  UNION ALL
+      |  SELECT res_id, 'read', 'c_nationkey', CAST(c_nationkey AS VARCHAR), NULL,
+      |    user_id FROM r
+      |  UNION ALL
+      |  SELECT res_id, 'read', 'c_acctbal', CAST(c_acctbal AS VARCHAR), NULL,
+      |    user_id FROM r)
+      |SELECT res_id, op, field, old_value, new_value,
+      |  CAST(user_id AS BIGINT) user_id
+      |FROM lines
+      |WHERE user_id NOT IN (7, 13) AND field NOT IN ('c_nationkey')
+      |ORDER BY res_id, field""".stripMargin
+
   /** q49 — tax_tags engine: m2m bridge joins + signed aggregation with
     * stacked tag-polarity × row-invert sign flips (SURVEY §2.5 tax_tags).
     * Tags are derived from order priority (digit 1-5, alternating polarity)
@@ -364,12 +404,14 @@ object EngineOps {
     "q43_column_groups" -> (q43 _), "q44_agg_fixpoint" -> (q44 _),
     "q117_executive_summary" -> (q117 _),
     "q45_account_codes" -> (q45 _), "q46_cdc_diff" -> (q46 _),
-    "q49_tax_tags" -> (q49 _), "q60_ec_sales" -> (q60 _))
+    "q49_tax_tags" -> (q49 _), "q60_ec_sales" -> (q60 _),
+    "q156_read_log" -> (q156 _))
 
   val oracle: Map[String, String] = Map(
     "q41_domain_compiler" -> q41Sql, "q42_date_scopes" -> q42Sql,
     "q43_column_groups" -> q43Sql, "q44_agg_fixpoint" -> q44Sql,
     "q117_executive_summary" -> q117Sql,
     "q45_account_codes" -> q45Sql, "q46_cdc_diff" -> q46Sql,
-    "q49_tax_tags" -> q49Sql, "q60_ec_sales" -> q60Sql)
+    "q49_tax_tags" -> q49Sql, "q60_ec_sales" -> q60Sql,
+    "q156_read_log" -> q156Sql)
 }
