@@ -308,16 +308,64 @@ object SelectionOps {
     * final population and coverage radius — the certificate a curator
     * reads (radius stops shrinking ⇒ k large enough).
     *
-    * Scale: each round BROADCASTS the ≤k selected centers as literals and
-    * runs one distributed min-distance scan + TakeOrdered(1) — k bounded
+    * Scale: each round ships the ≤k selected centers to every executor —
+    * as plan literals below [[LiteralCentersMaxElems]] embedded doubles,
+    * as a one-row broadcast frame above it (see [[nearestCenter]]) — and
+    * runs one distributed min-distance scan + TakeOrdered(1): k bounded
     * driver rows total, never a fact-scale collect; the final
     * assignment/rollup is the same broadcast-argmin map the k-means
     * quantizer uses. d² is the identical fold the q85 oracle replays, so
     * every round's argmax agrees bit-for-bit with DuckDB's. */
+  /** Centers above this many embedded doubles (k·d) stop being plan
+    * LITERALS and become a broadcast centers frame (VERDICT r4 "what's
+    * wrong" #2: literal embedding grows the analyzed/codegen'd plan
+    * O(k·d) — fine at gate scale k=5×64=320, pathological for a
+    * production coreset with k in the thousands). 4096 doubles ≈ 32 KiB
+    * of plan constants — comfortably inside codegen limits; beyond it the
+    * broadcast path's one-time exchange is cheaper than re-analyzing a
+    * megabyte plan. The quantizer/PQ paths (KMeansQuantizer.assign, q147
+    * codebooks, q148/q151 LUTs) already ship as broadcast frames. */
+  val LiteralCentersMaxElems = 4096
+
+  /** The coreset distance fold (strict left-to-right IEEE, doubles). */
+  private def cenD2(vec: Column, cen: Column): Column =
+    aggregate(zip_with(vec, cen, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-center map for a driver-held center set: every vector of `v`
+    * (columns `vec_id`, `vd` array<double>) → (vec_id, vd, cid, d2) under
+    * lexicographic (distance, cid) argmin — ties to the smaller id. Below
+    * [[LiteralCentersMaxElems]] embedded doubles the centers inline as
+    * plan literals (zero exchange, codegen'd fold); above, they collapse
+    * into ONE broadcast row of (cid, cvec) structs — the
+    * KMeansQuantizer.assign shape: plan size O(1), centers ship once per
+    * executor, identical argmin semantics (spec-pinned equal on both
+    * paths). */
+  private[graft] def nearestCenter(v: DataFrame, sel: Seq[(Long, Seq[Double])],
+      maxLiteralElems: Int = LiteralCentersMaxElems): DataFrame = {
+    val nElems = sel.iterator.map(_._2.size).sum
+    val pick = (cs: Column) => array_min(transform(cs,
+      cc => struct(cenD2(col("vd"), cc.getField("cvec")).as("d"),
+        cc.getField("cid").as("cid")))).as("m")
+    val withM =
+      if (nElems <= maxLiteralElems) {
+        val cenStructs = array(sel.map { case (cid, vec) =>
+          struct(lit(cid).as("cid"), typedlit(vec).as("cvec"))
+        }: _*)
+        v.select(col("vec_id"), col("vd"), pick(cenStructs))
+      } else {
+        val sp = v.sparkSession
+        import sp.implicits._
+        val cen = sel.toDF("cid", "cvec")
+          .agg(collect_list(struct(col("cid"), col("cvec"))).as("cs"))
+        v.crossJoin(broadcast(cen))
+          .select(col("vec_id"), col("vd"), pick(col("cs")))
+      }
+    withM.select(col("vec_id"), col("vd"),
+      col("m.cid").as("cid"), col("m.d").as("d2"))
+  }
+
   def q146(s: SparkSession, d: String): DataFrame = {
-    def d2(vec: Column, cen: Column): Column =
-      aggregate(zip_with(vec, cen, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("vd"))
@@ -326,25 +374,15 @@ object SelectionOps {
     val sel = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double])](
       (seed.getLong(0), seed.getSeq[Double](1)))
     for (_ <- 2 to CoresetK) {
-      val centers = array(sel.toSeq.map(c => typedlit(c._2)): _*)
-      val far = v
-        .select(col("vec_id"), col("vd"),
-          array_min(transform(centers, c => d2(col("vd"), c))).as("d2"))
+      val far = nearestCenter(v, sel.toSeq)
         .orderBy(col("d2").desc, col("vec_id")).limit(1).collect()(0)
       sel += ((far.getLong(0), far.getSeq[Double](1)))
     }
-    val cenStructs = array(sel.map { case (cid, vec) =>
-      struct(lit(cid).as("cid"), typedlit(vec).as("cvec"))
-    }.toSeq: _*)
-    val best = array_min(transform(cenStructs,
-      cc => struct(d2(col("vd"), cc.getField("cvec")).as("d"),
-        cc.getField("cid").as("cid"))))
     // the cache served the k selection rounds (all actions above); the
     // final rollup is ONE more scan — release rather than pin the vectors
     // for the session's lifetime (the KMeansQuantizer.train discipline)
     v.unpersist()
-    v.select(col("vec_id"), best.getField("cid").as("cid"),
-        best.getField("d").as("d2"))
+    nearestCenter(v, sel.toSeq)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_assigned"),
         Parity.fr(max(col("d2")), 6).as("radius2"))

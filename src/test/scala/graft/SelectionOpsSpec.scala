@@ -130,4 +130,28 @@ class SelectionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"),
       "the <=1024-bucket weight table must broadcast, not shuffle the features")
   }
+
+  test("coreset centers switch from plan literals to a broadcast frame " +
+      "above the k*d bound, with identical assignments") {
+    val v = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("vd"))
+      .filter(col("vec_id") < 200)
+    // two real centers lifted from the data (bit-identical on both paths)
+    val sel = v.filter(col("vec_id").isin(3L, 17L))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val lit = queries.SelectionOps.nearestCenter(v, sel) // 2*64 <= 4096
+    val bc = queries.SelectionOps.nearestCenter(v, sel, maxLiteralElems = 1)
+    val litP = lit.queryExecution.executedPlan.toString
+    val bcP = bc.queryExecution.executedPlan.toString
+    assert(!litP.contains("BroadcastExchange"),
+      "gate-scale centers must inline as literals (zero exchange)")
+    assert(bcP.contains("BroadcastExchange"),
+      "above the bound the centers frame must broadcast")
+    val a = lit.select("vec_id", "cid", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = bc.select("vec_id", "cid", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b, "literal and broadcast assignment paths must agree exactly")
+  }
 }
