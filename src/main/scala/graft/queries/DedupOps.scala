@@ -125,7 +125,23 @@ object DedupOps {
     * skip aggregating the within-set ones instead of filtering them after
     * the per-pair counts are already paid for. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
-                   pairPred: (Column, Column) => Column): DataFrame = {
+                   pairPred: (Column, Column) => Column): DataFrame =
+    jaccardPairsBuild(docs, threshold, pairPred)._1
+
+  /** [[jaccardPairs]] computed once and written to `out` as parquet, then
+    * the decorated-index caches RELEASED (ADVICE r4: the lazy API cannot
+    * unpersist — its caches materialize only under the consumer's action —
+    * so a long session running many dedup gates accumulated pinned
+    * executor storage; the materialized path has a natural release
+    * point). [[PairMemo]] is the suite-level consumer. */
+  def materializePairs(docs: DataFrame, threshold: Double, out: String): Unit = {
+    val (pairs, release) = jaccardPairsBuild(docs, threshold, (_, _) => lit(true))
+    pairs.write.mode("overwrite").parquet(out)
+    release()
+  }
+
+  private def jaccardPairsBuild(docs: DataFrame, threshold: Double,
+      pairPred: (Column, Column) => Column): (DataFrame, () => Unit) = {
     // cached: sh0 feeds the hot-set aggregation AND the anti-join probe;
     // without the cache the scan+explode would run once per branch. (At
     // 100 TB the hot set is a per-corpus-version artifact — compute it
@@ -165,7 +181,7 @@ object DedupOps {
     // each side re-runs the hot-set and size aggregations.
     val shN = sh.join(sizes, Seq("doc_id")).cache()
     val lt = lit(math.max(threshold - 1e-4, 0.0))
-    shN.as("a").join(shN.as("b"),
+    val pairs = shN.as("a").join(shN.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * lt <= col("b.n") && col("b.n") * lt <= col("a.n") &&
           pairPred(col("a.doc_id"), col("b.doc_id")))
@@ -176,10 +192,11 @@ object DedupOps {
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+    (pairs, () => { shN.unpersist(); sh0.unpersist(); () })
   }
 
   def q32(s: SparkSession, d: String): DataFrame =
-    jaccardPairs(Tables.documents(s, d), 0.5)
+    PairMemo.pairs(s, d) // suite-level artifact; plan shape pinned on the builder
       .orderBy(col("d1"), col("d2"))
 
   val q32Sql: String =
@@ -370,7 +387,7 @@ object DedupOps {
     * join of two pair sets keyed by (d1, d2); both sides are the bounded
     * pair outputs, never the corpus. */
   def q115(s: SparkSession, d: String): DataFrame = {
-    val exact = jaccardPairs(Tables.documents(s, d), 0.5)
+    val exact = PairMemo.pairs(s, d)
       .select(col("d1"), col("d2")).withColumn("e", lit(1))
     val cand = q33(s, d).select(col("d1"), col("d2")).withColumn("c", lit(1))
     exact.join(cand, Seq("d1", "d2"), "full_outer")
@@ -423,13 +440,10 @@ object DedupOps {
     * clusters via iterative connected components
     * (graft.operators.DupClusters); output (doc_id, cluster). Oracle:
     * recursive CTE transitive closure with min-id labeling. */
-  def q59(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(Tables.documents(s, d), 0.5)
-      .select(col("d1").as("a"), col("d2").as("b"))
-    graft.operators.DupClusters.connectedComponents(pairs, uniquePairs = true)
+  def q59(s: SparkSession, d: String): DataFrame =
+    PairMemo.clusters(s, d)
       .select(col("id").as("doc_id"), col("cluster"))
       .orderBy(col("doc_id"))
-  }
 
   /** q62 — the composed curation pipeline
     * (graft.pipelines.TrainingDataPipeline): quality band → exact dedup →
@@ -510,10 +524,10 @@ object DedupOps {
     * aggregation; the integer density divides by n·(n−1) only on n ≥ 2
     * rows (every CC member has an edge, so no ANSI zero-division). */
   def q154(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(Tables.documents(s, d), 0.5)
-      .select(col("d1"), col("d2")).cache()
-    val clusters = graft.operators.DupClusters.connectedComponents(
-      pairs.select(col("d1").as("a"), col("d2").as("b")), uniquePairs = true)
+    // both artifacts come from the memo parquet — the former pairs.cache()
+    // (never released) and the private CC rerun are gone
+    val pairs = PairMemo.pairs(s, d).select(col("d1"), col("d2"))
+    val clusters = PairMemo.clusters(s, d)
     val members = clusters.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
     val edges = pairs
       .join(clusters.select(col("id").as("d1"), col("cluster")), Seq("d1"))
@@ -563,7 +577,12 @@ object DedupOps {
       // per-doc distinct by the kernel, so df below counts DOCUMENTS
       .select(col("doc_id"),
         explode(graft.functions.Winnow.of(col("text"))).as("wm"))
-      .cache() // two consumers: the df aggregation and the join probe
+      // two consumers: the df aggregation and the join probe. Retention
+      // trade-off (ADVICE r4): this stays a session cache, not a memo
+      // artifact — it is private to q135, fingerprint-rows-sized (8-byte
+      // wm per row), and Verify/Bench clearCache() it after the gate;
+      // MEMORY_AND_DISK eviction bounds the worst case in a long session.
+      .cache()
     val fdf = fp.groupBy(col("wm")).agg(count(lit(1)).as("df"))
     fp.join(fdf, Seq("wm"))
       .groupBy(col("doc_id"))
@@ -608,9 +627,8 @@ object DedupOps {
     * doc_id-keyed joins of the bounded pair set. */
   def q140(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = jaccardPairs(docs, 0.5).select(col("d1"), col("d2")).cache()
-    val clusters = graft.operators.DupClusters.connectedComponents(
-      pairs.select(col("d1").as("a"), col("d2").as("b")), uniquePairs = true)
+    val pairs = PairMemo.pairs(s, d).select(col("d1"), col("d2"))
+    val clusters = PairMemo.clusters(s, d)
     def splitOf(key: Column): Column = {
       val b = pmod(key * lit(2654435761L), lit(1000L))
       when(b < 800, "train").when(b < 900, "val").otherwise("test")

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Suite-level memo for the exact near-dup PAIR SET and its connected-
+  * component CLUSTERS over the full `documents` table at threshold 0.5 —
+  * the artifact five gates consume (q32 pairs, q115 recall baseline, q59
+  * clusters, q140 leakage split, q154 cluster audit). Each gate used to
+  * rebuild the shingle index + pair join (and three of them the CC
+  * iteration) from scratch: ~20 s of a ~110 s full-suite run recomputing
+  * identical intermediates (VERDICT r4 next-round #6).
+  *
+  * The memo materializes each artifact ONCE per (Spark application, data
+  * dir) as a scratch parquet file and hands every consumer a plain
+  * parquet scan of it. Parquet, not `.cache()`, deliberately:
+  *   - correctness is unchanged — the first consumer triggers the same
+  *     computation the gate used to run inline (standalone runs stay
+  *     standalone-correct), and `Verify`'s per-query `clearCache()`
+  *     cannot evict half of it;
+  *   - retention is bounded — the builder's decorated-index caches are
+  *     RELEASED after the write ([[DedupOps.materializePairs]]), so
+  *     nothing stays pinned in executor storage between gates (the
+  *     ADVICE r4 accumulation finding);
+  *   - at 100 TB this is exactly the production shape: the pair set is a
+  *     per-corpus-version artifact on object storage, computed by the
+  *     dedup job and read by every downstream consumer, not recomputed
+  *     inside each query.
+  * Construction-time side effect (first consumer per app/dir runs the
+  * build jobs) is documented in [[graft.Queries]]' gate-runner contract.
+  */
+object PairMemo {
+
+  /** (applicationId, canonical dir, kind) → materialized parquet path. */
+  private val paths =
+    scala.collection.concurrent.TrieMap[(String, String, String), String]()
+
+  private def memo(s: SparkSession, dir: String, kind: String)
+                  (build: String => Unit): DataFrame = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val key = (s.sparkContext.applicationId, canon, kind)
+    val path = paths.getOrElseUpdate(key, {
+      val out = graft.Scratch
+        .fresh(s"pairmemo_${kind}_${Integer.toHexString(canon.hashCode)}")
+        .getPath
+      build(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** Exact Jaccard ≥ 0.5 near-dup pairs (`d1`, `d2`, `jaccard`) over the
+    * full documents table at `dir`. */
+  def pairs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "pairs05") { out =>
+      DedupOps.materializePairs(graft.Tables.documents(s, dir), 0.5, out)
+    }
+
+  /** Connected components (`id`, `cluster`) of [[pairs]] under min-id
+    * labeling — the transitive near-dup clusters. */
+  def clusters(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "cc05") { out =>
+      graft.operators.DupClusters.connectedComponents(
+          pairs(s, dir).select(col("d1").as("a"), col("d2").as("b")),
+          uniquePairs = true)
+        .write.mode("overwrite").parquet(out)
+    }
+}

@@ -140,10 +140,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the per-document set semantics live in the shingle_hashes_distinct
     // kernel; a revert to explode+distinct() would re-add a cluster-wide
     // shuffle of the raw exploded shingles (the biggest movement of the
-    // dedup pipeline at scale)
-    val p = plan("q32_ngram_jaccard")
+    // dedup pipeline at scale). Pinned on the BUILDER, not the q32 gate:
+    // the gate now reads the PairMemo parquet artifact, so the operator
+    // shape only exists in the builder's plan.
+    val p = queries.DedupOps
+      .jaccardPairs(Tables.documents(spark, sf), 0.5)
+      .queryExecution.executedPlan.toString
     assert(p.contains("shingle_hashes_distinct"),
-      "q32 must use the kernel-level distinct shingle hasher")
+      "jaccardPairs must use the kernel-level distinct shingle hasher")
   }
 
   test("langid explodes native trigram hashes, not per-trigram substrings") {
