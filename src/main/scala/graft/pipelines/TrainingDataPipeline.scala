@@ -21,6 +21,20 @@ import graft.operators.DupClusters
   */
 object TrainingDataPipeline {
 
+  /** How [[curate]] persists the exact-dedup survivors for its three
+    * downstream consumers:
+    *   - [[Cache]] (default) — executor storage, right when the survivor
+    *     set fits the cluster's memory+disk (gate/test scale);
+    *   - [[Checkpoint]] — a REAL checkpoint to the session's checkpoint
+    *     dir (cheap storage at 100 TB: survivors are written once and
+    *     re-read per consumer, nothing pins executor memory, and lineage
+    *     truncates so failure recovery re-reads the artifact instead of
+    *     recomputing the quality scan + dedup window). Requires
+    *     `sparkContext.setCheckpointDir` — at scale an object-store path. */
+  sealed trait CacheMode
+  case object Cache extends CacheMode
+  case object Checkpoint extends CacheMode
+
   /** `pairsOf`: computes near-duplicate edges (d1, d2) over the frame it
     * is given — it runs on the exact-dedup SURVIVORS so cluster
     * representatives are guaranteed to exist downstream. Each undirected
@@ -28,23 +42,27 @@ object TrainingDataPipeline {
     * (d1 < d2), so this holds by construction) — clustering then skips a
     * full-shuffle distinct on the edge set. */
   def curate(documents: DataFrame, pairsOf: DataFrame => DataFrame,
-             minWords: Int, maxWords: Int): DataFrame = {
+             minWords: Int, maxWords: Int,
+             cacheMode: CacheMode = Cache): DataFrame = {
     val nWords = size(split(col("text"), " "))
     val quality = documents.filter(nWords.between(minWords, maxWords))
 
     // Exact dedup as a keyed window (partitioned by the content hash —
     // never a global sort): ONE scan and one shuffle of the quality rows.
     // The alternative (narrow hash→min-id aggregation + doc_id semi-join)
-    // scans the source twice for no fewer shuffles. Cached because three
-    // consumers follow (pair source, near-dup filter, stats); at 100 TB
-    // swap the cache for a checkpoint to cheap storage.
-    val exactSurvivors = quality
+    // scans the source twice for no fewer shuffles. Persisted because
+    // three consumers follow (pair source, near-dup filter, stats); the
+    // 100 TB path is `cacheMode = Checkpoint` (spec-exercised), not prose.
+    val persisted = quality
       .withColumn("__h", md5(col("text")))
       .withColumn("__keep", min(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
       .filter(col("doc_id") === col("__keep"))
       .drop("__h", "__keep")
-      .cache()
+    val exactSurvivors = cacheMode match {
+      case Cache => persisted.cache()
+      case Checkpoint => persisted.checkpoint(eager = false)
+    }
 
     val clusters = DupClusters.connectedComponents(
       pairsOf(exactSurvivors).select(col("d1").as("a"), col("d2").as("b")),

@@ -473,6 +473,68 @@ object GateOps {
       |  count(*)::BIGINT n
       |FROM live GROUP BY k ORDER BY k""".stripMargin
 
+  /** q158 — QC overview dashboard (etl_quality/models/quality_overview.py
+    * :38-58: per check TYPE, the pending/ongoing/completed search_counts
+    * the reference computes as three per-record search_count() calls — an
+    * A13 dashboard-scalar family over the check-status table; the twin
+    * also rolls up the check LINES' passed/failed results
+    * (quality_check.py:98,150), the number the overview's drill-down
+    * actions open). Checks derive deterministically from `orders`
+    * (type by key residue, state from order status); lines from
+    * `lineitem` (result from the return flag).
+    *
+    * Scale: one aggregation over each fact table, joined on the 2-row
+    * type dim — versus the reference's 3 × N search_count scans (one
+    * scan per dashboard cell per record). */
+  def q158(s: SparkSession, d: String): DataFrame = {
+    val checks = Tables.orders(s, d).select(
+      col("o_orderkey").as("check_id"),
+      when(col("o_orderkey") % 3 === 0, "grn").otherwise("mo").as("qc_type"),
+      when(col("o_orderstatus") === "F", "completed")
+        .when(col("o_orderstatus") === "O", "ongoing")
+        .otherwise("pending").as("state"))
+    val checkCounts = checks.groupBy(col("qc_type")).agg(
+      sum(when(col("state") === "pending", 1L).otherwise(0L)).as("pending_count"),
+      sum(when(col("state") === "ongoing", 1L).otherwise(0L)).as("ongoing_count"),
+      sum(when(col("state") === "completed", 1L).otherwise(0L)).as("completed_count"))
+    val lineCounts = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("check_id"),
+        when(col("l_returnflag") === "R", "failed").otherwise("passed").as("result"))
+      .join(checks.select(col("check_id"), col("qc_type")), Seq("check_id"))
+      .groupBy(col("qc_type")).agg(
+        sum(when(col("result") === "passed", 1L).otherwise(0L)).as("passed_lines"),
+        sum(when(col("result") === "failed", 1L).otherwise(0L)).as("failed_lines"))
+    checkCounts.join(lineCounts, Seq("qc_type")).orderBy(col("qc_type"))
+  }
+
+  val q158Sql: String =
+    """WITH checks AS (
+      |  SELECT o_orderkey check_id,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'grn' ELSE 'mo' END qc_type,
+      |    CASE WHEN o_orderstatus = 'F' THEN 'completed'
+      |         WHEN o_orderstatus = 'O' THEN 'ongoing'
+      |         ELSE 'pending' END state
+      |  FROM orders),
+      |cc AS (
+      |  SELECT qc_type,
+      |    sum(CASE WHEN state = 'pending' THEN 1 ELSE 0 END) pending_count,
+      |    sum(CASE WHEN state = 'ongoing' THEN 1 ELSE 0 END) ongoing_count,
+      |    sum(CASE WHEN state = 'completed' THEN 1 ELSE 0 END) completed_count
+      |  FROM checks GROUP BY qc_type),
+      |lc AS (
+      |  SELECT qc_type,
+      |    sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) passed_lines,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) failed_lines
+      |  FROM lineitem JOIN checks ON l_orderkey = check_id
+      |  GROUP BY qc_type)
+      |SELECT qc_type,
+      |  CAST(pending_count AS BIGINT) pending_count,
+      |  CAST(ongoing_count AS BIGINT) ongoing_count,
+      |  CAST(completed_count AS BIGINT) completed_count,
+      |  CAST(passed_lines AS BIGINT) passed_lines,
+      |  CAST(failed_lines AS BIGINT) failed_lines
+      |FROM cc JOIN lc USING (qc_type) ORDER BY qc_type""".stripMargin
+
   /** Golden oracle for q118 (sf0.01): the 20 urgent-priority cheques with
     * their word renderings, pinned verbatim from a verified run. A literal
     * VALUES table is the right oracle here because the words function has
@@ -959,6 +1021,7 @@ object GateOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_sequence_gaps" -> (q155 _), "q157_stream_maintain" -> (q157 _),
+    "q158_qc_overview" -> (q158 _),
     "q89_wav_decode" -> (q89 _), "q122_quality_audit" -> (q122 _),
     "q132_video_frames" -> (q132 _),
     "q123_skew_profile" -> (q123 _), "q124_table_profile" -> (q124 _),
@@ -984,5 +1047,6 @@ object GateOps {
     "q122_quality_audit" -> q122Sql, "q123_skew_profile" -> q123Sql,
     "q124_table_profile" -> q124Sql, "q125_zorder_key" -> q125Sql,
     "q132_video_frames" -> q132Sql, "q155_sequence_gaps" -> q155Sql,
-    "q118_cheque_lines" -> q118Sql, "q157_stream_maintain" -> q157Sql)
+    "q118_cheque_lines" -> q118Sql, "q157_stream_maintain" -> q157Sql,
+    "q158_qc_overview" -> q158Sql)
 }

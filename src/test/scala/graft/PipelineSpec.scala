@@ -43,6 +43,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(String, Long, Long, Double)].collect().toSeq
     // survivors: d1 (exact rep), d3 (cluster rep), d5 → en: 2 docs/10 tokens
     assert(out == Seq(("de", 1L, 5L, 9.0), ("en", 2L, 10L, 9.0)))
+
+    // the 100 TB persistence path: a REAL checkpoint of the survivor set
+    // (cheap-storage artifact, no executor-memory pinning) must run the
+    // same flow end-to-end with identical results
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_curate_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    val outCkpt = TrainingDataPipeline.curate(docs, pairs,
+        minWords = 3, maxWords = 10,
+        cacheMode = TrainingDataPipeline.Checkpoint)
+      .orderBy("lang")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(outCkpt == out, "checkpoint mode must match cache mode exactly")
+    graft.Scratch.deleteRec(ckptDir.toFile)
   }
 
   test("register pivot: explicit values, zero-fill, grand total") {
