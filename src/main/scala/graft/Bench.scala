@@ -1,39 +1,142 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Benchmark main. Single-run timings at sf0.1 carry a measured ±30 %
+  * run-to-run band on the heavy dedup queries (q62 spanned 4.6–9.6 s across
+  * round-4 runs), so one run cannot support any regression/improvement
+  * claim. This harness therefore runs the WHOLE suite N times (default 3),
+  * each in a FRESH child JVM (same flags/classpath as this one — cold JIT,
+  * cold code cache, no cross-run heap contamination), and reports the
+  * per-query MEDIAN as the headline number:
+  *   - stdout (driver contract, ONE line): {"metric":"total","value":Σ
+  *     medians,"unit":"sec","queries":{q→median},"sf":…,"runs":N,
+  *     "min_total":…,"max_total":…}
+  *   - `target/bench_runs_latest.json`: the full spread — per-query
+  *     min/median/max plus every raw sample — for reading past the
+  *     driver's 2000-char tail truncation.
+  * `SPARK_GRAFT_BENCH_RUNS=1` (or any child-spawn failure) degrades to the
+  * old in-process single run, so the driver always gets its line. */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One full timed pass over the registered queries (current session). */
+  private def measure(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     // Untimed warmup: absorb JVM/codegen/scan-init cost so per-query numbers
     // measure the queries, not SparkSession startup.
     try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => () }
     // Dev-only subset filter (driver leaves it unset → full run).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop per-query caches so later queries aren't penalized by GC/evict;
-      // localCheckpoint blocks are only released via the ContextCleaner on
-      // GC, so nudge it — otherwise iterative queries' checkpoint RDDs pile
-      // up and later queries pay their eviction at random times
-      spark.catalog.clearCache()
-      System.gc()
-      name -> dt
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop per-query caches so later queries aren't penalized by GC/evict;
+        // localCheckpoint blocks are only released via the ContextCleaner on
+        // GC, so nudge it — otherwise iterative queries' checkpoint RDDs pile
+        // up and later queries pay their eviction at random times
+        spark.catalog.clearCache()
+        System.gc()
+        name -> dt
+      }
+  }
+
+  private def qJson(rs: Seq[(String, Double)]): String =
+    rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  private def inProcessRun(sfDir: String, cpus: String): Seq[(String, Double)] = {
+    val spark = session(cpus)
+    try measure(spark, sfDir) finally spark.stop()
+  }
+
+  /** Spawn one fresh child JVM (this JVM's flags + classpath, inherited
+    * env) running `graft.Bench --child`; parse its one-line JSON back into
+    * per-query seconds. None on any launch/parse failure. */
+  private def spawnRun(i: Int, runs: Int): Option[Seq[(String, Double)]] = {
+    try {
+      val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench", "--child")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT) // Spark logs → stderr
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      if (!p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)) {
+        p.destroyForcibly(); System.err.println(s"[bench] run $i/$runs timed out"); return None
+      }
+      val line = out.linesIterator.find(_.startsWith("""{"metric""""))
+      line.flatMap { l =>
+        val body = l.substring(l.indexOf("\"queries\":{") + "\"queries\":{".length)
+        val pairs = "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(
+          body.take(body.indexOf('}'))).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        if (pairs.isEmpty) None else Some(pairs)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] run $i/$runs failed to spawn: $e"); None
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted; val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    if (args.contains("--child")) {
+      val rs = inProcessRun(sfDir, cpus)
+      val total = rs.map(_._2).sum
+      println(s"""{"metric":"run","value":$total,"unit":"sec","queries":${qJson(rs)},"sf":"$sfDir"}""")
+      return
+    }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val samples: Seq[Seq[(String, Double)]] =
+      if (runs == 1) Seq(inProcessRun(sfDir, cpus))
+      else {
+        val ok = (1 to runs).flatMap(i => spawnRun(i, runs))
+        if (ok.nonEmpty) ok
+        else { // degrade rather than give the driver nothing
+          System.err.println("[bench] all child runs failed; in-process fallback")
+          Seq(inProcessRun(sfDir, cpus))
+        }
+      }
+    // per-query spread over however many runs survived, in suite order
+    val names = samples.head.map(_._1)
+    val byName = names.map { n =>
+      n -> samples.flatMap(_.collectFirst { case (`n`, v) => v })
+    }
+    val med = byName.map { case (n, vs) => n -> median(vs) }
+    val total = med.map(_._2).sum
+    val minTotal = byName.map(_._2.min).sum
+    val maxTotal = byName.map(_._2.max).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(med)},"sf":"$sfDir","runs":${samples.size},"min_total":$minTotal,"max_total":$maxTotal}""")
+    // full spread snapshot (per-query min/med/max + raw samples) — the
+    // driver's BENCH tail truncates at 2000 chars, this file never does
+    val detail = byName.map { case (n, vs) =>
+      s""""$n":{"med":${median(vs)},"min":${vs.min},"max":${vs.max},"samples":[${vs.mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val runTotals = samples.map(_.map(_._2).sum).mkString("[", ",", "]")
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/bench_runs_latest.json"),
+      s"""{"sf":"$sfDir","runs":${samples.size},"run_totals":$runTotals,"total_med":$total,"per_query":$detail}""")
+    System.err.println(s"[bench] ${samples.size} runs, median total $total s; full spread in target/bench_runs_latest.json")
   }
 }
