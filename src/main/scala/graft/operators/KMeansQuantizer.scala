@@ -29,6 +29,22 @@ object KMeansQuantizer {
     aggregate(zip_with(vec, cen, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Map-side nearest-centroid assignment of `vecs` (`vec_id`,
+    * `embedding`) to a persisted `centroids` frame (`cid`, `cvec`) — the
+    * same broadcast-argmin every trainer round runs, exposed for
+    * consumers that LOAD codebooks instead of retraining (the PQ memo):
+    * the k centroid rows collapse into one broadcast row, ties go to the
+    * smaller cid, zero shuffle of the vectors. */
+  def assignTo(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cenArr = centroids.agg(collect_list(struct(col("cid"), col("cvec"))).as("cs"))
+    vecs.crossJoin(broadcast(cenArr))
+      .select(col("vec_id"),
+        array_min(transform(col("cs"),
+          cc => struct(d2(col("embedding"), cc.getField("cvec")).as("d"),
+            cc.getField("cid").as("cid")))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+  }
+
   /** `vecs`: (`vec_id` long, `embedding` array<float>). Returns
     * (assignment, centroids) after `iterations` Lloyd rounds:
     * assignment = (vec_id, cid) under the FINAL centroids,

@@ -31,23 +31,9 @@ import org.apache.spark.sql.functions._
   */
 object PairMemo {
 
-  /** (applicationId, canonical dir, kind) → materialized parquet path. */
-  private val paths =
-    scala.collection.concurrent.TrieMap[(String, String, String), String]()
-
   private def memo(s: SparkSession, dir: String, kind: String)
-                  (build: String => Unit): DataFrame = {
-    val canon = new java.io.File(dir).getCanonicalPath
-    val key = (s.sparkContext.applicationId, canon, kind)
-    val path = paths.getOrElseUpdate(key, {
-      val out = graft.Scratch
-        .fresh(s"pairmemo_${kind}_${Integer.toHexString(canon.hashCode)}")
-        .getPath
-      build(out)
-      out
-    })
-    s.read.parquet(path)
-  }
+                  (build: String => Unit): DataFrame =
+    s.read.parquet(ArtifactMemo.path(s, dir, kind)(build))
 
   /** Exact Jaccard ≥ 0.5 near-dup pairs (`d1`, `d2`, `jaccard`) over the
     * full documents table at `dir`. */

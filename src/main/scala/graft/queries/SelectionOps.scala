@@ -447,17 +447,34 @@ object SelectionOps {
       lit(0.0), (acc, x) => acc + x)
 
   /** Per PQ block: (sub-vectors, assignment, centroids) from the
-    * deterministic trainer — shared by [[q147]] (encoding) and [[q148]]
-    * (ADC search evaluation). */
+    * deterministic trainer — shared by [[q147]] (encoding), [[q148]]
+    * (ADC search evaluation) and [[q151]] (IVF-PQ serving). The trained
+    * CODEBOOKS (k=8 rows × 4 blocks — tiny) are memoized per
+    * (application, data dir) via [[ArtifactMemo]]: the three gates used
+    * to re-run the 4-block Lloyd training each, where a production
+    * pipeline trains codebooks once per corpus version and every query
+    * reads them. Only the centroids persist — the per-vector assignment
+    * is recomputed per gate as the map-side broadcast argmin
+    * ([[graft.operators.KMeansQuantizer.assignTo]]), which costs one map
+    * over the vectors (persisting it instead costs a fact-sized write,
+    * which an A/B showed eats the entire saving). Training is
+    * deterministic (data-seeded, fixed-point sums), so loaded codebooks
+    * are bit-identical to inline retraining. */
   private def pqTrain(s: SparkSession, d: String)
       : Seq[(DataFrame, DataFrame, DataFrame)] = {
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def sub(b: Int) = base.select(col("vec_id"),
+      slice(col("embedding"), b * PqDims + 1, PqDims).as("embedding"))
+    val root = ArtifactMemo.path(s, d, s"pq${PqBlocks}x$PqK") { out =>
+      (0 until PqBlocks).foreach { b =>
+        val (_, cents) = graft.operators.KMeansQuantizer.train(
+          sub(b), k = PqK, iterations = PqRounds)
+        cents.write.mode("overwrite").parquet(s"$out/cents$b")
+      }
+    }
     (0 until PqBlocks).map { b =>
-      val sub = base.select(col("vec_id"),
-        slice(col("embedding"), b * PqDims + 1, PqDims).as("embedding"))
-      val (assign, cents) = graft.operators.KMeansQuantizer.train(
-        sub, k = PqK, iterations = PqRounds)
-      (sub, assign, cents)
+      val cents = s.read.parquet(s"$root/cents$b")
+      (sub(b), graft.operators.KMeansQuantizer.assignTo(sub(b), cents), cents)
     }
   }
 
