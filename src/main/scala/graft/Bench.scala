@@ -77,14 +77,25 @@ object Bench {
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT) // Spark logs → stderr
       val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      // drain stdout on a separate thread: reading to EOF on THIS thread
+      // would block until the child exits, making the waitFor timeout and
+      // the destroyForcibly fallback unreachable against a hung child
+      val outBuf = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val drainer = new Thread(() =>
+        outBuf.set(new String(p.getInputStream.readAllBytes(), "UTF-8")))
+      drainer.setDaemon(true)
+      drainer.start()
       if (!p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)) {
         p.destroyForcibly(); System.err.println(s"[bench] run $i/$runs timed out"); return None
       }
+      drainer.join(60000)
+      val out = outBuf.get()
       val line = out.linesIterator.find(_.startsWith("""{"metric""""))
       line.flatMap { l =>
         val body = l.substring(l.indexOf("\"queries\":{") + "\"queries\":{".length)
-        val pairs = "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(
+        // the number class must admit negative exponents (8.6E-4 from a
+        // sub-millisecond sample) or the whole run's samples are dropped
+        val pairs = "\"([^\"]+)\":([0-9.eE+\\-]+)".r.findAllMatchIn(
           body.take(body.indexOf('}'))).map(m => m.group(1) -> m.group(2).toDouble).toSeq
         if (pairs.isEmpty) None else Some(pairs)
       }

@@ -61,7 +61,19 @@ object TrainingDataPipeline {
       .drop("__h", "__keep")
     val exactSurvivors = cacheMode match {
       case Cache => persisted.cache()
-      case Checkpoint => persisted.checkpoint(eager = false)
+      case Checkpoint =>
+        // persist → EAGER checkpoint → unpersist: a bare checkpoint()
+        // recomputes the whole quality-scan + dedup-window lineage in the
+        // checkpoint-write job (the documented RDD.checkpoint caveat), so
+        // the survivors would be computed twice. With the persist, the
+        // write job reads the just-cached blocks; the unpersist then
+        // releases executor storage — downstream consumers read the
+        // checkpoint FILES, which is the whole point of this mode.
+        val p = persisted.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ck = p.checkpoint(eager = true)
+        p.unpersist()
+        ck
     }
 
     val clusters = DupClusters.connectedComponents(

@@ -24,10 +24,14 @@ private[queries] object ArtifactMemo {
   def path(s: SparkSession, dir: String, kind: String)
           (build: String => Unit): String = {
     val canon = new java.io.File(dir).getCanonicalPath
+    // the scratch subdir embeds the FULL sanitized path, not a 32-bit
+    // hash: a hashCode collision between two data dirs would make the
+    // second build wipe (Scratch.fresh deletes) and overwrite the first
+    // dir's artifact while its TrieMap entry still points there —
+    // silently cross-wiring their results
+    val tag = canon.replaceAll("[^A-Za-z0-9]", "_")
     paths.getOrElseUpdate((s.sparkContext.applicationId, canon, kind), {
-      val out = graft.Scratch
-        .fresh(s"memo_${kind}_${Integer.toHexString(canon.hashCode)}")
-        .getPath
+      val out = graft.Scratch.fresh(s"memo_${kind}_$tag").getPath
       build(out)
       out
     })

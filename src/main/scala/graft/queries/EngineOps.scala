@@ -208,10 +208,12 @@ object EngineOps {
 
   /** q156 — auditlog READ capture (§2.10's last arm, rule.py:356-372): a
     * batch of logged reads — each BUILDING customer with custkey%10=0 read
-    * by user custkey%50 over (name, phone, acctbal) — through
+    * by user custkey%50 over (name, nationkey, acctbal) — through
     * [[ChangelogDiff.readLog]] then the same [[ChangelogDiff.AuditRule]]
-    * policy as the write log: users 7 and 13 are excluded (their reads
-    * leave no log at all), field c_nationkey is excluded (the log exists, the
+    * policy as the write log: users 10 and 30 are excluded (their reads
+    * leave no log at all — REACHABLE values: custkey%10=0 makes
+    * user_id ∈ {0,10,20,30,40}, so the exclusion arm really fires),
+    * field c_nationkey is excluded (the log exists, the
     * nation line doesn't). Values land in old_value, new_value stays null —
     * read logging records exposure, not change. */
   def q156(s: SparkSession, d: String): DataFrame = {
@@ -221,7 +223,7 @@ object EngineOps {
       Seq("c_name", "c_nationkey", "c_acctbal"), col("c_custkey") % 50)
     ChangelogDiff.applyRule(lines,
         ChangelogDiff.AuditRule(fieldsToExclude = Set("c_nationkey"),
-          usersToExclude = Set(7L, 13L)))
+          usersToExclude = Set(10L, 30L)))
       .orderBy(col("res_id"), col("field"))
   }
 
@@ -243,7 +245,7 @@ object EngineOps {
       |SELECT res_id, op, field, old_value, new_value,
       |  CAST(user_id AS BIGINT) user_id
       |FROM lines
-      |WHERE user_id NOT IN (7, 13) AND field NOT IN ('c_nationkey')
+      |WHERE user_id NOT IN (10, 30) AND field NOT IN ('c_nationkey')
       |ORDER BY res_id, field""".stripMargin
 
   /** q49 — tax_tags engine: m2m bridge joins + signed aggregation with

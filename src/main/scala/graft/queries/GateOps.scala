@@ -438,12 +438,18 @@ object GateOps {
     val src = graft.Scratch.fresh("q157_src")
     val store = graft.Scratch.fresh("q157_store")
     val ckpt = graft.Scratch.fresh("q157_ckpt")
+    val t0 = System.currentTimeMillis() - 60000L // past, so no future mtimes
     batches.zipWithIndex.foreach { case (b, i) =>
       val tmp = graft.Scratch.fresh(s"q157_tmp$i")
       b.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
       val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath,
-        new java.io.File(src, f"batch_$i%02d.parquet").toPath)
+      val dst = new java.io.File(src, f"batch_$i%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      // FileStreamSource orders by MODIFICATION TIME, not name: pin
+      // strictly increasing mtimes (1 s apart — past any fs granularity)
+      // or an mtime tie could apply a write/unlink batch before its
+      // creates, which the n>0 snapshot pruning then legitimately drops
+      dst.setLastModified(t0 + (i + 1) * 1000L): Unit
     }
     val stream = s.readStream
       .schema("k LONG, op STRING, old_value LONG, new_value LONG")
