@@ -463,6 +463,96 @@ object GateOps {
       .orderBy(col("k"))
   }
 
+  /** q159 — STATEFUL streaming sessionization, executed as a real
+    * Structured Streaming query (the flatMapGroupsWithState arm, where
+    * q157 drives the foreachBatch arm): the sampled `events` slice
+    * (whole users — user_id%10=0, so no session is split by sampling)
+    * streams as 4 TIME-ORDERED file micro-batches through
+    * [[graft.streaming.EventsStream.sessionize]] (30-min gap, 1-h
+    * watermark, event-time timeouts) into an append parquet sink; two
+    * far-future sentinel events for an excluded user then advance the
+    * watermark so every real session times out and EMITS. The oracle is
+    * the batch sessionizer's SQL (the q75 shape) over the same slice —
+    * the streaming state machine must reproduce batch sessionization
+    * exactly. Output keeps only exact columns (times, counts): the
+    * session's float value-sum accumulates in arrival order and is not
+    * bit-portable, the times and counts are.
+    *
+    * The fixture's time-quartile split mirrors how a production stream
+    * ARRIVES (in event-time order): each batch's min ts ≥ the prior
+    * batch's max, so nothing is ever behind the watermark and the
+    * state machine sees the same global order the batch twin sorts to.
+    * Runs the streaming query at construction (bounded: 6 micro-batches
+    * over the 10 % user sample; see [[graft.Queries]]' contract). */
+  def q159(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, d)
+      .filter(col("user_id") % 10 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
+    val src = graft.Scratch.fresh("q159_src")
+    val store = graft.Scratch.fresh("q159_store")
+    val ckpt = graft.Scratch.fresh("q159_ckpt")
+    val staged = evs.withColumn("__b",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    val sentinels = Seq(
+      (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "x", 0.0),
+      (-2L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "x", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val t0 = System.currentTimeMillis() - 60000L
+    ((1 to 4).map(b => staged.filter(col("__b") === b).drop("__b")) ++
+      Seq(sentinels.limit(1), sentinels.orderBy(col("event_id").desc).limit(1)))
+      .zipWithIndex.foreach { case (b, i) =>
+        val tmp = graft.Scratch.fresh(s"q159_tmp$i")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, f"batch_$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + (i + 1) * 1000L): Unit
+      }
+    val stream = s.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.getPath)
+      .as[graft.streaming.EventsStream.Event]
+    val q = graft.streaming.EventsStream.sessionize(stream, gapMinutes = 30)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("parquet")
+      .option("path", store.getPath)
+      .option("checkpointLocation", ckpt.getPath)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    s.read.parquet(store.getPath)
+      .filter(col("user_id") >= 0) // drop the sentinel user's artifacts
+      .select(col("user_id"),
+        date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
+  /** Batch-sessionization twin over the same 10 % user slice (the q75
+    * oracle shape plus the session end). */
+  val q159Sql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) t
+      |           FROM events WHERE user_id % 10 = 0),
+      |x AS (SELECT user_id, event_id, t, epoch_us(t) us,
+      |  CASE WHEN epoch_us(t) - lag(epoch_us(t)) OVER
+      |         (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+      |       THEN 1 ELSE 0 END f
+      |  FROM e),
+      |s AS (SELECT user_id, t, us, sum(f) OVER
+      |        (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) sid
+      |      FROM x)
+      |SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S') sess_start,
+      |       strftime(max(t), '%Y-%m-%d %H:%M:%S') sess_end,
+      |       count(*) n_events
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin
+
   /** One-shot twin of the streamed lifecycle: survivors (not unlinked)
     * carry cents +100 if bumped in batch 1, +7 if bumped in batch 3. */
   val q157Sql: String =
@@ -1027,7 +1117,7 @@ object GateOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_sequence_gaps" -> (q155 _), "q157_stream_maintain" -> (q157 _),
-    "q158_qc_overview" -> (q158 _),
+    "q158_qc_overview" -> (q158 _), "q159_stream_sessionize" -> (q159 _),
     "q89_wav_decode" -> (q89 _), "q122_quality_audit" -> (q122 _),
     "q132_video_frames" -> (q132 _),
     "q123_skew_profile" -> (q123 _), "q124_table_profile" -> (q124 _),
@@ -1054,5 +1144,5 @@ object GateOps {
     "q124_table_profile" -> q124Sql, "q125_zorder_key" -> q125Sql,
     "q132_video_frames" -> q132Sql, "q155_sequence_gaps" -> q155Sql,
     "q118_cheque_lines" -> q118Sql, "q157_stream_maintain" -> q157Sql,
-    "q158_qc_overview" -> q158Sql)
+    "q158_qc_overview" -> q158Sql, "q159_stream_sessionize" -> q159Sql)
 }
