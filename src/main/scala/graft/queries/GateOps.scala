@@ -455,9 +455,17 @@ object GateOps {
       .schema("k LONG, op STRING, old_value LONG, new_value LONG")
       .option("maxFilesPerTrigger", "1")
       .parquet(src.getPath)
+    // pin the fold's shuffle width to the gate's 100-key space (same
+    // fixed-overhead argument as q159; restored before any other query
+    // plans — the foreachBatch jobs capture the setting per batch, and
+    // nothing else runs concurrently in the gate runner)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val q = graft.streaming.EventsStream.maintainAggregate(
       stream, "k", store.getPath, ckpt.getPath)
-    try { q.processAllAvailable() } finally q.stop()
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      q.processAllAvailable()
+    } finally { s.conf.set("spark.sql.shuffle.partitions", prevParts); q.stop() }
     s.read.parquet(graft.streaming.EventsStream.latestVersion(store.getPath).get)
       .select(col("k"), col("total"), col("n"))
       .orderBy(col("k"))
@@ -466,7 +474,7 @@ object GateOps {
   /** q159 — STATEFUL streaming sessionization, executed as a real
     * Structured Streaming query (the flatMapGroupsWithState arm, where
     * q157 drives the foreachBatch arm): the sampled `events` slice
-    * (whole users — user_id%10=0, so no session is split by sampling)
+    * (whole users — user_id%20=0, so no session is split by sampling)
     * streams as 4 TIME-ORDERED file micro-batches through
     * [[graft.streaming.EventsStream.sessionize]] (30-min gap, 1-h
     * watermark, event-time timeouts) into an append parquet sink; two
@@ -483,11 +491,11 @@ object GateOps {
     * batch's max, so nothing is ever behind the watermark and the
     * state machine sees the same global order the batch twin sorts to.
     * Runs the streaming query at construction (bounded: 6 micro-batches
-    * over the 10 % user sample; see [[graft.Queries]]' contract). */
+    * over the 5 % user sample; see [[graft.Queries]]' contract). */
   def q159(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val evs = Tables.events(s, d)
-      .filter(col("user_id") % 10 === 0)
+      .filter(col("user_id") % 20 === 0)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
     val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
@@ -518,13 +526,23 @@ object GateOps {
       .option("maxFilesPerTrigger", "1")
       .parquet(src.getPath)
       .as[graft.streaming.EventsStream.Event]
-    val q = graft.streaming.EventsStream.sessionize(stream, gapMinutes = 30)
-      .writeStream
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .format("parquet")
-      .option("path", store.getPath)
-      .option("checkpointLocation", ckpt.getPath)
-      .start()
+    // the gate's cost is per-micro-batch FIXED overhead (one state-store
+    // instance per shuffle partition × 6 batches), not data: pin the
+    // stateful query to 8 partitions for its bounded sample. A production
+    // deployment sizes this to its key cardinality; the setting is
+    // captured at query START, so restoring it after cannot affect the
+    // running query.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      graft.streaming.EventsStream.sessionize(stream, gapMinutes = 30)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet")
+        .option("path", store.getPath)
+        .option("checkpointLocation", ckpt.getPath)
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try { q.processAllAvailable() } finally q.stop()
     s.read.parquet(store.getPath)
       .filter(col("user_id") >= 0) // drop the sentinel user's artifacts
@@ -535,11 +553,11 @@ object GateOps {
       .orderBy(col("user_id"), col("sess_start"))
   }
 
-  /** Batch-sessionization twin over the same 10 % user slice (the q75
+  /** Batch-sessionization twin over the same 5 % user slice (the q75
     * oracle shape plus the session end). */
   val q159Sql: String =
     """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) t
-      |           FROM events WHERE user_id % 10 = 0),
+      |           FROM events WHERE user_id % 20 = 0),
       |x AS (SELECT user_id, event_id, t, epoch_us(t) us,
       |  CASE WHEN epoch_us(t) - lag(epoch_us(t)) OVER
       |         (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
