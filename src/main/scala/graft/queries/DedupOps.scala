@@ -117,16 +117,7 @@ object DedupOps {
     * key; the cap scalar is a 1-row broadcast, so the whole cap costs one
     * extra shuffle-free sort within the existing shingle partitioning. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
-    jaccardPairs(docs, threshold, (_, _) => lit(true))
-
-  /** [[jaccardPairs]] with a pair predicate applied INSIDE the
-    * inverted-index self-join (on the (d1, d2) id columns) — callers that
-    * only want cross-set pairs (incremental batch-vs-corpus dedup, q108)
-    * skip aggregating the within-set ones instead of filtering them after
-    * the per-pair counts are already paid for. */
-  def jaccardPairs(docs: DataFrame, threshold: Double,
-                   pairPred: (Column, Column) => Column): DataFrame =
-    jaccardPairsBuild(docs, threshold, pairPred)._1
+    jaccardPairsBuild(docs, threshold)._1
 
   /** [[jaccardPairs]] computed once and written to `out` as parquet, then
     * the decorated-index caches RELEASED (ADVICE r4: the lazy API cannot
@@ -135,13 +126,13 @@ object DedupOps {
     * executor storage; the materialized path has a natural release
     * point). [[PairMemo]] is the suite-level consumer. */
   def materializePairs(docs: DataFrame, threshold: Double, out: String): Unit = {
-    val (pairs, release) = jaccardPairsBuild(docs, threshold, (_, _) => lit(true))
+    val (pairs, release) = jaccardPairsBuild(docs, threshold)
     pairs.write.mode("overwrite").parquet(out)
     release()
   }
 
-  private def jaccardPairsBuild(docs: DataFrame, threshold: Double,
-      pairPred: (Column, Column) => Column): (DataFrame, () => Unit) = {
+  private def jaccardPairsBuild(docs: DataFrame,
+      threshold: Double): (DataFrame, () => Unit) = {
     // cached: sh0 feeds the hot-set aggregation AND the anti-join probe;
     // without the cache the scan+explode would run once per branch. (At
     // 100 TB the hot set is a per-corpus-version artifact — compute it
@@ -183,8 +174,7 @@ object DedupOps {
     val lt = lit(math.max(threshold - 1e-4, 0.0))
     val pairs = shN.as("a").join(shN.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * lt <= col("b.n") && col("b.n") * lt <= col("a.n") &&
-          pairPred(col("a.doc_id"), col("b.doc_id")))
+          col("a.n") * lt <= col("b.n") && col("b.n") * lt <= col("a.n"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("inter"))
@@ -218,15 +208,25 @@ object DedupOps {
     * family is (a_k·sid + b_k) mod p with plan-time constants, the textbook
     * construction. Scale: signatures are 12 longs/doc; the band join is a
     * shuffle on (band, signature) — the only pair enumeration is within a
-    * bucket. */
-  def q33(s: SparkSession, d: String): DataFrame = {
+    * bucket. The gate reads the suite-level [[PairMemo.minhashCandidates]]
+    * artifact (the sketch index is a per-corpus-version output, like the
+    * exact pair set); plan audits pin the BUILDER ([[minhashCandidates]]). */
+  def q33(s: SparkSession, d: String): DataFrame =
+    PairMemo.minhashCandidates(s, d).orderBy(col("d1"), col("d2"))
+
+  /** The q33 computation over any documents frame: MinHash band-candidate
+    * pairs decorated with the estimated similarity, unordered. The wide
+    * signature frame is consumed three times (banding + both sides of the
+    * estimate join), so the build caches it — the returned thunk releases
+    * it once the result is materialized. */
+  private def minhashBuild(docs: DataFrame): (DataFrame, () => Unit) = {
     val P = 99991L
     val K = 12
     // Token ids are map-side strHash — no dictionary, no global sort. No
     // distinct either: duplicate shingles cannot change a min, so the rows
     // flow straight from the explode into the partial min-aggregation
     // (zero full-width shuffles before the per-doc signature).
-    val sh = shingles3Raw(Tables.documents(s, d))
+    val sh = shingles3Raw(docs)
       .select(col("doc_id"), Parity.strHash(col("s")).as("sid"))
     // All K minhashes as aggregation buffers of ONE groupBy — a map-side-
     // combinable shuffle of the shingle rows, instead of a K× row blowup
@@ -239,9 +239,11 @@ object DedupOps {
     // Keep the signature WIDE: band ids and the similarity estimate are
     // row-local functions of the 12 minhashes, so banding explodes only 4
     // (band, sig) rows per doc and the estimate join moves ONE array row
-    // per doc per side — no 12-way unpivot, no cache, no (doc, k) join.
+    // per doc per side — no 12-way unpivot, no (doc, k) join. Cached: the
+    // scan + shingle explode + signature aggregation would otherwise run
+    // once per consumer (banding and each estimate-join side).
     val sigArr = sig.select(col("doc_id"),
-      array((0 until K).map(k => col(s"m$k")): _*).as("ms"))
+      array((0 until K).map(k => col(s"m$k")): _*).as("ms")).cache()
     val bands = sigArr.select(col("doc_id"),
       explode(array((0 until K / 3).map(b => struct(lit(b).as("band"),
         (element_at(col("ms"), 3 * b + 1) * lit(10000000000L) +
@@ -252,14 +254,26 @@ object DedupOps {
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-    cand
+    val est = cand
       .join(sigArr.select(col("doc_id").as("d1"), col("ms").as("ms1")), Seq("d1"))
       .join(sigArr.select(col("doc_id").as("d2"), col("ms").as("ms2")), Seq("d2"))
       .select(col("d1"), col("d2"),
         round(size(filter(zip_with(col("ms1"), col("ms2"), (a, b) =>
           when(a === b, lit(1)).otherwise(lit(0))), x => x === 1))
           .cast("double") / K, 3).as("est_sim"))
-      .orderBy(col("d1"), col("d2"))
+    (est, () => { sigArr.unpersist(); () })
+  }
+
+  /** Lazy [[minhashBuild]] view — the frame plan audits pin (the gates
+    * themselves read the memoized artifact, a plain parquet scan). */
+  def minhashCandidates(docs: DataFrame): DataFrame = minhashBuild(docs)._1
+
+  /** [[minhashBuild]] written to `out` as parquet, caches released —
+    * [[PairMemo.minhashCandidates]] is the suite-level consumer. */
+  def materializeMinhashCandidates(docs: DataFrame, out: String): Unit = {
+    val (est, release) = minhashBuild(docs)
+    est.write.mode("overwrite").parquet(out)
+    release()
   }
 
   val q33Sql: String =
@@ -389,7 +403,8 @@ object DedupOps {
   def q115(s: SparkSession, d: String): DataFrame = {
     val exact = PairMemo.pairs(s, d)
       .select(col("d1"), col("d2")).withColumn("e", lit(1))
-    val cand = q33(s, d).select(col("d1"), col("d2")).withColumn("c", lit(1))
+    val cand = PairMemo.minhashCandidates(s, d)
+      .select(col("d1"), col("d2")).withColumn("c", lit(1))
     exact.join(cand, Seq("d1", "d2"), "full_outer")
       .agg(count(col("e")).as("n_exact"), count(col("c")).as("n_cand"),
         sum(when(col("e") === 1 && col("c") === 1, 1L).otherwise(0L)).as("n_hits"))

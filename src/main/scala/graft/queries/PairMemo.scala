@@ -3,13 +3,15 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Suite-level memo for the exact near-dup PAIR SET and its connected-
-  * component CLUSTERS over the full `documents` table at threshold 0.5 —
-  * the artifact five gates consume (q32 pairs, q115 recall baseline, q59
-  * clusters, q140 leakage split, q154 cluster audit). Each gate used to
-  * rebuild the shingle index + pair join (and three of them the CC
-  * iteration) from scratch: ~20 s of a ~110 s full-suite run recomputing
-  * identical intermediates (VERDICT r4 next-round #6).
+/** Suite-level memo for the dedup-index artifacts over the full
+  * `documents` table: the exact near-dup PAIR SET at threshold 0.5, its
+  * connected-component CLUSTERS, and the MinHash/LSH band-candidate set —
+  * consumed by seven gates (q32 pairs, q59 clusters, q108 incremental
+  * dedup, q115 recall eval, q140 leakage split, q154 cluster audit, q33
+  * sketch candidates). Each gate used to rebuild the shingle index + pair
+  * join (and three of them the CC iteration) from scratch: ~20 s of a
+  * ~110 s full-suite run recomputing identical intermediates (VERDICT r4
+  * next-round #6).
   *
   * The memo materializes each artifact ONCE per (Spark application, data
   * dir) as a scratch parquet file and hands every consumer a plain
@@ -50,5 +52,14 @@ object PairMemo {
           pairs(s, dir).select(col("d1").as("a"), col("d2").as("b")),
           uniquePairs = true)
         .write.mode("overwrite").parquet(out)
+    }
+
+  /** MinHash/LSH band-candidate pairs (`d1`, `d2`, `est_sim`) of the q33
+    * sketch (K=12, 4 bands of 3) over the full documents table — the
+    * sketch-index artifact the recall eval (q115) measures against
+    * [[pairs]]. */
+  def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mh12") { out =>
+      DedupOps.materializeMinhashCandidates(graft.Tables.documents(s, dir), out)
     }
 }

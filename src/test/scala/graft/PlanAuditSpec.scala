@@ -81,10 +81,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("minhash pipeline has no partition-less window (the r1 scale-killer)") {
     // a global Window.orderBy sorts the corpus on ONE partition; its plan
     // signature is a windowspecdefinition whose spec starts with the
-    // order column list only. All windows here must carry a partition.
-    val p = plan("q33_minhash_lsh")
-    assert(!p.contains("Window ["), // q33 must not window at all anymore
-      "q33 reintroduced a window operator")
+    // order column list only. Pinned on the BUILDER, not the q33 gate:
+    // the gate reads the PairMemo minhash artifact, so the sketch's
+    // operator shape only exists in the builder's plan.
+    val p = queries.DedupOps
+      .minhashCandidates(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window ["), // the sketch must not window at all
+      "minhash builder reintroduced a window operator")
   }
 
   test("multi-period column groups run in ONE fact scan") {
