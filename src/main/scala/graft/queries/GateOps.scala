@@ -587,6 +587,112 @@ object GateOps {
       |  count(*)::BIGINT n
       |FROM live GROUP BY k ORDER BY k""".stripMargin
 
+  /** q160 — streaming incremental exact dedup, executed as a real
+    * Structured Streaming query (the `transformWithState` + INITIAL STATE
+    * arm — q157 drives foreachBatch, q159 flatMapGroupsWithState; this
+    * completes the streaming trio): the arriving batch (odd doc_ids)
+    * streams as 4 doc_id-ordered file micro-batches through
+    * [[graft.streaming.DedupStream.classify]], with the existing corpus's
+    * (even doc_ids) distinct content hashes loaded into the state store as
+    * initial state; per-doc classifications land in an append sink, and
+    * the gate rolls them up per (lang, dedup_class) — the streaming twin
+    * of q108's exact arm. The content key is the HEAD-FINGERPRINT (md5 of
+    * the first 8 words) — the cheap near-exact screen an ingestion tier
+    * runs before full-text hashing; at gate scale the raw-text hash has
+    * zero duplicates (sf0.01 is 500 distinct texts), while the fingerprint
+    * exercises BOTH dup arms (corpus hits and in-stream repeats). Oracle:
+    * corpus-fingerprint membership plus first-arrival-wins among the
+    * arrivals — exact because arrival order IS doc_id order (the batches
+    * are doc_id quartiles and the processor pins smallest-doc_id-wins
+    * within a batch).
+    *
+    * Scale posture: state is one boolean per distinct content hash keyed
+    * by the same column the stream shuffles on — no per-batch join against
+    * a growing corpus table, nothing driver-side; RocksDB provider as on a
+    * real cluster. Runs the streaming query at construction (bounded: 4
+    * micro-batches over the half-table sample; see [[graft.Queries]]'
+    * contract). */
+  def q160(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val fp = md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8)))
+    val arriving = docs.filter(col("doc_id") % 2 === 1)
+      .select(fp.as("h"), col("doc_id"))
+    val corpusHashes = docs.filter(col("doc_id") % 2 === 0)
+      .select(fp).distinct().as[String]
+    val src = graft.Scratch.fresh("q160_src")
+    val store = graft.Scratch.fresh("q160_store")
+    val ckpt = graft.Scratch.fresh("q160_ckpt")
+    // doc_id quartiles => every id in batch i precedes batch i+1: the
+    // stream's arrival order is the oracle's doc_id order
+    val staged = arriving.withColumn("__b",
+      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    val t0 = System.currentTimeMillis() - 60000L
+    (1 to 4).map(b => staged.filter(col("__b") === b).drop("__b"))
+      .zipWithIndex.foreach { case (b, i) =>
+        val tmp = graft.Scratch.fresh(s"q160_tmp$i")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, f"batch_$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        // strictly increasing mtimes: FileStreamSource orders by mtime
+        dst.setLastModified(t0 + (i + 1) * 1000L): Unit
+      }
+    val stream = s.readStream
+      .schema("h STRING, doc_id LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.getPath)
+      .as[graft.streaming.DedupStream.DocIn]
+    // transformWithState requires the RocksDB provider (also the cluster
+    // posture); both settings are captured at query start and restored
+    // after — same fixed-overhead argument as q157/q159 for the 8
+    // partitions on this bounded sample
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      graft.streaming.DedupStream.classify(stream, corpusHashes)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet")
+        .option("path", store.getPath)
+        .option("checkpointLocation", ckpt.getPath)
+        .start()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProv match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    try { q.processAllAvailable() } finally q.stop()
+    s.read.parquet(store.getPath)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("dedup_class"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("dedup_class"))
+  }
+
+  /** Batch twin: corpus-fingerprint membership, then first-arrival-wins
+    * in doc_id order among the arriving half. */
+  val q160Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) h
+      |  FROM documents),
+      |corpus_h AS (SELECT DISTINCT h FROM f WHERE doc_id % 2 = 0),
+      |arr AS (SELECT doc_id, lang, h FROM f WHERE doc_id % 2 = 1),
+      |cls AS (
+      |  SELECT lang,
+      |    CASE WHEN h IN (SELECT h FROM corpus_h) THEN 'exact_dup'
+      |         WHEN doc_id > min(doc_id) OVER (PARTITION BY h) THEN 'exact_dup'
+      |         ELSE 'unique' END dedup_class
+      |  FROM arr)
+      |SELECT lang, dedup_class, count(*)::BIGINT n_docs
+      |FROM cls GROUP BY 1, 2 ORDER BY lang, dedup_class""".stripMargin
+
   /** q158 — QC overview dashboard (etl_quality/models/quality_overview.py
     * :38-58: per check TYPE, the pending/ongoing/completed search_counts
     * the reference computes as three per-record search_count() calls — an
@@ -1136,6 +1242,7 @@ object GateOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_sequence_gaps" -> (q155 _), "q157_stream_maintain" -> (q157 _),
     "q158_qc_overview" -> (q158 _), "q159_stream_sessionize" -> (q159 _),
+    "q160_stream_dedup" -> (q160 _),
     "q89_wav_decode" -> (q89 _), "q122_quality_audit" -> (q122 _),
     "q132_video_frames" -> (q132 _),
     "q123_skew_profile" -> (q123 _), "q124_table_profile" -> (q124 _),
@@ -1162,5 +1269,6 @@ object GateOps {
     "q124_table_profile" -> q124Sql, "q125_zorder_key" -> q125Sql,
     "q132_video_frames" -> q132Sql, "q155_sequence_gaps" -> q155Sql,
     "q118_cheque_lines" -> q118Sql, "q157_stream_maintain" -> q157Sql,
-    "q158_qc_overview" -> q158Sql, "q159_stream_sessionize" -> q159Sql)
+    "q158_qc_overview" -> q158Sql, "q159_stream_sessionize" -> q159Sql,
+    "q160_stream_dedup" -> q160Sql)
 }
