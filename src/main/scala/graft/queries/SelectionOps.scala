@@ -242,8 +242,8 @@ object SelectionOps {
     * paper's ε-ball semantics, not transitive closure). */
   def q145(s: SparkSession, d: String): DataFrame = {
     val fdot = graft.functions.VectorDot.dot _
-    val (assign, _) = graft.operators.KMeansQuantizer.train(
-      Tables.embeddings(s, d), k = 8, iterations = 2)
+    val assign = graft.operators.KMeansQuantizer.assignTo(
+      Tables.embeddings(s, d), SimilarityOps.coarseCentroids(s, d))
     // decorated vectors feed BOTH sides of the pair join and the final
     // per-cell rollup — cache so bucket/norm compute runs once
     val e = Tables.embeddings(s, d)

@@ -316,6 +316,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.count() == 0 && c.count() == 0)
   }
 
+  test("suite memos round-trip the builders' outputs exactly") {
+    // the q108/q33/q115 gates read ArtifactMemo parquet instead of
+    // rebuilding the dedup indexes; this pins memo == fresh builder so a
+    // keying or round-trip bug cannot silently serve another dir's (or a
+    // stale) artifact
+    val s = spark
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(s, sfDir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    assert(rows(graft.queries.PairMemo.pairs(s, sfDir)) ==
+      rows(graft.queries.DedupOps.jaccardPairs(docs, 0.5)))
+    assert(rows(graft.queries.PairMemo.minhashCandidates(s, sfDir)) ==
+      rows(graft.queries.DedupOps.minhashCandidates(docs)))
+  }
+
   test("streaming hourly twin agrees with the batch hourly query") {
     val s = spark; import s.implicits._
     val sfDir = "/root/testdata/sf0.001"
