@@ -624,20 +624,24 @@ object GateOps {
     val store = graft.Scratch.fresh("q160_store")
     val ckpt = graft.Scratch.fresh("q160_ckpt")
     // doc_id quartiles => every id in batch i precedes batch i+1: the
-    // stream's arrival order is the oracle's doc_id order
-    val staged = arriving.withColumn("__b",
-      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    // stream's arrival order is the oracle's doc_id order. ONE
+    // partitioned write stages all 4 batch files (the q157/q159 loop
+    // re-ran the fixture plan per batch); each __b=N dir holds exactly
+    // one part file (coalesce(1)), moved out with pinned mtimes.
+    val tmp = graft.Scratch.fresh("q160_tmp")
+    arriving.coalesce(1)
+      .withColumn("__b",
+        ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+      .write.mode("overwrite").partitionBy("__b").parquet(tmp.getPath)
     val t0 = System.currentTimeMillis() - 60000L
-    (1 to 4).map(b => staged.filter(col("__b") === b).drop("__b"))
-      .zipWithIndex.foreach { case (b, i) =>
-        val tmp = graft.Scratch.fresh(s"q160_tmp$i")
-        b.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(src, f"batch_$i%02d.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath)
-        // strictly increasing mtimes: FileStreamSource orders by mtime
-        dst.setLastModified(t0 + (i + 1) * 1000L): Unit
-      }
+    (1 to 4).foreach { b =>
+      val part = new java.io.File(tmp, s"__b=$b").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, f"batch_$b%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      // strictly increasing mtimes: FileStreamSource orders by mtime
+      dst.setLastModified(t0 + b * 1000L): Unit
+    }
     val stream = s.readStream
       .schema("h STRING, doc_id LONG")
       .option("maxFilesPerTrigger", "1")
@@ -645,12 +649,14 @@ object GateOps {
       .as[graft.streaming.DedupStream.DocIn]
     // transformWithState requires the RocksDB provider (also the cluster
     // posture); both settings are captured at query start and restored
-    // after — same fixed-overhead argument as q157/q159 for the 8
-    // partitions on this bounded sample
+    // after. 4 partitions, not q157/q159's 8: a RocksDB store INSTANCE
+    // per partition per micro-batch is this gate's fixed cost (heavier
+    // than their HDFS-backed state), and the bounded sample needs no
+    // width — production sizes this to its hash-key cardinality.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       graft.streaming.DedupStream.classify(stream, corpusHashes)
