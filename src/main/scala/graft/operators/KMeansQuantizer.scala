@@ -53,6 +53,33 @@ object KMeansQuantizer {
     // cached: every Lloyd round (and the final assignment) rescans the
     // vector table for the broadcast-assign step
     val v = vecs.select(col("vec_id"), col("embedding")).cache()
+    val centroids = lloyd(v, k, iterations)
+    // materialize the final assignment, then RELEASE the vector cache —
+    // train() must not pin the embedding set for the session's lifetime
+    // (a composed pipeline keeps running after training)
+    val assignment = assignTo(v, centroids).localCheckpoint(true)
+    v.unpersist()
+    (assignment, centroids)
+  }
+
+  /** Centroids ONLY — for codebook memo builders ([[graft.queries]]'
+    * ArtifactMemo consumers) that persist the trained centroids and
+    * recompute per-vector assignments later as the broadcast argmin:
+    * skips [[train]]'s final full-table assignment pass, which those
+    * callers discard. Eagerly materialized before the vector cache
+    * releases (the builder writes it to parquet immediately anyway). */
+  def trainCentroids(vecs: DataFrame, k: Int, iterations: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding")).cache()
+    val centroids = lloyd(v, k, iterations).localCheckpoint(true)
+    v.unpersist()
+    centroids
+  }
+
+  /** The Lloyd rounds over a cached vector frame: seed from the k
+    * smallest ids, then `iterations` broadcast-assign + quantized-sum
+    * update rounds. The returned final-round centroids are a LAZY local
+    * checkpoint — callers materialize (or chain) before releasing `v`. */
+  private def lloyd(v: DataFrame, k: Int, iterations: Int): DataFrame = {
     // Seed from the k smallest vec_ids actually present (TakeOrdered, k is
     // tiny) — unlike `vec_id < k` this yields exactly min(k, |v|) seeds for
     // sparse or non-0-based id spaces.
@@ -97,12 +124,6 @@ object KMeansQuantizer {
         .localCheckpoint(false)
       it += 1
     }
-    // materialize the final assignment, then RELEASE the vector cache —
-    // train() must not pin the embedding set for the session's lifetime
-    // (a composed pipeline keeps running after training)
-    val assignment = assign(centroids)
-      .select(col("vec_id"), col("cid")).localCheckpoint(true)
-    v.unpersist()
-    (assignment, centroids)
+    centroids
   }
 }

@@ -387,6 +387,33 @@ object GateOps {
       .orderBy(col("cheque_no"))
   }
 
+  /** Stages a file-source streaming fixture for the q157/q159/q160
+    * driver gates: `staged` must carry an integer `__b` micro-batch
+    * column (1..n) partitioning the intended arrival order. ONE coalesced
+    * partitionBy write emits every batch file (a per-batch loop would
+    * re-run the fixture plan n times), then each batch's single part file
+    * moves into the returned source dir with STRICTLY INCREASING mtimes:
+    * FileStreamSource orders by modification time, not name (1 s apart —
+    * past any fs granularity; pinned to the past so no future mtimes),
+    * and an mtime tie could deliver a later batch first — e.g. q157's
+    * write/unlink deltas before their creates, which the n>0 snapshot
+    * pruning then legitimately drops. */
+  private def stageBatches(staged: DataFrame, n: Int, tag: String): java.io.File = {
+    val src = graft.Scratch.fresh(s"${tag}_src")
+    val tmp = graft.Scratch.fresh(s"${tag}_tmp")
+    staged.coalesce(1).write.mode("overwrite")
+      .partitionBy("__b").parquet(tmp.getPath)
+    val t0 = System.currentTimeMillis() - 60000L
+    (1 to n).foreach { b =>
+      val part = new java.io.File(tmp, s"__b=$b").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, f"batch_$b%02d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(t0 + b * 1000L): Unit
+    }
+    src
+  }
+
   /** q157 — streaming changelog materialization, EXECUTED as a real
     * Structured Streaming query (VERDICT r4 "missing" #1: the streaming
     * layer's claims rested on ScalaTest alone; this gate drives
@@ -435,22 +462,13 @@ object GateOps {
       base.filter(col("kk") % 3 === 0 && col("kk") % 13 =!= 0)
         .select(col("k"), lit("write").as("op"),
           cur.as("old_value"), (cur + 7L).as("new_value")))
-    val src = graft.Scratch.fresh("q157_src")
     val store = graft.Scratch.fresh("q157_store")
     val ckpt = graft.Scratch.fresh("q157_ckpt")
-    val t0 = System.currentTimeMillis() - 60000L // past, so no future mtimes
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val tmp = graft.Scratch.fresh(s"q157_tmp$i")
-      b.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(src, f"batch_$i%02d.parquet")
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      // FileStreamSource orders by MODIFICATION TIME, not name: pin
-      // strictly increasing mtimes (1 s apart — past any fs granularity)
-      // or an mtime tie could apply a write/unlink batch before its
-      // creates, which the n>0 snapshot pruning then legitimately drops
-      dst.setLastModified(t0 + (i + 1) * 1000L): Unit
-    }
+    val src = stageBatches(
+      batches.zipWithIndex
+        .map { case (b, i) => b.withColumn("__b", lit(i + 1)) }
+        .reduce(_ unionByName _),
+      batches.size, "q157")
     val stream = s.readStream
       .schema("k LONG, op STRING, old_value LONG, new_value LONG")
       .option("maxFilesPerTrigger", "1")
@@ -499,7 +517,6 @@ object GateOps {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
     val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
-    val src = graft.Scratch.fresh("q159_src")
     val store = graft.Scratch.fresh("q159_store")
     val ckpt = graft.Scratch.fresh("q159_ckpt")
     val staged = evs.withColumn("__b",
@@ -509,17 +526,10 @@ object GateOps {
       (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "x", 0.0),
       (-2L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "x", 0.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    val t0 = System.currentTimeMillis() - 60000L
-    ((1 to 4).map(b => staged.filter(col("__b") === b).drop("__b")) ++
-      Seq(sentinels.limit(1), sentinels.orderBy(col("event_id").desc).limit(1)))
-      .zipWithIndex.foreach { case (b, i) =>
-        val tmp = graft.Scratch.fresh(s"q159_tmp$i")
-        b.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(src, f"batch_$i%02d.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath)
-        dst.setLastModified(t0 + (i + 1) * 1000L): Unit
-      }
+    val src = stageBatches(
+      staged.unionByName(sentinels.withColumn("__b",
+        when(col("event_id") === -1L, lit(5)).otherwise(lit(6)))),
+      6, "q159")
     val stream = s.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
         "event_type STRING, value DOUBLE")
@@ -529,21 +539,24 @@ object GateOps {
     // the gate's cost is per-micro-batch FIXED overhead (one state-store
     // instance per shuffle partition × 6 batches), not data: pin the
     // stateful query to 8 partitions for its bounded sample. A production
-    // deployment sizes this to its key cardinality; the setting is
-    // captured at query START, so restoring it after cannot affect the
-    // running query.
+    // deployment sizes this to its key cardinality. The pinned setting is
+    // HELD until the query terminates: the stream thread snapshots conf
+    // via its session clone AFTER start() returns (StreamExecution counts
+    // down its start latch before cloning), so restoring right after
+    // start() races the capture — and nothing else plans queries while a
+    // gate runs (the gate-runner contract).
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
+    try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      graft.streaming.EventsStream.sessionize(stream, gapMinutes = 30)
+      val q = graft.streaming.EventsStream.sessionize(stream, gapMinutes = 30)
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
         .format("parquet")
         .option("path", store.getPath)
         .option("checkpointLocation", ckpt.getPath)
         .start()
+      try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try { q.processAllAvailable() } finally q.stop()
     s.read.parquet(store.getPath)
       .filter(col("user_id") >= 0) // drop the sentinel user's artifacts
       .select(col("user_id"),
@@ -620,52 +633,42 @@ object GateOps {
       .select(fp.as("h"), col("doc_id"))
     val corpusHashes = docs.filter(col("doc_id") % 2 === 0)
       .select(fp).distinct().as[String]
-    val src = graft.Scratch.fresh("q160_src")
     val store = graft.Scratch.fresh("q160_store")
     val ckpt = graft.Scratch.fresh("q160_ckpt")
     // doc_id quartiles => every id in batch i precedes batch i+1: the
-    // stream's arrival order is the oracle's doc_id order. ONE
-    // partitioned write stages all 4 batch files (the q157/q159 loop
-    // re-ran the fixture plan per batch); each __b=N dir holds exactly
-    // one part file (coalesce(1)), moved out with pinned mtimes.
-    val tmp = graft.Scratch.fresh("q160_tmp")
-    arriving.coalesce(1)
-      .withColumn("__b",
-        ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
-      .write.mode("overwrite").partitionBy("__b").parquet(tmp.getPath)
-    val t0 = System.currentTimeMillis() - 60000L
-    (1 to 4).foreach { b =>
-      val part = new java.io.File(tmp, s"__b=$b").listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(src, f"batch_$b%02d.parquet")
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      // strictly increasing mtimes: FileStreamSource orders by mtime
-      dst.setLastModified(t0 + b * 1000L): Unit
-    }
+    // stream's arrival order is the oracle's doc_id order
+    val src = stageBatches(
+      arriving.withColumn("__b",
+        ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id")))),
+      4, "q160")
     val stream = s.readStream
       .schema("h STRING, doc_id LONG")
       .option("maxFilesPerTrigger", "1")
       .parquet(src.getPath)
       .as[graft.streaming.DedupStream.DocIn]
     // transformWithState requires the RocksDB provider (also the cluster
-    // posture); both settings are captured at query start and restored
-    // after. 4 partitions, not q157/q159's 8: a RocksDB store INSTANCE
+    // posture). 4 partitions, not q157/q159's 8: a RocksDB store INSTANCE
     // per partition per micro-batch is this gate's fixed cost (heavier
     // than their HDFS-backed state), and the bounded sample needs no
-    // width — production sizes this to its hash-key cardinality.
+    // width — production sizes this to its hash-key cardinality. Both
+    // settings are HELD until the query terminates: the stream thread
+    // snapshots conf via its session clone AFTER start() returns, so an
+    // early restore races the capture — with the default provider winning
+    // the race, transformWithState would fail outright.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val prevProv = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    val q = try {
+    try {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      graft.streaming.DedupStream.classify(stream, corpusHashes)
+      val q = graft.streaming.DedupStream.classify(stream, corpusHashes)
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
         .format("parquet")
         .option("path", store.getPath)
         .option("checkpointLocation", ckpt.getPath)
         .start()
+      try q.processAllAvailable() finally q.stop()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevProv match {
@@ -673,7 +676,6 @@ object GateOps {
         case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
     }
-    try { q.processAllAvailable() } finally q.stop()
     s.read.parquet(store.getPath)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .groupBy(col("lang"), col("dedup_class"))

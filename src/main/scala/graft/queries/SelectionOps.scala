@@ -467,9 +467,9 @@ object SelectionOps {
       slice(col("embedding"), b * PqDims + 1, PqDims).as("embedding"))
     val root = ArtifactMemo.path(s, d, s"pq${PqBlocks}x$PqK") { out =>
       (0 until PqBlocks).foreach { b =>
-        val (_, cents) = graft.operators.KMeansQuantizer.train(
-          sub(b), k = PqK, iterations = PqRounds)
-        cents.write.mode("overwrite").parquet(s"$out/cents$b")
+        graft.operators.KMeansQuantizer.trainCentroids(
+            sub(b), k = PqK, iterations = PqRounds)
+          .write.mode("overwrite").parquet(s"$out/cents$b")
       }
     }
     (0 until PqBlocks).map { b =>

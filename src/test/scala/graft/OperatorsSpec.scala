@@ -326,10 +326,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = Tables.documents(s, sfDir)
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.collect().map(_.mkString("|")).toSet
-    assert(rows(graft.queries.PairMemo.pairs(s, sfDir)) ==
-      rows(graft.queries.DedupOps.jaccardPairs(docs, 0.5)))
-    assert(rows(graft.queries.PairMemo.minhashCandidates(s, sfDir)) ==
-      rows(graft.queries.DedupOps.minhashCandidates(docs)))
+    try {
+      assert(rows(graft.queries.PairMemo.pairs(s, sfDir)) ==
+        rows(graft.queries.DedupOps.jaccardPairs(docs, 0.5)))
+      assert(rows(graft.queries.PairMemo.minhashCandidates(s, sfDir)) ==
+        rows(graft.queries.DedupOps.minhashCandidates(docs)))
+    } finally s.catalog.clearCache() // the lazy builders' index caches
+    // have no reachable release thunk — drop them rather than pin the
+    // shingle/signature frames for the rest of the suite
   }
 
   test("streaming hourly twin agrees with the batch hourly query") {
