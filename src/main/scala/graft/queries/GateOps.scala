@@ -683,6 +683,113 @@ object GateOps {
       .orderBy(col("lang"), col("dedup_class"))
   }
 
+  /** q161 — streaming Bloom-screen maintenance, executed as a real
+    * Structured Streaming query ([[graft.streaming.BloomStream.screen]];
+    * with q157/q159/q160 this driver-gates every streaming class): the
+    * corpus half's content-hash positions seed the driver-held bitmap
+    * (the q144 fold shape — distinct positions, bounded by m), then the
+    * arriving half streams as 4 doc_id-quartile micro-batches; each batch
+    * is screened against the bitmap AS OF its start (batch granularity —
+    * batch-mates don't mark each other) and folds its own positions in.
+    * The per-batch sink is a parquet append (the production shape; the
+    * ScalaTest spec drives the collect shape). Oracle: a position is
+    * available to batch b iff its minimum fold batch (corpus = 0) is
+    * STRICTLY below b — all [[SelectionOps.BloomHashes]] probes available
+    * ⇒ hit. Both sides share the Kirsch–Mitzenmacher double-hash math
+    * over the non-negative [[Parity.strHash]], where `%` and floor-mod
+    * agree. As in q160 the hashed key is the head-8-words fingerprint —
+    * the full-text hash has zero duplicates at gate scale, so the screen
+    * would never hit.
+    *
+    * Scale posture: screening is a broadcast-bitmap map over each batch,
+    * the driver fold is bounded by m distinct positions per batch, and
+    * the bitmap is m/64 longs — nothing grows with the corpus. Runs the
+    * streaming query at construction (bounded; [[graft.Queries]]'
+    * contract). */
+  def q161(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = SelectionOps.BloomBits
+    val k = SelectionOps.BloomHashes
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), Parity.strHash(
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("h"))
+    val batched = docs.filter(col("doc_id") % 2 === 1).withColumn("__b",
+      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    // corpus seed: distinct BIT POSITIONS (≤ m) fold on the driver — the
+    // q144 shape; the column math equals BloomStream.positions for the
+    // non-negative strHash
+    val posCols = (0 until k).map(j =>
+      (col("h") % m + lit(j.toLong) * (lit(1L) + col("h") % (m - 1))) % m)
+    val bitmap = new graft.streaming.BloomStream.Bitmap(m)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(array(posCols: _*)).as("p")).distinct()
+      .collect().foreach(r => bitmap.set(r.getLong(0)))
+    val store = graft.Scratch.fresh("q161_store")
+    val ckpt = graft.Scratch.fresh("q161_ckpt")
+    val src = stageBatches(batched, 4, "q161")
+    val stream = s.readStream
+      .schema("doc_id LONG, h LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.getPath)
+      .as[graft.streaming.BloomStream.DocIn]
+    // foreachBatch jobs (screen map + position distinct) run per batch on
+    // the bounded sample: pin 4 partitions, held until termination (the
+    // q159/q160 conf-capture discipline)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.BloomStream.screen(stream, bitmap, k,
+        out => out.write.mode("append").parquet(store.getPath),
+        checkpoint = Some(ckpt.getPath))
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // batch mapping from the fixture's FILE NAMES (what actually
+    // streamed), not from re-running the staging window — the returned
+    // plan stays free of the global ntile (the plan sweep checks it)
+    val batchOf = s.read.parquet(src.getPath)
+      .select(col("doc_id"), regexp_extract(col("_metadata.file_name"),
+        "batch_(\\d+)", 1).cast("long").as("batch"))
+    s.read.parquet(store.getPath)
+      .join(batchOf, Seq("doc_id"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_hit"))
+      .orderBy(col("batch"))
+  }
+
+  /** Batch twin: min fold batch per position (corpus = 0), a probe is
+    * available iff that minimum is strictly below the prober's batch. */
+  val q161Sql: String = {
+    val m = SelectionOps.BloomBits
+    val k = SelectionOps.BloomHashes
+    s"""WITH fp AS (SELECT doc_id,
+       |         array_to_string(string_split(text, ' ')[1:8], ' ') f
+       |       FROM documents),
+       |hd AS (SELECT doc_id, ${Parity.strHashSql("f")} h FROM fp),
+       |hh AS (SELECT doc_id, h % $m h1, 1 + (h % ${m - 1}) h2 FROM hd),
+       |arr AS (SELECT doc_id, h1, h2,
+       |          ntile(4) OVER (ORDER BY doc_id) b
+       |        FROM hh WHERE doc_id % 2 = 1),
+       |folds AS (
+       |  SELECT (h1 + j * h2) % $m p, 0 b
+       |  FROM hh, generate_series(0, ${k - 1}) t(j) WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT (h1 + j * h2) % $m p, b
+       |  FROM arr, generate_series(0, ${k - 1}) t(j)),
+       |minb AS (SELECT p, min(b) mb FROM folds GROUP BY p),
+       |probe AS (
+       |  SELECT a.doc_id, a.b,
+       |    CAST(sum(CASE WHEN mb.mb IS NOT NULL AND mb.mb < a.b
+       |      THEN 1 ELSE 0 END) AS BIGINT) nav
+       |  FROM (SELECT doc_id, b, (h1 + j * h2) % $m p
+       |        FROM arr, generate_series(0, ${k - 1}) t(j)) a
+       |  LEFT JOIN minb mb ON mb.p = a.p
+       |  GROUP BY a.doc_id, a.b)
+       |SELECT b AS batch, count(*)::BIGINT n_docs,
+       |  CAST(sum(CASE WHEN nav = $k THEN 1 ELSE 0 END) AS BIGINT) n_hit
+       |FROM probe GROUP BY b ORDER BY batch""".stripMargin
+  }
+
   /** Batch twin: corpus-fingerprint membership, then first-arrival-wins
     * in doc_id order among the arriving half. */
   val q160Sql: String =
@@ -1250,7 +1357,7 @@ object GateOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_sequence_gaps" -> (q155 _), "q157_stream_maintain" -> (q157 _),
     "q158_qc_overview" -> (q158 _), "q159_stream_sessionize" -> (q159 _),
-    "q160_stream_dedup" -> (q160 _),
+    "q160_stream_dedup" -> (q160 _), "q161_stream_bloom" -> (q161 _),
     "q89_wav_decode" -> (q89 _), "q122_quality_audit" -> (q122 _),
     "q132_video_frames" -> (q132 _),
     "q123_skew_profile" -> (q123 _), "q124_table_profile" -> (q124 _),
@@ -1278,5 +1385,5 @@ object GateOps {
     "q132_video_frames" -> q132Sql, "q155_sequence_gaps" -> q155Sql,
     "q118_cheque_lines" -> q118Sql, "q157_stream_maintain" -> q157Sql,
     "q158_qc_overview" -> q158Sql, "q159_stream_sessionize" -> q159Sql,
-    "q160_stream_dedup" -> q160Sql)
+    "q160_stream_dedup" -> q160Sql, "q161_stream_bloom" -> q161Sql)
 }
