@@ -405,11 +405,17 @@ object GateOps {
       .partitionBy("__b").parquet(tmp.getPath)
     val t0 = System.currentTimeMillis() - 60000L
     (1 to n).foreach { b =>
-      val part = new java.io.File(tmp, s"__b=$b").listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(src, f"batch_$b%02d.parquet")
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      dst.setLastModified(t0 + b * 1000L): Unit
+      // an EMPTY batch writes no __b=<b> dir (partitionBy emits only
+      // populated partitions) — skip it: an absent file and an empty
+      // micro-batch stream identically, and later batch numbers keep
+      // their increasing mtimes
+      Option(new java.io.File(tmp, s"__b=$b").listFiles())
+        .flatMap(_.find(_.getName.endsWith(".parquet")))
+        .foreach { part =>
+          val dst = new java.io.File(src, f"batch_$b%02d.parquet")
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          dst.setLastModified(t0 + b * 1000L): Unit
+        }
     }
     src
   }
@@ -473,17 +479,19 @@ object GateOps {
       .schema("k LONG, op STRING, old_value LONG, new_value LONG")
       .option("maxFilesPerTrigger", "1")
       .parquet(src.getPath)
-    // pin the fold's shuffle width to the gate's 100-key space (same
-    // fixed-overhead argument as q159; restored before any other query
-    // plans — the foreachBatch jobs capture the setting per batch, and
-    // nothing else runs concurrently in the gate runner)
+    // pin the fold's shuffle width to the gate's 100-key space, SET
+    // BEFORE maintainAggregate start()s the query and HELD until it
+    // terminates: the stream thread's session clone copies conf once, so
+    // a post-start set never propagates and an early restore races the
+    // capture (the q159/q160/q161 discipline; nothing else plans queries
+    // while a gate runs)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = graft.streaming.EventsStream.maintainAggregate(
-      stream, "k", store.getPath, ckpt.getPath)
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      q.processAllAvailable()
-    } finally { s.conf.set("spark.sql.shuffle.partitions", prevParts); q.stop() }
+      val q = graft.streaming.EventsStream.maintainAggregate(
+        stream, "k", store.getPath, ckpt.getPath)
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(graft.streaming.EventsStream.latestVersion(store.getPath).get)
       .select(col("k"), col("total"), col("n"))
       .orderBy(col("k"))
@@ -710,16 +718,17 @@ object GateOps {
     import s.implicits._
     val m = SelectionOps.BloomBits
     val k = SelectionOps.BloomHashes
+    // cached: two consumers (corpus bitmap fold + fixture staging) would
+    // each re-run the scan + fingerprint hash (the q144 discipline)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), Parity.strHash(
         concat_ws(" ", slice(split(col("text"), " "), 1, 8))).as("h"))
+      .cache()
     val batched = docs.filter(col("doc_id") % 2 === 1).withColumn("__b",
       ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
     // corpus seed: distinct BIT POSITIONS (≤ m) fold on the driver — the
-    // q144 shape; the column math equals BloomStream.positions for the
-    // non-negative strHash
-    val posCols = (0 until k).map(j =>
-      (col("h") % m + lit(j.toLong) * (lit(1L) + col("h") % (m - 1))) % m)
+    // q144 shape, via the shared column-side position math
+    val posCols = graft.streaming.BloomStream.positionCols(col("h"), m, k)
     val bitmap = new graft.streaming.BloomStream.Bitmap(m)
     docs.filter(col("doc_id") % 2 === 0)
       .select(explode(array(posCols: _*)).as("p")).distinct()
@@ -727,6 +736,7 @@ object GateOps {
     val store = graft.Scratch.fresh("q161_store")
     val ckpt = graft.Scratch.fresh("q161_ckpt")
     val src = stageBatches(batched, 4, "q161")
+    docs.unpersist()
     val stream = s.readStream
       .schema("doc_id LONG, h LONG")
       .option("maxFilesPerTrigger", "1")

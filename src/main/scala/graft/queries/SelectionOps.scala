@@ -158,11 +158,12 @@ object SelectionOps {
           slice(col("__w"), (col("k") * B + 1).cast("int"), lit(B.toInt))).as("bs"))
       .select(col("doc_id"), md5(col("bs")).as("mh"),
         Parity.strHash(col("bs")).as("h"))
-      .withColumn("h1", col("h") % m)
-      .withColumn("h2", lit(1L) + col("h") % (m - 1))
       .cache()
-    val positions = (0 until BloomHashes).map(j =>
-      (col("h1") + lit(j.toLong) * col("h2")) % m)
+    // the ONE column-side source of the double-hash bit positions, shared
+    // with the q161 streaming twin (strHash is non-negative, so % and the
+    // row-side floor-mod agree)
+    val positions =
+      graft.streaming.BloomStream.positionCols(col("h"), m, BloomHashes)
     // corpus side: distinct bit positions, bounded by m — fold into the
     // actual bitmap on the driver (≤ m/64 longs) and broadcast as a literal
     val corpusPos = blocks.filter(col("doc_id") % 2 === 0)

@@ -49,6 +49,19 @@ object BloomStream {
     (0 until k).map(j => (h1 + j * h2) % m)
   }
 
+  /** [[positions]] as column expressions — the ONE column-side source of
+    * the double-hash math (the q144/q161 batch and fixture twins build
+    * their bit positions from this). Uses `%`, so callers must feed a
+    * NON-NEGATIVE hash (e.g. Parity.strHash), where `%` and the row-side
+    * floor-mod agree. */
+  def positionCols(h: org.apache.spark.sql.Column, m: Long, k: Int)
+      : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.lit
+    val h1 = h % m
+    val h2 = lit(1L) + h % (m - 1)
+    (0 until k).map(j => (h1 + lit(j.toLong) * h2) % m)
+  }
+
   /** A fixed-size bit array with idempotent OR-fold — the driver-held
     * streaming state. Word count rounds UP so a non-multiple-of-64 size
     * cannot under-allocate the last partial word. */
