@@ -32,6 +32,25 @@ class SelectionOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(1) > 0L, "the fixture must exercise real block overlap")
   }
 
+  test("bloom positionCols matches the row-side positions for non-negative hashes") {
+    // positionCols is the ONE column-side source of the double-hash math
+    // (q144 batch + q161 streaming fixture); this pins it bit-for-bit to
+    // the executor/driver row-side BloomStream.positions the screen and
+    // fold actually run — a drift between them breaks bitmap parity
+    val s = spark; import s.implicits._
+    val m = queries.SelectionOps.BloomBits
+    val k = queries.SelectionOps.BloomHashes
+    val hs = Seq(0L, 1L, 7777L, m - 1, m, m + 1, 2654435761L, Long.MaxValue)
+    val colSide = hs.toDF("h")
+      .select(col("h"), array(
+        graft.streaming.BloomStream.positionCols(col("h"), m, k): _*).as("ps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    hs.foreach { h =>
+      assert(colSide(h) == graft.streaming.BloomStream.positions(h, m, k),
+        s"position math diverged at h=$h")
+    }
+  }
+
   test("bloom probe is map-side: broadcast bitmap literal, no probe-side shuffle join on positions") {
     val p = queries.SelectionOps.q144(spark, sf)
       .queryExecution.executedPlan.toString
