@@ -398,7 +398,7 @@ object GateOps {
     * and an mtime tie could deliver a later batch first — e.g. q157's
     * write/unlink deltas before their creates, which the n>0 snapshot
     * pruning then legitimately drops. */
-  private def stageBatches(staged: DataFrame, n: Int, tag: String): java.io.File = {
+  private[graft] def stageBatches(staged: DataFrame, n: Int, tag: String): java.io.File = {
     val src = graft.Scratch.fresh(s"${tag}_src")
     val tmp = graft.Scratch.fresh(s"${tag}_tmp")
     staged.coalesce(1).write.mode("overwrite")

@@ -26,6 +26,24 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
 
+  test("stageBatches skips empty micro-batches and keeps mtime order") {
+    // partitionBy emits no dir for a zero-row batch; the stager must skip
+    // it (absent file == empty micro-batch) rather than NPE, and the
+    // surviving files must keep strictly increasing mtimes in batch order
+    val s = spark; import s.implicits._
+    val staged = Seq((1L, 1), (2L, 3), (3L, 4)).toDF("doc_id", "__b")
+    val src = graft.queries.GateOps.stageBatches(staged, 4, "stagespec")
+    val files = src.listFiles().map(_.getName).sorted.toSeq
+    assert(files == Seq("batch_01.parquet", "batch_03.parquet", "batch_04.parquet"))
+    val mts = files.map(f => new java.io.File(src, f).lastModified())
+    assert(mts == mts.sorted && mts.distinct.size == mts.size,
+      s"mtimes must strictly increase in batch order: $mts")
+    val ids = files.map(f =>
+      s.read.parquet(new java.io.File(src, f).getPath)
+        .select("doc_id").as[Long].collect().toSeq)
+    assert(ids == Seq(Seq(1L), Seq(2L), Seq(3L)))
+  }
+
   test("streaming hourly counts: incremental over two micro-batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
