@@ -408,6 +408,53 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming dedup restart: state survives the checkpoint, corpus " +
+      "state persists") {
+    // the production exactly-once property: stop the query mid-corpus,
+    // restart from the SAME checkpoint and source — hashes admitted
+    // before the stop must still dedup after it (the state store
+    // survived), and the corpus initial state must still bite (it was
+    // folded into the store at first start, not reapplied per start)
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.DedupStream
+    import graft.streaming.DedupStream.{DocIn, DedupOut}
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = graft.Scratch.fresh("dedup_restart_ckpt")
+      val store = graft.Scratch.fresh("dedup_restart_store")
+      val corpus = Seq("hashA").toDS()
+      val src = MemoryStream[DocIn]
+      def start() = DedupStream.classify(src.toDS(), corpus)
+        .writeStream.format("parquet")
+        .option("path", store.getPath)
+        .option("checkpointLocation", ckpt.getPath)
+        .outputMode("append").start()
+      val q1 = start()
+      src.addData(DocIn("hashB", 1))
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = start() // SAME checkpoint + source: a driver restart
+      src.addData(DocIn("hashB", 2), DocIn("hashA", 3), DocIn("hashC", 4))
+      q2.processAllAvailable()
+      q2.stop()
+      val out = s.read.parquet(store.getPath).as[DedupOut]
+        .collect().map(o => o.doc_id -> o.dedup_class).toMap
+      assert(out == Map(
+        1L -> "unique",    // admitted before the restart
+        2L -> "exact_dup", // its hash must still be state after restart
+        3L -> "exact_dup", // corpus initial state persists across restart
+        4L -> "unique"), s"got $out")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming bloom screen: pre-batch classification, idempotent OR-fold") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
