@@ -154,6 +154,14 @@ object DedupOps {
     // derived map-side from the cached sh0 — cheap per use, not re-cached
     val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Considered and REJECTED: full PPJoin prefix filtering (index only
+    // each doc's first |A| − ⌈t·|A|⌉ + 1 shingles in global df order).
+    // At this gate's t = 0.5 the prefix is |A|/2 + 1 — the candidate
+    // index only halves, while the rank decoration (df join + per-doc
+    // window) and the separate verify phase (re-joining candidates to
+    // both full shingle sets) add ~4 fact-scale shuffles to today's 2.
+    // The trade flips for high thresholds (t ≥ 0.8 shrinks the prefix to
+    // a few tokens); a 0.9-threshold caller should revisit.
     // Decorate every index row with its doc's (capped) set size so the
     // LENGTH FILTER (the PPJoin prefix-family bound: J(A,B) ≤ min/max, so
     // J ≥ t requires t·max ≤ min) prunes candidate pairs INSIDE the join —
