@@ -440,8 +440,12 @@ class StreamingMultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       src.addData(DocIn("hashB", 2), DocIn("hashA", 3), DocIn("hashC", 4))
       q2.processAllAvailable()
       q2.stop()
-      val out = s.read.parquet(store.getPath).as[DedupOut]
-        .collect().map(o => o.doc_id -> o.dedup_class).toMap
+      val rows = s.read.parquet(store.getPath).as[DedupOut].collect()
+      // exactly-once: a checkpoint regression that REPLAYS batch 1 after
+      // the restart would duplicate doc 1 — toMap alone would silently
+      // collapse it
+      assert(rows.length == 4, s"expected 4 sink rows, got ${rows.toSeq}")
+      val out = rows.map(o => o.doc_id -> o.dedup_class).toMap
       assert(out == Map(
         1L -> "unique",    // admitted before the restart
         2L -> "exact_dup", // its hash must still be state after restart
