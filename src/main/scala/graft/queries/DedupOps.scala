@@ -222,54 +222,64 @@ object DedupOps {
   def q33(s: SparkSession, d: String): DataFrame =
     PairMemo.minhashCandidates(s, d).orderBy(col("d1"), col("d2"))
 
+  private val MhP = 99991L
+  private val MhK = 12
+
+  /** Wide MinHash signatures (doc_id, ms array<long>) over any documents
+    * frame. Token ids are map-side strHash — no dictionary, no global
+    * sort. No distinct either: duplicate shingles cannot change a min, so
+    * the rows flow straight from the explode into the partial
+    * min-aggregation (zero full-width shuffles before the per-doc
+    * signature); all K minhashes are aggregation buffers of ONE groupBy —
+    * a map-side-combinable shuffle of the shingle rows, instead of a K×
+    * row blowup (the scale-correct distributed MinHash plan). */
+  private def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles3Raw(docs)
+      .select(col("doc_id"), Parity.strHash(col("s")).as("sid"))
+    val minCols = (0 until MhK).map(k =>
+      min((lit(53L * k + 7L) * col("sid") + lit(97L * k + 13L)) % MhP).as(s"m$k"))
+    sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MhK).map(k => col(s"m$k")): _*).as("ms"))
+  }
+
+  /** (doc_id, band, sig) banding of a signature frame — band ids and sigs
+    * are row-local functions of the wide array, so the explode emits only
+    * K/3 rows per doc. */
+  private def minhashBands(sigArr: DataFrame): DataFrame =
+    sigArr.select(col("doc_id"),
+      explode(array((0 until MhK / 3).map(b => struct(lit(b).as("band"),
+        (element_at(col("ms"), 3 * b + 1) * lit(10000000000L) +
+          element_at(col("ms"), 3 * b + 2) * lit(100000L) +
+          element_at(col("ms"), 3 * b + 3)).as("sig"))): _*)).as("t"))
+      .select(col("doc_id"), col("t.band").as("band"), col("t.sig").as("sig"))
+
+  /** Decorates candidate (d1, d2) pairs with the estimated similarity —
+    * the fraction of agreeing minhashes; one array row moves per doc per
+    * side. */
+  private def minhashEstimates(cand: DataFrame, sigArr: DataFrame): DataFrame =
+    cand
+      .join(sigArr.select(col("doc_id").as("d1"), col("ms").as("ms1")), Seq("d1"))
+      .join(sigArr.select(col("doc_id").as("d2"), col("ms").as("ms2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(size(filter(zip_with(col("ms1"), col("ms2"), (a, b) =>
+          when(a === b, lit(1)).otherwise(lit(0))), x => x === 1))
+          .cast("double") / MhK, 3).as("est_sim"))
+
   /** The q33 computation over any documents frame: MinHash band-candidate
     * pairs decorated with the estimated similarity, unordered. The wide
     * signature frame is consumed three times (banding + both sides of the
     * estimate join), so the build caches it — the returned thunk releases
     * it once the result is materialized. */
   private def minhashBuild(docs: DataFrame): (DataFrame, () => Unit) = {
-    val P = 99991L
-    val K = 12
-    // Token ids are map-side strHash — no dictionary, no global sort. No
-    // distinct either: duplicate shingles cannot change a min, so the rows
-    // flow straight from the explode into the partial min-aggregation
-    // (zero full-width shuffles before the per-doc signature).
-    val sh = shingles3Raw(docs)
-      .select(col("doc_id"), Parity.strHash(col("s")).as("sid"))
-    // All K minhashes as aggregation buffers of ONE groupBy — a map-side-
-    // combinable shuffle of the shingle rows, instead of a K× row blowup
-    // (the scale-correct distributed MinHash plan).
-    val minCols = (0 until K).map(k =>
-      min((lit(53L * k + 7L) * col("sid") + lit(97L * k + 13L)) % P).as(s"m$k"))
-    val sig = sh
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-    // Keep the signature WIDE: band ids and the similarity estimate are
-    // row-local functions of the 12 minhashes, so banding explodes only 4
-    // (band, sig) rows per doc and the estimate join moves ONE array row
-    // per doc per side — no 12-way unpivot, no (doc, k) join. Cached: the
-    // scan + shingle explode + signature aggregation would otherwise run
-    // once per consumer (banding and each estimate-join side).
-    val sigArr = sig.select(col("doc_id"),
-      array((0 until K).map(k => col(s"m$k")): _*).as("ms")).cache()
-    val bands = sigArr.select(col("doc_id"),
-      explode(array((0 until K / 3).map(b => struct(lit(b).as("band"),
-        (element_at(col("ms"), 3 * b + 1) * lit(10000000000L) +
-          element_at(col("ms"), 3 * b + 2) * lit(100000L) +
-          element_at(col("ms"), 3 * b + 3)).as("sig"))): _*)).as("t"))
-      .select(col("doc_id"), col("t.band").as("band"), col("t.sig").as("sig"))
+    val sigArr = minhashSignatures(docs).cache()
+    val bands = minhashBands(sigArr)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
-    val est = cand
-      .join(sigArr.select(col("doc_id").as("d1"), col("ms").as("ms1")), Seq("d1"))
-      .join(sigArr.select(col("doc_id").as("d2"), col("ms").as("ms2")), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        round(size(filter(zip_with(col("ms1"), col("ms2"), (a, b) =>
-          when(a === b, lit(1)).otherwise(lit(0))), x => x === 1))
-          .cast("double") / K, 3).as("est_sim"))
-    (est, () => { sigArr.unpersist(); () })
+    (minhashEstimates(cand, sigArr), () => { sigArr.unpersist(); () })
   }
 
   /** Lazy [[minhashBuild]] view — the frame plan audits pin (the gates
@@ -305,6 +315,50 @@ object DedupOps {
       |JOIN mh m1 ON m1.doc_id = d1
       |JOIN mh m2 ON m2.doc_id = d2 AND m2.k = m1.k
       |GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin
+
+  /** q162 — INCREMENTAL sketch-index maintenance (the production ingest
+    * path for the MinHash index): signatures are PER-DOCUMENT — no
+    * corpus-wide statistic enters them, unlike the df-capped exact pair
+    * index — so an arriving batch (odd doc_ids) extends the persisted
+    * index (even doc_ids) EXACTLY: signatures compute for the batch only,
+    * and the new candidates are ONE band join whose left side is
+    * batch-sized (batch × (corpus ∪ batch)); the corpus is never
+    * re-signatured and never re-self-joined. The gate emits the union of
+    * the old corpus-only candidates and the incremental additions, and
+    * its oracle is the FULL-REBUILD q33 over the whole table — equality
+    * is the correctness proof that incremental maintenance loses nothing
+    * and invents nothing. Scale: per-batch cost is O(batch) signature
+    * work + a (band, sig)-keyed join; the 100 TB corpus index is a
+    * persisted artifact that only ever grows by appends. */
+  def q162(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // cached: each side feeds its banding and the estimate join
+    val sigC = minhashSignatures(docs.filter(col("doc_id") % 2 === 0)).cache()
+    val sigB = minhashSignatures(docs.filter(col("doc_id") % 2 === 1)).cache()
+    val bandsC = minhashBands(sigC)
+    val bandsB = minhashBands(sigB)
+    // the persisted corpus index: corpus-only candidate pairs
+    val candOld = bandsC.as("x").join(bandsC.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    // incremental additions: every pair touching the batch comes out of a
+    // single batch-sided band join (id-normalized so d1 < d2)
+    val candNew = bandsB.as("x")
+      .join(bandsC.unionByName(bandsB).as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+    minhashEstimates(
+      candOld.unionByName(candNew).distinct(),
+      sigC.unionByName(sigB))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Full-rebuild oracle — incremental maintenance must reproduce q33's
+    * candidate set and estimates bit-for-bit. */
+  val q162Sql: String = q33Sql
 
   /** q34 — SimHash near-dup: 16-bit simhash from term-frequency-weighted
     * word hashes; emit pairs at Hamming distance <= 1 via bit_count(xor).
@@ -743,6 +797,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31 _), "q32_ngram_jaccard" -> (q32 _),
     "q33_minhash_lsh" -> (q33 _), "q34_simhash" -> (q34 _),
+    "q162_incremental_index" -> (q162 _),
     "q40_winnow_fingerprint" -> (q40 _), "q59_dup_clusters" -> (q59 _),
     "q115_minhash_recall" -> (q115 _), "q135_span_overlap" -> (q135 _),
     "q140_leakage_split" -> (q140 _), "q154_cluster_audit" -> (q154 _),
@@ -751,6 +806,7 @@ object DedupOps {
   val oracle: Map[String, String] = Map(
     "q31_dedup_exact" -> q31Sql, "q32_ngram_jaccard" -> q32Sql,
     "q33_minhash_lsh" -> q33Sql, "q34_simhash" -> q34Sql,
+    "q162_incremental_index" -> q162Sql,
     "q40_winnow_fingerprint" -> q40Sql, "q115_minhash_recall" -> q115Sql, "q59_dup_clusters" -> q59Sql,
     "q135_span_overlap" -> q135Sql, "q140_leakage_split" -> q140Sql,
     "q154_cluster_audit" -> q154Sql, "q62_curation_pipeline" -> q62Sql)
