@@ -332,9 +332,14 @@ object DedupOps {
     * persisted artifact that only ever grows by appends. */
   def q162(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // cached: each side feeds its banding and the estimate join
-    val sigC = minhashSignatures(docs.filter(col("doc_id") % 2 === 0)).cache()
-    val sigB = minhashSignatures(docs.filter(col("doc_id") % 2 === 1)).cache()
+    // ONE signature pass, split by parity after: in production sigC is a
+    // READ of the persisted signature artifact, not a computation — the
+    // fixture stands it up in the same job as the batch signatures
+    // rather than paying the scan + shingle explode twice. Cached: both
+    // halves' bandings and the estimate join consume it.
+    val sigAll = minhashSignatures(docs).cache()
+    val sigC = sigAll.filter(col("doc_id") % 2 === 0)
+    val sigB = sigAll.filter(col("doc_id") % 2 === 1)
     val bandsC = minhashBands(sigC)
     val bandsB = minhashBands(sigB)
     // the persisted corpus index: corpus-only candidate pairs
@@ -350,9 +355,7 @@ object DedupOps {
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
-    minhashEstimates(
-      candOld.unionByName(candNew).distinct(),
-      sigC.unionByName(sigB))
+    minhashEstimates(candOld.unionByName(candNew).distinct(), sigAll)
       .orderBy(col("d1"), col("d2"))
   }
 
