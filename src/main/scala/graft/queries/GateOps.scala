@@ -691,6 +691,75 @@ object GateOps {
       .orderBy(col("lang"), col("dedup_class"))
   }
 
+  /** q163 — watermarked STREAM-STREAM JOIN, executed as a real Structured
+    * Streaming query ([[graft.streaming.EventsStream.clickToPurchase]] —
+    * the last stateful operator family without a driver gate: q157
+    * foreachBatch, q159 flatMapGroupsWithState, q160 transformWithState,
+    * q161 the Bloom maintenance loop): the 5 % user slice of `events`
+    * streams as 4 TIME-ORDERED file micro-batches; clicks join purchases
+    * of the same user within the following hour, both sides watermarked,
+    * into an append parquet sink. The oracle is the plain batch
+    * time-range join — EXACT because the inner join emits each match once
+    * when its later side arrives, and time-ordered arrival bounds the
+    * watermark: when purchase p (p_ts ≤ c_ts + 1 h) arrives, the
+    * watermark is ≤ p_ts − 1 h ≤ c_ts, so the matching click's state
+    * cannot have been evicted — nothing is lost to batching.
+    *
+    * Scale posture: state is bounded by the 2-hour watermark horizon per
+    * side (eviction follows from the join's time bounds), keyed on the
+    * join key — the standard attribution-join deployment shape. Runs the
+    * streaming query at construction (bounded; [[graft.Queries]]'
+    * contract). */
+  def q163(s: SparkSession, d: String): DataFrame = {
+    val evs = Tables.events(s, d)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val store = graft.Scratch.fresh("q163_store")
+    val ckpt = graft.Scratch.fresh("q163_ckpt")
+    val src = stageBatches(
+      evs.withColumn("__b",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id")))),
+      4, "q163")
+    val stream = s.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.getPath)
+    // 8 partitions for the bounded sample, held until the query
+    // terminates (the q159/q160/q161 conf-capture discipline)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.streaming.EventsStream.clickToPurchase(stream)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet")
+        .option("path", store.getPath)
+        .option("checkpointLocation", ckpt.getPath)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(store.getPath)
+      .select(col("user_id"), col("click_id"), col("click_value"), col("p_value"))
+      .orderBy(col("user_id"), col("click_id"), col("p_value"))
+  }
+
+  /** Batch twin: the plain time-range join over the same slice. */
+  val q163Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id,
+      |             event_type, value
+      |           FROM events WHERE user_id % 20 = 0),
+      |c AS (SELECT user_id, event_id click_id, ts cts, value cv FROM e
+      |      WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts pts, value pv FROM e
+      |      WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.click_id, c.cv AS click_value, p.pv AS p_value
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+      |ORDER BY c.user_id, c.click_id, p_value""".stripMargin
+
   /** q161 — streaming Bloom-screen maintenance, executed as a real
     * Structured Streaming query ([[graft.streaming.BloomStream.screen]];
     * with q157/q159/q160 this driver-gates every streaming class): the
@@ -1368,6 +1437,7 @@ object GateOps {
     "q155_sequence_gaps" -> (q155 _), "q157_stream_maintain" -> (q157 _),
     "q158_qc_overview" -> (q158 _), "q159_stream_sessionize" -> (q159 _),
     "q160_stream_dedup" -> (q160 _), "q161_stream_bloom" -> (q161 _),
+    "q163_stream_join" -> (q163 _),
     "q89_wav_decode" -> (q89 _), "q122_quality_audit" -> (q122 _),
     "q132_video_frames" -> (q132 _),
     "q123_skew_profile" -> (q123 _), "q124_table_profile" -> (q124 _),
@@ -1395,5 +1465,6 @@ object GateOps {
     "q132_video_frames" -> q132Sql, "q155_sequence_gaps" -> q155Sql,
     "q118_cheque_lines" -> q118Sql, "q157_stream_maintain" -> q157Sql,
     "q158_qc_overview" -> q158Sql, "q159_stream_sessionize" -> q159Sql,
-    "q160_stream_dedup" -> q160Sql, "q161_stream_bloom" -> q161Sql)
+    "q160_stream_dedup" -> q160Sql, "q161_stream_bloom" -> q161Sql,
+    "q163_stream_join" -> q163Sql)
 }
