@@ -17,9 +17,13 @@ import org.apache.spark.sql.SparkSession
   * triggers exactly the computation the gate used to run inline. */
 private[queries] object ArtifactMemo {
 
-  /** (applicationId, canonical dir, kind) → materialized artifact root. */
-  private val paths =
-    scala.collection.concurrent.TrieMap[(String, String, String), String]()
+  /** (applicationId, canonical dir, kind) → the single builder's promise.
+    * putIfAbsent elects exactly one builder per key; losers block on the
+    * winner's future instead of racing build() against the same scratch
+    * dir (Scratch.fresh DELETES the target, so two interleaved builders
+    * would corrupt the artifact the map then points at). */
+  private val paths = scala.collection.concurrent.TrieMap[
+    (String, String, String), scala.concurrent.Promise[String]]()
 
   def path(s: SparkSession, dir: String, kind: String)
           (build: String => Unit): String = {
@@ -30,10 +34,23 @@ private[queries] object ArtifactMemo {
     // dir's artifact while its TrieMap entry still points there —
     // silently cross-wiring their results
     val tag = canon.replaceAll("[^A-Za-z0-9]", "_")
-    paths.getOrElseUpdate((s.sparkContext.applicationId, canon, kind), {
-      val out = graft.Scratch.fresh(s"memo_${kind}_$tag").getPath
-      build(out)
-      out
-    })
+    val key = (s.sparkContext.applicationId, canon, kind)
+    val mine = scala.concurrent.Promise[String]()
+    paths.putIfAbsent(key, mine) match {
+      case Some(winner) =>
+        scala.concurrent.Await.result(
+          winner.future, scala.concurrent.duration.Duration.Inf)
+      case None =>
+        try {
+          val out = graft.Scratch.fresh(s"memo_${kind}_$tag").getPath
+          build(out)
+          mine.success(out)
+          out
+        } catch {
+          case e: Throwable =>
+            // release the key so a later caller can retry the build
+            mine.failure(e); paths.remove(key, mine); throw e
+        }
+    }
   }
 }

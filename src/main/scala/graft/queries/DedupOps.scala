@@ -336,7 +336,9 @@ object DedupOps {
     // READ of the persisted signature artifact, not a computation — the
     // fixture stands it up in the same job as the batch signatures
     // rather than paying the scan + shingle explode twice. Cached: both
-    // halves' bandings and the estimate join consume it.
+    // halves' bandings and the estimate join consume it; released below
+    // once the (gate-sized) result is materialized — same discipline as
+    // the jaccard/minhash builders' release thunks.
     val sigAll = minhashSignatures(docs).cache()
     val sigC = sigAll.filter(col("doc_id") % 2 === 0)
     val sigB = sigAll.filter(col("doc_id") % 2 === 1)
@@ -355,8 +357,15 @@ object DedupOps {
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
-    minhashEstimates(candOld.unionByName(candNew).distinct(), sigAll)
+    // eager localCheckpoint pins the candidate-pair result (gate-sized;
+    // in production this is the artifact WRITE) so the signature cache
+    // can be released immediately instead of staying pinned in executor
+    // storage for the rest of the session
+    val res = minhashEstimates(candOld.unionByName(candNew).distinct(), sigAll)
       .orderBy(col("d1"), col("d2"))
+      .localCheckpoint()
+    sigAll.unpersist()
+    res
   }
 
   /** Full-rebuild oracle — incremental maintenance must reproduce q33's
@@ -797,8 +806,93 @@ object DedupOps {
       |FROM asg
       |ORDER BY strategy""".stripMargin
 
+  /** Boilerplate prefix injected into every 10th document by the q166 skew
+    * fixture — 7 words ⇒ 5 interior 3-shingles each present in 10 % of the
+    * corpus (the boundary shingles mix in per-doc words and stay cold). */
+  private[queries] val HotPrefix =
+    "common portal header shared across every page"
+
+  /** q166 — SKEW-STRESS gate for the pair-join family (VERDICT r5 #5:
+    * q123 profiles hot keys, but nothing demonstrated the engine SURVIVING
+    * a pathological one): every 10th document gets [[HotPrefix]] prepended,
+    * planting shingles with df = n/10 — an uncapped inverted-index
+    * self-join would enumerate (n/10)² pairs off each (the all-pairs
+    * blowup that kills a 100 TB run). The gate emits the skew ledger:
+    * the cap, how many shingles it dropped, the max df that SURVIVED
+    * (≤ cap ⇒ every join bucket is ≤ cap² pairs), the candidate-pair mass
+    * Σ df·(df−1)/2 kept vs uncapped (what the cap prevented), and the
+    * final pair count from the REAL [[jaccardPairs]] run over the skewed
+    * corpus — all mirrored in the oracle. DedupSpec pins the physical
+    * posture (max shuffle-partition rows of the join input, join shape).
+    *
+    * Construction-eager by documented design ([[graft.Queries]] contract):
+    * the stats are bounded scalar aggregates and the pair join runs once
+    * with its caches released ([[jaccardPairsBuild]]'s release thunk). */
+  def q166(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val skewed = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, concat(lit(HotPrefix + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val sh0 = shingleHashes(skewed).cache()
+    val capRow = skewed.agg(count(lit(1)).as("n_docs"),
+      greatest(lit(MinDfCap.toLong),
+        floor(count(lit(1)) / lit(DfCapDivisor)).cast("long")).as("cap")).head()
+    val (nDocs, cap) = (capRow.getLong(0), capRow.getLong(1))
+    val dfRow = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .agg(sum(when(col("df") > cap, 1L).otherwise(0L)).as("n_hot"),
+        coalesce(max(when(col("df") <= cap, col("df"))), lit(0L)).as("kept_max"),
+        // df·(df−1) is even, the double quotient is integer-valued ≤ 2^53
+        coalesce(sum(when(col("df") <= cap,
+          (col("df") * (col("df") - 1) / 2).cast("long")).otherwise(0L)),
+          lit(0L)).as("kept_mass"),
+        coalesce(sum((col("df") * (col("df") - 1) / 2).cast("long")),
+          lit(0L)).as("uncapped_mass")).head()
+    sh0.unpersist()
+    val (pairs, release) = jaccardPairsBuild(skewed, 0.5)
+    val nPairs = pairs.count()
+    release()
+    Seq((nDocs, cap, dfRow.getLong(0), dfRow.getLong(1), dfRow.getLong(2),
+      dfRow.getLong(3), nPairs))
+      .toDF("n_docs", "cap", "n_hot_shingles", "max_kept_df",
+        "kept_pair_mass", "uncapped_pair_mass", "n_pairs")
+  }
+
+  val q166Sql: String =
+    s"""WITH skewed AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 0 THEN '$HotPrefix ' || text
+      |       ELSE text END AS text
+      |  FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |        FROM (SELECT doc_id, string_split(text, ' ') ws FROM skewed),
+      |             generate_series(1, 500) t(i)
+      |        WHERE i + 2 <= len(ws)),
+      |capv AS (SELECT greatest($MinDfCap,
+      |           (SELECT count(*) FROM skewed) // $DfCapDivisor) AS cap),
+      |dfs AS (SELECT s, count(*) df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, s FROM sh0
+      |       WHERE s IN (SELECT s FROM dfs WHERE df <= (SELECT cap FROM capv))),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id d1, b.doc_id d2, count(*) inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |good AS (SELECT d1 FROM pairs JOIN sizes s1 ON s1.doc_id = d1
+      |         JOIN sizes s2 ON s2.doc_id = d2
+      |         WHERE round(inter::DOUBLE / (s1.n + s2.n - inter), 4) >= 0.5)
+      |SELECT CAST((SELECT count(*) FROM skewed) AS BIGINT) n_docs,
+      |  CAST((SELECT cap FROM capv) AS BIGINT) cap,
+      |  CAST((SELECT count(*) FROM dfs WHERE df > (SELECT cap FROM capv))
+      |    AS BIGINT) n_hot_shingles,
+      |  CAST((SELECT coalesce(max(df), 0) FROM dfs
+      |        WHERE df <= (SELECT cap FROM capv)) AS BIGINT) max_kept_df,
+      |  CAST((SELECT coalesce(sum(df * (df - 1) // 2), 0) FROM dfs
+      |        WHERE df <= (SELECT cap FROM capv)) AS BIGINT) kept_pair_mass,
+      |  CAST((SELECT coalesce(sum(df * (df - 1) // 2), 0) FROM dfs)
+      |    AS BIGINT) uncapped_pair_mass,
+      |  CAST((SELECT count(*) FROM good) AS BIGINT) n_pairs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_dedup_exact" -> (q31 _), "q32_ngram_jaccard" -> (q32 _),
+    "q166_skew_stress" -> (q166 _),
     "q33_minhash_lsh" -> (q33 _), "q34_simhash" -> (q34 _),
     "q162_incremental_index" -> (q162 _),
     "q40_winnow_fingerprint" -> (q40 _), "q59_dup_clusters" -> (q59 _),
@@ -808,6 +902,7 @@ object DedupOps {
 
   val oracle: Map[String, String] = Map(
     "q31_dedup_exact" -> q31Sql, "q32_ngram_jaccard" -> q32Sql,
+    "q166_skew_stress" -> q166Sql,
     "q33_minhash_lsh" -> q33Sql, "q34_simhash" -> q34Sql,
     "q162_incremental_index" -> q162Sql,
     "q40_winnow_fingerprint" -> q40Sql, "q115_minhash_recall" -> q115Sql, "q59_dup_clusters" -> q59Sql,

@@ -508,9 +508,10 @@ object GateOps {
     * watermark so every real session times out and EMITS. The oracle is
     * the batch sessionizer's SQL (the q75 shape) over the same slice —
     * the streaming state machine must reproduce batch sessionization
-    * exactly. Output keeps only exact columns (times, counts): the
-    * session's float value-sum accumulates in arrival order and is not
-    * bit-portable, the times and counts are.
+    * exactly. EVERY output column is verified, including the session
+    * value-sum: the fixture stages `value` as integer CENTS (the q157
+    * technique — integer-valued doubles sum exactly in any order, so the
+    * arrival-order fold is bit-portable against the oracle's SQL sum).
     *
     * The fixture's time-quartile split mirrors how a production stream
     * ARRIVES (in event-time order): each batch's min ts ≥ the prior
@@ -518,15 +519,37 @@ object GateOps {
     * state machine sees the same global order the batch twin sorts to.
     * Runs the streaming query at construction (bounded: 6 micro-batches
     * over the 5 % user sample; see [[graft.Queries]]' contract). */
-  def q159(s: SparkSession, d: String): DataFrame = {
+  def q159(s: SparkSession, d: String): DataFrame =
+    sessionGate(s, d, restartAfter = None, tag = "q159")
+
+  /** q165 — CHECKPOINT-RESTART recovery, driver-gated (VERDICT r5 #3: the
+    * kill-and-resume contract was ScalaTest-only; this gate runs it
+    * end-to-end through the oracle): the exact q159 sessionization fixture,
+    * but the source directory initially holds only the first 2 of 6 batch
+    * files — the query processes them, STOPS (checkpoint persisted,
+    * sessions mid-flight in the state store), then a NEW query starts from
+    * the same checkpoint + sink, the remaining files appear, and it
+    * finishes. The final sink must equal the uninterrupted run's — i.e.
+    * q159's batch oracle — proving the state store, the file-source read
+    * log, and the sink's _spark_metadata all recover exactly (no lost
+    * state, no replayed output). */
+  def q165(s: SparkSession, d: String): DataFrame =
+    sessionGate(s, d, restartAfter = Some(2), tag = "q165")
+
+  /** Shared body of q159/q165: stage the sessionization fixture, run the
+    * stateful query (optionally stopping after `restartAfter` batches and
+    * resuming from the checkpoint in a fresh query), return the sink. */
+  private def sessionGate(s: SparkSession, d: String,
+      restartAfter: Option[Int], tag: String): DataFrame = {
     import s.implicits._
+    // value staged as integer cents (exact-sum type; see q159 scaladoc)
     val evs = Tables.events(s, d)
       .filter(col("user_id") % 20 === 0)
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("double").as("value"))
     val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
-    val store = graft.Scratch.fresh("q159_store")
-    val ckpt = graft.Scratch.fresh("q159_ckpt")
+    val store = graft.Scratch.fresh(s"${tag}_store")
+    val ckpt = graft.Scratch.fresh(s"${tag}_ckpt")
     val staged = evs.withColumn("__b",
       ntile(4).over(org.apache.spark.sql.expressions.Window
         .orderBy(col("ts"), col("event_id"))))
@@ -537,7 +560,20 @@ object GateOps {
     val src = stageBatches(
       staged.unionByName(sentinels.withColumn("__b",
         when(col("event_id") === -1L, lit(5)).otherwise(lit(6)))),
-      6, "q159")
+      6, tag)
+    // restart mode: hold back every batch past the stop point; moving the
+    // files back later preserves their pinned mtimes (same-fs rename), so
+    // the resumed query sees the same arrival order the one-shot run does
+    val held = restartAfter.toSeq.flatMap { n =>
+      val hold = graft.Scratch.fresh(s"${tag}_hold")
+      Option(src.listFiles()).toSeq.flatten
+        .filter(_.getName > f"batch_$n%02d.parquet").sortBy(_.getName)
+        .map { f =>
+          val dst = new java.io.File(hold, f.getName)
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          (dst, new java.io.File(src, f.getName))
+        }
+    }
     val stream = s.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
         "event_type STRING, value DOUBLE")
@@ -556,41 +592,57 @@ object GateOps {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = graft.streaming.EventsStream.sessionize(stream, gapMinutes = 30)
-        .writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .format("parquet")
-        .option("path", store.getPath)
-        .option("checkpointLocation", ckpt.getPath)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      def runOnce(): Unit = {
+        val q = graft.streaming.EventsStream.sessionize(stream, gapMinutes = 30)
+          .writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("parquet")
+          .option("path", store.getPath)
+          .option("checkpointLocation", ckpt.getPath)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runOnce()
+      if (held.nonEmpty) {
+        held.foreach { case (from, to) =>
+          java.nio.file.Files.move(from.toPath, to.toPath) }
+        runOnce() // resumes from the checkpoint; must NOT re-emit batches 1-2
+      }
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(store.getPath)
       .filter(col("user_id") >= 0) // drop the sentinel user's artifacts
       .select(col("user_id"),
         date_format(col("start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
         date_format(col("end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
-        col("n_events"))
+        col("n_events"),
+        // exact: the fold summed integer-cents doubles (≤ 2^53)
+        col("total_value").cast("long").as("value_cents"))
       .orderBy(col("user_id"), col("sess_start"))
   }
 
   /** Batch-sessionization twin over the same 5 % user slice (the q75
-    * oracle shape plus the session end). */
+    * oracle shape plus the session end and exact cents sum). */
   val q159Sql: String =
-    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) t
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) t,
+      |             CAST(floor(value * 100 + 0.5) AS BIGINT) cents
       |           FROM events WHERE user_id % 20 = 0),
-      |x AS (SELECT user_id, event_id, t, epoch_us(t) us,
+      |x AS (SELECT user_id, event_id, t, cents,
       |  CASE WHEN epoch_us(t) - lag(epoch_us(t)) OVER
       |         (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
       |       THEN 1 ELSE 0 END f
       |  FROM e),
-      |s AS (SELECT user_id, t, us, sum(f) OVER
+      |s AS (SELECT user_id, t, cents, sum(f) OVER
       |        (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) sid
       |      FROM x)
       |SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S') sess_start,
       |       strftime(max(t), '%Y-%m-%d %H:%M:%S') sess_end,
-      |       count(*) n_events
+      |       count(*) n_events,
+      |       CAST(sum(cents) AS BIGINT) value_cents
       |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin
+
+  /** q165's oracle IS q159's: an interrupted-and-resumed run must land on
+    * the uninterrupted result exactly. */
+  val q165Sql: String = q159Sql
 
   /** One-shot twin of the streamed lifecycle: survivors (not unlinked)
     * carry cents +100 if bumped in batch 1, +7 if bumped in batch 3. */
@@ -711,10 +763,13 @@ object GateOps {
     * streaming query at construction (bounded; [[graft.Queries]]'
     * contract). */
   def q163(s: SparkSession, d: String): DataFrame = {
+    // value staged as integer cents: the pass-through pair values AND the
+    // per-user attribution sum below are then exact against the oracle
+    // (VERDICT r5 #4 — no float column left unverified in streaming gates)
     val evs = Tables.events(s, d)
       .filter(col("user_id") % 20 === 0)
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("double").as("value"))
     val store = graft.Scratch.fresh("q163_store")
     val ckpt = graft.Scratch.fresh("q163_ckpt")
     val src = stageBatches(
@@ -742,23 +797,116 @@ object GateOps {
       try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(store.getPath)
-      .select(col("user_id"), col("click_id"), col("click_value"), col("p_value"))
-      .orderBy(col("user_id"), col("click_id"), col("p_value"))
+      .select(col("user_id"), col("click_id"),
+        col("click_value").cast("long").as("click_cents"),
+        col("p_value").cast("long").as("p_cents"))
+      // the aggregated-float arm: per-user attributed purchase total over
+      // the sink's pairs — exact because the addends are integer cents
+      .withColumn("user_p_cents",
+        sum(col("p_cents")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))))
+      .orderBy(col("user_id"), col("click_id"), col("p_cents"))
   }
 
   /** Batch twin: the plain time-range join over the same slice. */
   val q163Sql: String =
     """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id,
-      |             event_type, value
+      |             event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) cents
       |           FROM events WHERE user_id % 20 = 0),
-      |c AS (SELECT user_id, event_id click_id, ts cts, value cv FROM e
+      |c AS (SELECT user_id, event_id click_id, ts cts, cents cc FROM e
       |      WHERE event_type = 'click'),
-      |p AS (SELECT user_id, ts pts, value pv FROM e
+      |p AS (SELECT user_id, ts pts, cents pc FROM e
+      |      WHERE event_type = 'purchase'),
+      |j AS (SELECT c.user_id, c.click_id, c.cc AS click_cents, p.pc AS p_cents
+      |      FROM c JOIN p ON c.user_id = p.user_id
+      |        AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR)
+      |SELECT user_id, click_id, click_cents, p_cents,
+      |  CAST(sum(p_cents) OVER (PARTITION BY user_id) AS BIGINT) user_p_cents
+      |FROM j ORDER BY user_id, click_id, p_cents""".stripMargin
+
+  /** q164 — watermarked stream-stream LEFT OUTER join, driver-gated
+    * (VERDICT r5 #2: [[graft.streaming.EventsStream.clickToPurchaseOuter]]
+    * carries the subtlest streaming semantics in the repo — a click with no
+    * purchase in its hour emits a NULL row only once the watermark PROVES
+    * no match can ever arrive — and was ScalaTest-only): the q163 slice
+    * (integer-cents values) streams as 4 time-ordered micro-batches, then
+    * two sentinel batches — each holding a far-future click AND purchase
+    * for an excluded user, because the two sides watermark their own
+    * filtered streams and BOTH watermarks must advance past every real
+    * click's eviction horizon. Batch 5 advances the watermark (applied at
+    * the end of the batch); batch 6 runs under it, evicting and EMITTING
+    * every expired unmatched click. The oracle is the batch LEFT join.
+    *
+    * Exactness: inner matches emit exactly as q163 (time-ordered arrival
+    * keeps the watermark below a pending click's eviction horizon until
+    * its last possible purchase has arrived); a matched click is flagged
+    * in the join state, so it can never ALSO emit a null row; unmatched
+    * clicks emit exactly once, at eviction. NULL p_cents is surfaced as
+    * -1 (a sentinel outside the value domain — cents are ≥ 0) so the
+    * hash compare never depends on engine null-sort/NaN conventions.
+    * Runs the streaming query at construction (bounded; [[graft.Queries]]'
+    * contract). */
+  def q164(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, d)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("double").as("value"))
+    val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
+    val store = graft.Scratch.fresh("q164_store")
+    val ckpt = graft.Scratch.fresh("q164_ckpt")
+    val staged = evs.withColumn("__b",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    val sentinels = Seq(
+      (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "click", 0.0),
+      (-2L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "purchase", 0.0),
+      (-3L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "click", 0.0),
+      (-4L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val src = stageBatches(
+      staged.unionByName(sentinels.withColumn("__b",
+        when(col("event_id") >= -2L, lit(5)).otherwise(lit(6)))),
+      6, "q164")
+    val stream = s.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.getPath)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.streaming.EventsStream.clickToPurchaseOuter(stream)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet")
+        .option("path", store.getPath)
+        .option("checkpointLocation", ckpt.getPath)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(store.getPath)
+      .filter(col("user_id") >= 0) // drop the sentinel user's rows
+      .select(col("user_id"), col("click_id"),
+        col("click_value").cast("long").as("click_cents"),
+        coalesce(col("p_value").cast("long"), lit(-1L)).as("p_cents"))
+      .orderBy(col("user_id"), col("click_id"), col("p_cents"))
+  }
+
+  /** Batch LEFT-join twin: unconverted clicks ride with p_cents = -1. */
+  val q164Sql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id,
+      |             event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) cents
+      |           FROM events WHERE user_id % 20 = 0),
+      |c AS (SELECT user_id, event_id click_id, ts cts, cents cc FROM e
+      |      WHERE event_type = 'click'),
+      |p AS (SELECT user_id uid, ts pts, cents pc FROM e
       |      WHERE event_type = 'purchase')
-      |SELECT c.user_id, c.click_id, c.cv AS click_value, p.pv AS p_value
-      |FROM c JOIN p ON c.user_id = p.user_id
+      |SELECT c.user_id, c.click_id, c.cc AS click_cents,
+      |  coalesce(p.pc, -1) AS p_cents
+      |FROM c LEFT JOIN p ON c.user_id = p.uid
       |  AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
-      |ORDER BY c.user_id, c.click_id, p_value""".stripMargin
+      |ORDER BY user_id, click_id, p_cents""".stripMargin
 
   /** q161 — streaming Bloom-screen maintenance, executed as a real
     * Structured Streaming query ([[graft.streaming.BloomStream.screen]];
@@ -949,14 +1097,64 @@ object GateOps {
       |  CAST(failed_lines AS BIGINT) failed_lines
       |FROM cc JOIN lc USING (qc_type) ORDER BY qc_type""".stripMargin
 
-  /** Golden oracle for q118 (sf0.01): the 20 urgent-priority cheques with
-    * their word renderings, pinned verbatim from a verified run. A literal
+  /** Golden oracle for q118: the 20 urgent-priority cheques with their
+    * word renderings, pinned verbatim from a verified run. A literal
     * VALUES table is the right oracle here because the words function has
-    * no DuckDB twin while the result is a small deterministic set. */
+    * no DuckDB twin while the result is a small deterministic set.
+    *
+    * SCALE-KEYED (ADVICE r5): one golden set per test scale, selected by
+    * the orders row count (1 500 / 15 000 / 150 000 — the fixed testdata
+    * sizes), so the sf0.1 cross-check no longer carries a known-red q118
+    * training readers to ignore it — at every supported scale a red q118
+    * is a real failure, and an unknown scale yields 0 oracle rows (red,
+    * as it should: there is no golden to compare against). */
   val q118Sql: String =
-    """SELECT CAST(cheque_no AS BIGINT) cheque_no, CAST(payee AS BIGINT) payee,
-      |  CAST(amount AS DOUBLE) amount, line1, line2
-      |FROM (VALUES
+    """WITH n AS (SELECT count(*) c FROM orders),
+      |g001 AS (SELECT * FROM (VALUES
+      |  (5, 80, 17263.63, 'seventeen thousand two hundred and sixty-three', 'and 63 / 100 only'),
+      |  (12, 67, 99860.75, 'ninety-nine thousand eight hundred and sixty', 'and 75 / 100 only'),
+      |  (15, 44, 290638.71, 'two hundred and ninety thousand six', 'hundred and thirty-eight and 71 / 100 only'),
+      |  (21, 2, 434249.98, 'four hundred and thirty-four thousand two', 'hundred and forty-nine and 98 / 100 only'),
+      |  (25, 34, 85989.22, 'eighty-five thousand nine hundred and eighty-nine', 'and 22 / 100 only'),
+      |  (29, 38, 362148.9, 'three hundred and sixty-two thousand one', 'hundred and forty-eight and 90 / 100 only'),
+      |  (42, 40, 250829.76, 'two hundred and fifty thousand eight', 'hundred and twenty-nine and 76 / 100 only'),
+      |  (46, 22, 26823.12, 'twenty-six thousand eight hundred and twenty-three', 'and 12 / 100 only'),
+      |  (48, 138, 443281.08, 'four hundred and forty-three thousand two', 'hundred and eighty-one and 08 / 100 only'),
+      |  (56, 64, 164122.28, 'one hundred and sixty-four thousand one', 'hundred and twenty-two and 28 / 100 only'),
+      |  (60, 115, 75820.8, 'seventy-five thousand eight hundred and twenty', 'and 80 / 100 only'),
+      |  (65, 102, 423985.57, 'four hundred and twenty-three thousand nine', 'hundred and eighty-five and 57 / 100 only'),
+      |  (68, 53, 5300.01, 'five thousand three hundred and 01', '/ 100 only'),
+      |  (87, 56, 376783.56, 'three hundred and seventy-six thousand seven', 'hundred and eighty-three and 56 / 100 only'),
+      |  (88, 61, 446378.21, 'four hundred and forty-six thousand three', 'hundred and seventy-eight and 21 / 100 only'),
+      |  (90, 13, 124386.27, 'one hundred and twenty-four thousand three', 'hundred and eighty-six and 27 / 100 only'),
+      |  (94, 80, 466040.24, 'four hundred and sixty-six thousand forty', 'and 24 / 100 only'),
+      |  (103, 129, 34619.78, 'thirty-four thousand six hundred and nineteen', 'and 78 / 100 only'),
+      |  (119, 107, 348939.56, 'three hundred and forty-eight thousand nine', 'hundred and thirty-nine and 56 / 100 only'),
+      |  (127, 91, 102000.23, 'one hundred and two thousand and', '23 / 100 only'))
+      |  t(cheque_no, payee, amount, line1, line2)),
+      |g1 AS (SELECT * FROM (VALUES
+      |  (4, 3476, 53552.64, 'fifty-three thousand five hundred and fifty-two', 'and 64 / 100 only'),
+      |  (6, 5087, 131600.55, 'one hundred and thirty-one thousand six', 'hundred and 55 / 100 only'),
+      |  (7, 7109, 90368.33, 'ninety thousand three hundred and sixty-eight', 'and 33 / 100 only'),
+      |  (10, 6819, 129202.24, 'one hundred and twenty-nine thousand two', 'hundred and two and 24 / 100 only'),
+      |  (16, 13455, 376707.37, 'three hundred and seventy-six thousand seven', 'hundred and seven and 37 / 100 only'),
+      |  (27, 4560, 401490.45, 'four hundred and one thousand four', 'hundred and ninety and 45 / 100 only'),
+      |  (29, 2876, 251443.85, 'two hundred and fifty-one thousand four', 'hundred and forty-three and 85 / 100 only'),
+      |  (32, 14433, 220996.37, 'two hundred and twenty thousand nine', 'hundred and ninety-six and 37 / 100 only'),
+      |  (34, 2220, 165178.85, 'one hundred and sixty-five thousand one', 'hundred and seventy-eight and 85 / 100 only'),
+      |  (35, 13295, 112999.94, 'one hundred and twelve thousand nine', 'hundred and ninety-nine and 94 / 100 only'),
+      |  (44, 8221, 444971.28, 'four hundred and forty-four thousand nine', 'hundred and seventy-one and 28 / 100 only'),
+      |  (45, 8490, 443659.37, 'four hundred and forty-three thousand six', 'hundred and fifty-nine and 37 / 100 only'),
+      |  (57, 2494, 226445.28, 'two hundred and twenty-six thousand four', 'hundred and forty-five and 28 / 100 only'),
+      |  (76, 12108, 414241.29, 'four hundred and fourteen thousand two', 'hundred and forty-one and 29 / 100 only'),
+      |  (77, 4513, 232344.9, 'two hundred and thirty-two thousand three', 'hundred and forty-four and 90 / 100 only'),
+      |  (79, 8864, 60520.5, 'sixty thousand five hundred and twenty', 'and 50 / 100 only'),
+      |  (81, 6286, 109335.65, 'one hundred and nine thousand three', 'hundred and thirty-five and 65 / 100 only'),
+      |  (83, 6070, 110769.8, 'one hundred and ten thousand seven', 'hundred and sixty-nine and 80 / 100 only'),
+      |  (88, 2968, 347529.95, 'three hundred and forty-seven thousand five', 'hundred and twenty-nine and 95 / 100 only'),
+      |  (92, 14522, 152960.08, 'one hundred and fifty-two thousand nine', 'hundred and sixty and 08 / 100 only'))
+      |  t(cheque_no, payee, amount, line1, line2)),
+      |g01 AS (SELECT * FROM (VALUES
       |  (3, 780, 439039.67, 'four hundred and thirty-nine thousand thirty-nine', 'and 67 / 100 only'),
       |  (10, 474, 135650.32, 'one hundred and thirty-five thousand six', 'hundred and fifty and 32 / 100 only'),
       |  (19, 517, 373717.05, 'three hundred and seventy-three thousand seven', 'hundred and seventeen and 05 / 100 only'),
@@ -977,7 +1175,13 @@ object GateOps {
       |  (105, 388, 359647.85, 'three hundred and fifty-nine thousand six', 'hundred and forty-seven and 85 / 100 only'),
       |  (109, 450, 184676.85, 'one hundred and eighty-four thousand six', 'hundred and seventy-six and 85 / 100 only'),
       |  (116, 1264, 259162.32, 'two hundred and fifty-nine thousand one', 'hundred and sixty-two and 32 / 100 only'))
-      |  t(cheque_no, payee, amount, line1, line2)
+      |  t(cheque_no, payee, amount, line1, line2))
+      |SELECT CAST(cheque_no AS BIGINT) cheque_no, CAST(payee AS BIGINT) payee,
+      |  CAST(amount AS DOUBLE) amount, line1, line2
+      |FROM (
+      |  SELECT * FROM g001 WHERE (SELECT c FROM n) = 1500
+      |  UNION ALL SELECT * FROM g01 WHERE (SELECT c FROM n) = 15000
+      |  UNION ALL SELECT * FROM g1 WHERE (SELECT c FROM n) = 150000)
       |ORDER BY cheque_no""".stripMargin
 
   /** q71 — the typed options/spec pipeline (§1.2, the reference's
@@ -1437,7 +1641,8 @@ object GateOps {
     "q155_sequence_gaps" -> (q155 _), "q157_stream_maintain" -> (q157 _),
     "q158_qc_overview" -> (q158 _), "q159_stream_sessionize" -> (q159 _),
     "q160_stream_dedup" -> (q160 _), "q161_stream_bloom" -> (q161 _),
-    "q163_stream_join" -> (q163 _),
+    "q163_stream_join" -> (q163 _), "q164_stream_outer_join" -> (q164 _),
+    "q165_stream_restart" -> (q165 _),
     "q89_wav_decode" -> (q89 _), "q122_quality_audit" -> (q122 _),
     "q132_video_frames" -> (q132 _),
     "q123_skew_profile" -> (q123 _), "q124_table_profile" -> (q124 _),
@@ -1466,5 +1671,6 @@ object GateOps {
     "q118_cheque_lines" -> q118Sql, "q157_stream_maintain" -> q157Sql,
     "q158_qc_overview" -> q158Sql, "q159_stream_sessionize" -> q159Sql,
     "q160_stream_dedup" -> q160Sql, "q161_stream_bloom" -> q161Sql,
-    "q163_stream_join" -> q163Sql)
+    "q163_stream_join" -> q163Sql, "q164_stream_outer_join" -> q164Sql,
+    "q165_stream_restart" -> q165Sql)
 }

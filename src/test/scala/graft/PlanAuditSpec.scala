@@ -154,6 +154,48 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "jaccardPairs must use the kernel-level distinct shingle hasher")
   }
 
+  test("df-cap bounds the pair join under a pathological hot key (q166)") {
+    import org.apache.spark.sql.functions._
+    // sf0.01 (500 docs): the q166 fixture plants 5 shingles in 10 % of the
+    // corpus — far past the cap max(5, n/100) = 5 — so this is the
+    // one-hot-key-shared-by-10%-of-docs scenario the 100× scale-up fears
+    val d = "/root/testdata/sf0.01"
+    val skewed = Tables.documents(spark, d).select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(lit("common portal header shared across every page "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val cap = 5L
+    val df = skewed.select(col("doc_id"),
+        explode(graft.functions.ShingleHash.distinctOf(col("text"))).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // per-shuffle-partition candidate-pair mass under the SAME partitioning
+    // the join uses (HashPartitioning on s, here projected to 32 buckets):
+    // Σ df·(df−1)/2 per partition, with and without the cap
+    val byPart = df
+      .withColumn("m", (col("df") * (col("df") - 1) / 2).cast("long"))
+      .groupBy(pmod(hash(col("s")), lit(32)).as("p"))
+      .agg(sum(when(col("df") <= cap, col("m")).otherwise(0L)).as("kept"),
+        sum(col("m")).as("uncapped"),
+        max(when(col("df") <= cap, col("df"))).as("kept_df"))
+    val r = byPart.agg(max(col("kept")), max(col("uncapped")),
+      max(col("kept_df"))).head()
+    val (maxKept, maxUncapped, maxKeptDf) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    // (a) the surviving index obeys the bucket bound: no kept shingle can
+    // enumerate more than cap·(cap−1)/2 = 10 pairs
+    assert(maxKeptDf <= cap, s"kept df $maxKeptDf breaks the cap $cap")
+    // (b) the hot partition's candidate mass is bounded — the uncapped
+    // index concentrates the 5×(50·49/2) hot-pair mass on single
+    // partitions; the cap must cut the worst partition by >3×
+    assert(maxKept * 3 < maxUncapped,
+      s"cap failed to defuse the hot partition: kept $maxKept vs uncapped $maxUncapped")
+    // (c) the REAL pair join over the skewed corpus stays a shuffled
+    // equi-join on the shingle key — no cartesian/BNLJ fallback
+    val qe = queries.DedupOps.jaccardPairs(skewed, 0.5).queryExecution
+    assert(onlyScalarBnlj(qe))
+    assert(qe.sparkPlan.toString.contains("shingle_hashes_distinct"))
+  }
+
   test("langid explodes native trigram hashes, not per-trigram substrings") {
     val p = plan("q37_langid")
     assert(p.contains("chargram3_hashes"),
