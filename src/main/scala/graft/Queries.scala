@@ -12,10 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     artifacts (Bloom positions ≤ m, ≤k coreset centers, PQ codebooks)
   *     or write a scratch fixture before returning the plan;
   *   - q106/q129 write ≤25-row scratch fixtures under `Scratch.fresh`;
-  *   - q157/q159/q160/q161/q163/q164 run bounded Structured Streaming
-  *     queries (4–6 micro-batches over bounded samples) and return the
-  *     persisted sink; q165 runs the q159 query TWICE (stop after 2
-  *     batches, resume from the checkpoint) to gate recovery;
+  *   - q157/q159/q160/q161/q163/q164/q167/q168 run bounded Structured
+  *     Streaming queries (4–6 micro-batches over bounded samples) and
+  *     return the persisted sink; q165 runs the q159 query TWICE (stop
+  *     after 2 batches, resume from the checkpoint) to gate recovery;
   *   - q166 runs bounded scalar aggregates plus one capped pair join over
   *     the skewed fixture (caches released via the builder's thunk);
   *   - gates that consume the suite-level dedup-index memos — exact

@@ -893,6 +893,134 @@ object GateOps {
       .orderBy(col("user_id"), col("click_id"), col("p_cents"))
   }
 
+  /** q167 — watermarked TUMBLING-WINDOW aggregation, driver-gated (the
+    * one streaming operator family still ScalaTest-only after r5/r6's
+    * gates: [[graft.streaming.EventsStream.hourlyCounts]] is the canonical
+    * `groupBy(window(...))` + watermark shape, the q30 batch twin run
+    * incrementally): the 5 % slice (integer-cents values) streams as 4
+    * time-ordered micro-batches; a closed hour×type window emits to the
+    * append sink only once the watermark passes its end, so two sentinel
+    * batches (far-future events of a sentinel type) advance and then apply
+    * the watermark — the q159 technique. Oracle: the batch hour×type
+    * rollup; exact because every window's count/sum state accumulates
+    * longs/integer-cents and emission is once-per-window. */
+  def q167(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, d)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("double").as("value"))
+    val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
+    val store = graft.Scratch.fresh("q167_store")
+    val ckpt = graft.Scratch.fresh("q167_ckpt")
+    val staged = evs.withColumn("__b",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    val sentinels = Seq(
+      (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "x", 0.0),
+      (-2L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "x", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val src = stageBatches(
+      staged.unionByName(sentinels.withColumn("__b",
+        when(col("event_id") === -1L, lit(5)).otherwise(lit(6)))),
+      6, "q167")
+    val stream = s.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.getPath)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.streaming.EventsStream.hourlyCounts(stream)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet")
+        .option("path", store.getPath)
+        .option("checkpointLocation", ckpt.getPath)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(store.getPath)
+      .filter(col("event_type") =!= "x") // the sentinel type's windows
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"),
+        col("total").cast("long").as("total_cents"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
+  /** Batch hour×type rollup twin over the same slice. */
+  val q167Sql: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) ts, event_type,
+      |             CAST(floor(value * 100 + 0.5) AS BIGINT) cents
+      |           FROM events WHERE user_id % 20 = 0)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') hour_start,
+      |  event_type, count(*)::BIGINT n, CAST(sum(cents) AS BIGINT) total_cents
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q168 — streaming exact dedup via `dropDuplicatesWithinWatermark`,
+    * driver-gated ([[graft.streaming.EventsStream.dedupeStream]] — the
+    * built-in watermark-bounded key-dedup operator, distinct from q160's
+    * custom transformWithState classifier): the 5 % slice streams as 4
+    * time-ordered micro-batches, and every row from the last 48 hours of
+    * batches 1–3 is RE-DELIVERED in the following batch (an exact copy —
+    * the at-least-once redelivery a real bus produces). That exercises
+    * BOTH arms of the operator's bounded-state contract: copies from the
+    * last hour arrive above the watermark while their keys are still in
+    * the dedup state (dropped BY THE STATE), older copies arrive behind
+    * the watermark (dropped AS LATE — the very property that lets the
+    * state evict old keys); either way the sink must hold each original
+    * exactly once. Oracle: the plain per-type rollup of the slice —
+    * redeliveries contribute nothing. */
+  def q168(s: SparkSession, d: String): DataFrame = {
+    val evs = Tables.events(s, d)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("double").as("value"))
+    val store = graft.Scratch.fresh("q168_store")
+    val ckpt = graft.Scratch.fresh("q168_ckpt")
+    val base = evs.withColumn("__b",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    val bMax = base.groupBy(col("__b")).agg(max(col("ts")).as("__bmax"))
+    val dups = base.join(bMax, Seq("__b"))
+      .filter(col("__b") < 4 &&
+        col("ts") >= col("__bmax") - expr("INTERVAL 48 HOURS"))
+      .withColumn("__b", col("__b") + 1).drop("__bmax")
+    val src = stageBatches(base.unionByName(dups), 4, "q168")
+    val stream = s.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.getPath)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = graft.streaming.EventsStream.dedupeStream(stream)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("parquet")
+        .option("path", store.getPath)
+        .option("checkpointLocation", ckpt.getPath)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(store.getPath)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("long")).as("cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-type rollup of the slice — the dedup stream must reduce the
+    * redelivered fixture back to exactly this. */
+  val q168Sql: String =
+    """WITH e AS (SELECT event_type,
+      |             CAST(floor(value * 100 + 0.5) AS BIGINT) cents
+      |           FROM events WHERE user_id % 20 = 0)
+      |SELECT event_type, count(*)::BIGINT n, CAST(sum(cents) AS BIGINT) cents
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Batch LEFT-join twin: unconverted clicks ride with p_cents = -1. */
   val q164Sql: String =
     """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) ts, user_id,
@@ -1642,7 +1770,8 @@ object GateOps {
     "q158_qc_overview" -> (q158 _), "q159_stream_sessionize" -> (q159 _),
     "q160_stream_dedup" -> (q160 _), "q161_stream_bloom" -> (q161 _),
     "q163_stream_join" -> (q163 _), "q164_stream_outer_join" -> (q164 _),
-    "q165_stream_restart" -> (q165 _),
+    "q165_stream_restart" -> (q165 _), "q167_stream_hourly" -> (q167 _),
+    "q168_stream_dropdup" -> (q168 _),
     "q89_wav_decode" -> (q89 _), "q122_quality_audit" -> (q122 _),
     "q132_video_frames" -> (q132 _),
     "q123_skew_profile" -> (q123 _), "q124_table_profile" -> (q124 _),
@@ -1672,5 +1801,6 @@ object GateOps {
     "q158_qc_overview" -> q158Sql, "q159_stream_sessionize" -> q159Sql,
     "q160_stream_dedup" -> q160Sql, "q161_stream_bloom" -> q161Sql,
     "q163_stream_join" -> q163Sql, "q164_stream_outer_join" -> q164Sql,
-    "q165_stream_restart" -> q165Sql)
+    "q165_stream_restart" -> q165Sql, "q167_stream_hourly" -> q167Sql,
+    "q168_stream_dropdup" -> q168Sql)
 }
