@@ -50,11 +50,18 @@ import scala.jdk.CollectionConverters._
   * old in-process single run, so the driver always gets its line. */
 object Bench {
 
-  /** Wall seconds for 8 threads × 4·10⁸ xorshift64* steps (~1 s quiet on
-    * the 32-vCPU test host). Returns the elapsed time of the slowest
-    * thread; callers take the min over two brackets. */
+  /** Wall seconds for one xorshift64* thread per host vCPU (≤32) ×
+    * 4·10⁸ steps each (~1.6 s quiet on the 32-vCPU test host — record the
+    * quiet reference when it moves; the ABSOLUTE value anchors
+    * cross-session comparison, the per-run ratios anchor within-session).
+    * Width-matching the host matters: an 8-thread probe rode out a window
+    * in which 32-wide Spark stages ran ~15 % slow, because the ambient
+    * co-tenant load left 8 cores' worth of headroom — saturating all
+    * vCPUs senses exactly the contention the suite feels. Returns the
+    * elapsed time of the slowest thread; callers take the min over two
+    * brackets. */
   private def calibrationProbe(): Double = {
-    val threads = 8
+    val threads = math.min(32, Runtime.getRuntime.availableProcessors())
     val iters = 400000000L
     val sink = new java.util.concurrent.atomic.AtomicLong()
     val t0 = System.nanoTime()

@@ -487,7 +487,7 @@ object GateOps {
     // while a gate runs)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = graft.streaming.EventsStream.maintainAggregate(
         stream, "k", store.getPath, ckpt.getPath)
       try q.processAllAvailable() finally q.stop()
@@ -582,7 +582,8 @@ object GateOps {
       .as[graft.streaming.EventsStream.Event]
     // the gate's cost is per-micro-batch FIXED overhead (one state-store
     // instance per shuffle partition × 6 batches), not data: pin the
-    // stateful query to 8 partitions for its bounded sample. A production
+    // stateful query to 4 partitions for its bounded sample (state-store
+    // instances per partition per micro-batch ARE the gate cost). A production
     // deployment sizes this to its key cardinality. The pinned setting is
     // HELD until the query terminates: the stream thread snapshots conf
     // via its session clone AFTER start() returns (StreamExecution counts
@@ -591,7 +592,7 @@ object GateOps {
     // gate runs (the gate-runner contract).
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       def runOnce(): Unit = {
         val q = graft.streaming.EventsStream.sessionize(stream, gapMinutes = 30)
           .writeStream
@@ -707,7 +708,7 @@ object GateOps {
       .parquet(src.getPath)
       .as[graft.streaming.DedupStream.DocIn]
     // transformWithState requires the RocksDB provider (also the cluster
-    // posture). 4 partitions, not q157/q159's 8: a RocksDB store INSTANCE
+    // posture). 4 partitions (every streaming gate since r6): a RocksDB store INSTANCE
     // per partition per micro-batch is this gate's fixed cost (heavier
     // than their HDFS-backed state), and the bounded sample needs no
     // width — production sizes this to its hash-key cardinality. Both
@@ -782,11 +783,11 @@ object GateOps {
         "event_type STRING, value DOUBLE")
       .option("maxFilesPerTrigger", "1")
       .parquet(src.getPath)
-    // 8 partitions for the bounded sample, held until the query
+    // 4 partitions for the bounded sample, held until the query
     // terminates (the q159/q160/q161 conf-capture discipline)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = graft.streaming.EventsStream.clickToPurchase(stream)
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
@@ -875,7 +876,7 @@ object GateOps {
       .parquet(src.getPath)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = graft.streaming.EventsStream.clickToPurchaseOuter(stream)
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
@@ -931,7 +932,7 @@ object GateOps {
       .parquet(src.getPath)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = graft.streaming.EventsStream.hourlyCounts(stream)
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
@@ -995,7 +996,7 @@ object GateOps {
       .parquet(src.getPath)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = graft.streaming.EventsStream.dedupeStream(stream)
         .writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
