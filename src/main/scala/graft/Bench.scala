@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 /** Benchmark main. Single-run timings at sf0.1 carry a measured ±30 %
@@ -12,7 +12,7 @@ import scala.jdk.CollectionConverters._
   * per-query MEDIAN as the headline number:
   *   - stdout (driver contract, ONE line): {"metric":"total","value":Σ
   *     medians,"unit":"sec","queries":{q→median},"sf":…,"runs":N,
-  *     "min_total":…,"max_total":…, plus the ambient fields below}
+  *     "min_total":…,"max_total":…, plus the ambient + validity fields}
   *   - `target/bench_runs_latest.json`: the full spread — per-query
   *     min/median/max plus every raw sample — for reading past the
   *     driver's 2000-char tail truncation.
@@ -25,30 +25,46 @@ import scala.jdk.CollectionConverters._
   * `"semantics":"sum_of_per_query_medians"` so downstream tooling cannot
   * silently conflate it with a single-run total.
   *
+  * VALIDITY (r6 postmortem: 21 gates crashed in ~0.1 s each and were timed
+  * as if they ran, so the artifact printed a "total" over work that never
+  * happened): a query that throws contributes NO timing sample. The line
+  * carries `n_failed` (count of queries that failed in ANY surviving run),
+  * `failed_queries` (their names), and `invalid: true` whenever
+  * `n_failed > 0` — a nonzero-failure artifact self-invalidates instead of
+  * quietly going green. A schema-contract preflight ([[SchemaContract]])
+  * runs before any child is spawned; on drift the artifact is emitted
+  * immediately as invalid with the drift message, so the next testdata
+  * regeneration costs one line of output, not a round.
+  *
   * AMBIENT AWARENESS (r5: same-code totals spanned 103–138 s purely on
   * co-tenant host load, and the official snapshot rode an inflated
-  * window): each run brackets its suite with a fixed CPU-bound
-  * calibration probe (8 threads × a fixed xorshift count — pure compute,
-  * no allocation, no I/O) and reports the faster of the two probes.
-  * Co-tenant load inflates the probe the same way it inflates Spark's
-  * compute-bound stages, so the ratio of a run's probe to the BEST probe
-  * across runs estimates that window's inflation factor. The driver line
-  * then carries:
-  *   - `probe_sec`: per-run probe seconds;
-  *   - `inflation`: per-run probe ratio to the best run (1.0 = quietest);
-  *   - `total_norm`: Σ per-query medians after dividing every sample by
-  *     its run's inflation factor — the load-corrected headline;
-  *   - `ambient_inflated`: true when the spread of factors exceeds 10 %,
-  *     i.e. the raw medians mix materially unequal windows and
-  *     `total_norm`/`min_total` are the defensible numbers.
-  * The probe cannot conjure a quiet machine — if ALL runs are inflated,
-  * factors read ~1.0 and `total_norm` stays pessimistic; it detects
-  * UNEQUAL windows (the r5 failure mode: comparing a quiet round-4 number
-  * against an inflated round-5 one).
+  * window): each run brackets its suite with two fixed calibration probes
+  * and reports the faster bracket of each:
+  *   - CPU arm: one xorshift64* thread per vCPU — senses compute
+  *     contention, the resource Spark's codegen stages feel;
+  *   - I/O arm (new in r7 — the r6 window inflated the suite 1.6× while
+  *     the CPU probe read 1.0×, i.e. the contention was storage-side):
+  *     a fixed 256 MiB write+fsync+read-back against `target/` scratch —
+  *     senses the disk bandwidth shuffle spill and memo artifacts feel.
+  * Per-run factors are each arm's probe over the best run's probe; the
+  * COMBINED factor (elementwise max of the arms) drives `total_norm`
+  * (every sample divided by its run's combined factor, then per-query
+  * medians summed) and `ambient_inflated` (true when any combined factor
+  * exceeds 1.10). The line carries `probe_sec`/`inflation` (CPU arm,
+  * field names unchanged for round-over-round comparability) plus
+  * `probe_io_sec`/`inflation_io`. The probes cannot conjure a quiet
+  * machine — if ALL runs are inflated, factors read ~1.0 and `total_norm`
+  * stays pessimistic; they detect UNEQUAL windows.
   *
   * `SPARK_GRAFT_BENCH_RUNS=1` (or any child-spawn failure) degrades to the
   * old in-process single run, so the driver always gets its line. */
 object Bench {
+
+  /** One run's outcome: bracket-min probe seconds per arm, per-query
+    * timings for queries that RAN, names of queries that threw. */
+  private final case class Run(
+      probe: Double, probeIo: Double,
+      ok: Seq[(String, Double)], failed: Seq[String])
 
   /** Wall seconds for one xorshift64* thread per host vCPU (≤32) ×
     * 4·10⁸ steps each (~1.6 s quiet on the 32-vCPU test host — record the
@@ -82,61 +98,110 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** I/O arm: 256 MiB of 4 MiB blocks written to `target/` scratch with a
+    * final fsync, then read back (~0.6 s quiet on the test host's NVMe).
+    * Same scratch filesystem Spark spills/memos hit, so co-tenant disk
+    * pressure inflates this probe the way it inflates the suite's
+    * shuffle-heavy queries — the blind spot the r6 CPU-only probe proved
+    * to have. Page cache makes the read-back cheap when the disk is
+    * quiet; under write pressure both phases stretch, which is the
+    * signal. The file is per-PID and deleted on exit. */
+  private def ioProbe(): Double = {
+    val dir = Paths.get("target")
+    Files.createDirectories(dir)
+    val f = dir.resolve(s"ioprobe_${ProcessHandle.current().pid()}.bin")
+    val block = new Array[Byte](4 << 20)
+    new java.util.Random(0x5EED).nextBytes(block)
+    try {
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+        StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        var i = 0
+        while (i < 64) { ch.write(java.nio.ByteBuffer.wrap(block)); i += 1 }
+        ch.force(false)
+      } finally ch.close()
+      val rch = java.nio.channels.FileChannel.open(f, StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(4 << 20)
+        var n = rch.read(buf)
+        while (n >= 0) { buf.clear(); n = rch.read(buf) }
+      } finally rch.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally Files.deleteIfExists(f): Unit
+  }
+
   private def session(cpus: String): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
-  /** One full timed pass over the registered queries (current session). */
-  private def measure(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
-    // Dev-only subset filter (driver leaves it unset → full run).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+  /** One full timed pass over `suite`. A query that throws yields a
+    * `failed` entry and NO timing sample (r6: crashes were recorded as
+    * ~0.1 s "timings" and summed into the official total). Package-visible
+    * so the failure contract is spec-testable. */
+  private[graft] def measureSuite(
+      spark: SparkSession, sfDir: String,
+      suite: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      : (Seq[(String, Double)], Seq[String]) = {
     // Untimed warmup: absorb JVM/codegen/scan-init cost so per-query numbers
     // measure the queries, not SparkSession startup. Runs the suite's OWN
     // first query (not an arbitrary Map-order one — that could be an
     // expensive streaming gate on a 3-query probe run).
     try suite.headOption.foreach(_._2(spark, sfDir).count())
     catch { case _: Throwable => () }
-    suite
-      .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop per-query caches so later queries aren't penalized by GC/evict;
-        // localCheckpoint blocks are only released via the ContextCleaner on
-        // GC, so nudge it — otherwise iterative queries' checkpoint RDDs pile
-        // up and later queries pay their eviction at random times
-        spark.catalog.clearCache()
-        System.gc()
-        name -> dt
-      }
+    val results = suite.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop per-query caches so later queries aren't penalized by GC/evict;
+      // localCheckpoint blocks are only released via the ContextCleaner on
+      // GC, so nudge it — otherwise iterative queries' checkpoint RDDs pile
+      // up and later queries pay their eviction at random times
+      spark.catalog.clearCache()
+      System.gc()
+      (name, dt, ok)
+    }
+    (results.collect { case (n, dt, true) => n -> dt },
+      results.collect { case (n, _, false) => n })
   }
 
   private def qJson(rs: Seq[(String, Double)]): String =
     rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-  /** One run = probe, suite, probe: ambient load is sampled in the same
-    * window the suite ran in (min of the two brackets — the best the
-    * window allowed). */
-  private def inProcessRun(sfDir: String, cpus: String): (Double, Seq[(String, Double)]) = {
-    val p1 = calibrationProbe()
+  private def sJson(ss: Seq[String]): String =
+    ss.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** One run = probes, suite, probes: ambient load is sampled in the same
+    * window the suite ran in (min of the two brackets per arm — the best
+    * the window allowed). */
+  private def inProcessRun(sfDir: String, cpus: String): Run = {
+    val p1 = calibrationProbe(); val io1 = ioProbe()
     val spark = session(cpus)
-    val rs = try measure(spark, sfDir) finally spark.stop()
-    val p2 = calibrationProbe()
-    (math.min(p1, p2), rs)
+    val (ok, failed) =
+      try {
+        val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+        val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (name, _) => only.forall(_.contains(name)) }
+        measureSuite(spark, sfDir, suite)
+      } finally spark.stop()
+    val p2 = calibrationProbe(); val io2 = ioProbe()
+    Run(math.min(p1, p2), math.min(io1, io2), ok, failed)
   }
 
   /** Spawn one fresh child JVM (this JVM's flags + classpath, inherited
     * env) running `graft.Bench --child`; parse its one-line JSON back into
-    * (probe seconds, per-query seconds). None on any launch/parse failure. */
-  private def spawnRun(i: Int, runs: Int): Option[(Double, Seq[(String, Double)])] = {
+    * a [[Run]]. None on any launch/parse failure. */
+  private def spawnRun(i: Int, runs: Int): Option[Run] = {
     try {
       val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -163,14 +228,20 @@ object Bench {
       val out = outBuf.get()
       val line = out.linesIterator.find(_.startsWith("""{"metric""""))
       line.flatMap { l =>
-        val probe = "\"probe\":([0-9.eE+\\-]+)".r.findFirstMatchIn(l)
-          .map(_.group(1).toDouble).getOrElse(0.0)
+        def num(field: String): Double =
+          ("\"" + field + "\":([0-9.eE+\\-]+)").r.findFirstMatchIn(l)
+            .map(_.group(1).toDouble).getOrElse(0.0)
         val body = l.substring(l.indexOf("\"queries\":{") + "\"queries\":{".length)
         // the number class must admit negative exponents (8.6E-4 from a
         // sub-millisecond sample) or the whole run's samples are dropped
         val pairs = "\"([^\"]+)\":([0-9.eE+\\-]+)".r.findAllMatchIn(
           body.take(body.indexOf('}'))).map(m => m.group(1) -> m.group(2).toDouble).toSeq
-        if (pairs.isEmpty) None else Some((probe, pairs))
+        val failed = "\"failed\":\\[([^\\]]*)\\]".r.findFirstMatchIn(l)
+          .map(_.group(1)).getOrElse("")
+          .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+        if (pairs.isEmpty && failed.isEmpty) None
+        else Some(Run(num("probe"), num("probe_io"), pairs, failed))
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] run $i/$runs failed to spawn: $e"); None
@@ -186,13 +257,26 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     if (args.contains("--child")) {
-      val (probe, rs) = inProcessRun(sfDir, cpus)
-      val total = rs.map(_._2).sum
-      println(s"""{"metric":"run","value":$total,"unit":"sec","probe":$probe,"queries":${qJson(rs)},"sf":"$sfDir"}""")
+      val r = inProcessRun(sfDir, cpus)
+      val total = r.ok.map(_._2).sum
+      println(s"""{"metric":"run","value":$total,"unit":"sec","probe":${r.probe},"probe_io":${r.probeIo},"queries":${qJson(r.ok)},"failed":${sJson(r.failed)},"sf":"$sfDir"}""")
       return
     }
+    // Schema-contract preflight BEFORE spawning 3 × 45-min children: on
+    // drift, emit the artifact immediately as invalid with the cause in
+    // one line (the r6 drift instead produced 21 scattered crash-timings).
+    locally {
+      val s = session(cpus)
+      val drift = try SchemaContract.drift(s, sfDir) finally s.stop()
+      if (drift.nonEmpty) {
+        val msg = drift.mkString("; ").replace("\\", "\\\\").replace("\"", "\\\"")
+        System.err.println(s"[bench] SCHEMA DRIFT — artifact invalid: ${drift.mkString("; ")}")
+        println(s"""{"metric":"total","value":-1,"unit":"sec","sf":"$sfDir","invalid":true,"n_failed":${SparkEntry.queries.size},"error":"schema drift: $msg"}""")
+        return
+      }
+    }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val samples: Seq[(Double, Seq[(String, Double)])] =
+    val samples: Seq[Run] =
       if (runs == 1) Seq(inProcessRun(sfDir, cpus))
       else {
         val ok = (1 to runs).flatMap(i => spawnRun(i, runs))
@@ -202,26 +286,32 @@ object Bench {
           Seq(inProcessRun(sfDir, cpus))
         }
       }
-    // per-run ambient factor: probe relative to the quietest run's probe
-    // (a probe of 0 means the child predates the field / failed to parse —
-    // treat as the baseline so it never skews normalization)
-    val probes = samples.map(_._1)
-    val bestProbe = probes.filter(_ > 0) match {
-      case Seq() => 0.0
-      case ps => ps.min
+    // per-run ambient factor per arm: probe relative to the quietest run's
+    // probe (a probe of 0 means the child predates the field / failed to
+    // parse — treat as baseline so it never skews normalization)
+    def factorsOf(probes: Seq[Double]): Seq[Double] = {
+      val best = probes.filter(_ > 0) match { case Seq() => 0.0; case ps => ps.min }
+      probes.map(p => if (p > 0 && best > 0) p / best else 1.0)
     }
-    val factors = probes.map(p => if (p > 0 && bestProbe > 0) p / bestProbe else 1.0)
+    val cpuProbes = samples.map(_.probe)
+    val ioProbes = samples.map(_.probeIo)
+    val cpuFactors = factorsOf(cpuProbes)
+    val ioFactors = factorsOf(ioProbes)
+    // combined factor: the binding constraint of the window (either arm)
+    val factors = cpuFactors.zip(ioFactors).map { case (a, b) => math.max(a, b) }
     val inflated = factors.max > 1.10
+    // failure accounting: a query red in ANY surviving run invalidates
+    val failedQueries = samples.flatMap(_.failed).distinct.sorted
+    val nFailed = failedQueries.size
     // per-query spread over however many runs survived, in suite order
-    val names = samples.head._2.map(_._1)
+    val names = samples.flatMap(_.ok.map(_._1)).distinct.sorted
     val byName = names.map { n =>
-      n -> samples.flatMap(_._2.collectFirst { case (`n`, v) => v })
+      n -> samples.flatMap(_.ok.collectFirst { case (`n`, v) => v })
     }
-    // normalized samples: each divided by its run's ambient factor
+    // normalized samples: each divided by its run's combined ambient factor
     val byNameNorm = names.map { n =>
-      n -> samples.flatMap { case (p, rs) =>
-        val f = if (p > 0 && bestProbe > 0) p / bestProbe else 1.0
-        rs.collectFirst { case (`n`, v) => v / f }
+      n -> samples.zip(factors).flatMap { case (r, f) =>
+        r.ok.collectFirst { case (`n`, v) => v / f }
       }
     }
     val med = byName.map { case (n, vs) => n -> median(vs) }
@@ -229,18 +319,18 @@ object Bench {
     val totalNorm = byNameNorm.map { case (_, vs) => median(vs) }.sum
     val minTotal = byName.map(_._2.min).sum
     val maxTotal = byName.map(_._2.max).sum
-    val probesJ = probes.map(p => f"$p%.3f").mkString("[", ",", "]")
-    val factorsJ = factors.map(f => f"$f%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians","queries":${qJson(med)},"sf":"$sfDir","runs":${samples.size},"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":$probesJ,"inflation":$factorsJ,"total_norm":$totalNorm,"ambient_inflated":$inflated}""")
+    def fmtJ(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians","queries":${qJson(med)},"sf":"$sfDir","runs":${samples.size},"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"ambient_inflated":$inflated,"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
     // full spread snapshot (per-query min/med/max + raw samples) — the
     // driver's BENCH tail truncates at 2000 chars, this file never does
     val detail = byName.map { case (n, vs) =>
       s""""$n":{"med":${median(vs)},"min":${vs.min},"max":${vs.max},"samples":[${vs.mkString(",")}]}"""
     }.mkString("{", ",", "}")
-    val runTotals = samples.map(_._2.map(_._2).sum).mkString("[", ",", "]")
+    val runTotals = samples.map(_.ok.map(_._2).sum).mkString("[", ",", "]")
+    val runFailed = samples.map(_.failed.size).mkString("[", ",", "]")
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench_runs_latest.json"),
-      s"""{"sf":"$sfDir","runs":${samples.size},"run_totals":$runTotals,"total_med":$total,"total_norm":$totalNorm,"probe_sec":$probesJ,"inflation":$factorsJ,"ambient_inflated":$inflated,"per_query":$detail}""")
-    System.err.println(s"[bench] ${samples.size} runs, median total $total s (norm $totalNorm, inflated=$inflated); full spread in target/bench_runs_latest.json")
+      s"""{"sf":"$sfDir","runs":${samples.size},"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"per_query":$detail}""")
+    System.err.println(s"[bench] ${samples.size} runs, median total $total s (norm $totalNorm, inflated=$inflated, n_failed=$nFailed); full spread in target/bench_runs_latest.json")
   }
 }

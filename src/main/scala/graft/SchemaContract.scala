@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Suite-start schema contract over the driver-provided testdata.
+  *
+  * Round-6 postmortem: the driver regenerated `/root/testdata` mid-round
+  * and `events.ts` moved from TIMESTAMP(NANOS) to timestamp[us] — the old
+  * loader's nanos arithmetic then threw `DATATYPE_MISMATCH` inside 21
+  * separate query plans, and nothing in any artifact named the actual
+  * cause. This preflight makes the NEXT drift cost one line of output:
+  * both harness mains ([[Verify]], [[Bench]]) assert every loader's
+  * post-adaptation schema against this pinned contract before running a
+  * single query, and fail with a message naming the drifted column(s).
+  *
+  * The contract is over the POST-LOAD schema (after [[Tables]] adaptation,
+  * e.g. the events `ts` encodings both normalize to TIMESTAMP), because
+  * that is the surface the 168 gates and their DuckDB oracles actually
+  * consume. Types compare by `DataType.sql` so nullability flags — which
+  * vary by parquet writer and which Spark treats as advisory — don't
+  * false-positive.
+  *
+  * Reference analog: the reference redeclares one fixed schema per model
+  * (SURVEY.md §1.3) and trusts the store; on driver-regenerated parquet
+  * the loader owns adaptation, so the contract lives loader-side.
+  */
+object SchemaContract {
+
+  /** table → ordered (column, DataType.sql) expected after Tables.load. */
+  val expected: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "INT", "r_name" -> "STRING"),
+    "nation" -> Seq("n_nationkey" -> "INT", "n_name" -> "STRING",
+      "n_regionkey" -> "INT"),
+    "customer" -> Seq("c_custkey" -> "BIGINT", "c_name" -> "STRING",
+      "c_nationkey" -> "INT", "c_acctbal" -> "DOUBLE",
+      "c_mktsegment" -> "STRING"),
+    "supplier" -> Seq("s_suppkey" -> "BIGINT", "s_name" -> "STRING",
+      "s_nationkey" -> "INT", "s_acctbal" -> "DOUBLE"),
+    "part" -> Seq("p_partkey" -> "BIGINT", "p_name" -> "STRING",
+      "p_brand" -> "STRING", "p_type" -> "STRING", "p_size" -> "INT",
+      "p_retailprice" -> "DOUBLE"),
+    "orders" -> Seq("o_orderkey" -> "BIGINT", "o_custkey" -> "BIGINT",
+      "o_orderstatus" -> "STRING", "o_totalprice" -> "DOUBLE",
+      "o_orderdate" -> "TIMESTAMP_NTZ", "o_orderpriority" -> "STRING"),
+    "lineitem" -> Seq("l_orderkey" -> "BIGINT", "l_partkey" -> "BIGINT",
+      "l_suppkey" -> "BIGINT", "l_linenumber" -> "INT",
+      "l_quantity" -> "DOUBLE", "l_extendedprice" -> "DOUBLE",
+      "l_discount" -> "DOUBLE", "l_tax" -> "DOUBLE",
+      "l_returnflag" -> "STRING", "l_linestatus" -> "STRING",
+      "l_shipdate" -> "TIMESTAMP_NTZ"),
+    "events" -> Seq("event_id" -> "BIGINT", "ts" -> "TIMESTAMP",
+      "user_id" -> "BIGINT", "event_type" -> "STRING",
+      "value" -> "DOUBLE", "props" -> "STRING"),
+    "documents" -> Seq("doc_id" -> "BIGINT", "text" -> "STRING",
+      "lang" -> "STRING", "source" -> "STRING", "n_chars" -> "BIGINT"),
+    "embeddings" -> Seq("vec_id" -> "BIGINT",
+      "embedding" -> "ARRAY<FLOAT>", "label" -> "INT"))
+
+  private def loaders(s: SparkSession, d: String): Map[String, () => DataFrame] = Map(
+    "region" -> (() => Tables.region(s, d)),
+    "nation" -> (() => Tables.nation(s, d)),
+    "customer" -> (() => Tables.customer(s, d)),
+    "supplier" -> (() => Tables.supplier(s, d)),
+    "part" -> (() => Tables.part(s, d)),
+    "orders" -> (() => Tables.orders(s, d)),
+    "lineitem" -> (() => Tables.lineitem(s, d)),
+    "events" -> (() => Tables.events(s, d)),
+    "documents" -> (() => Tables.documents(s, d)),
+    "embeddings" -> (() => Tables.embeddings(s, d)))
+
+  /** One message per drifted/missing/extra column (empty = contract holds).
+    * A loader that itself throws (e.g. an unreadable encoding) yields one
+    * message for its table rather than propagating. */
+  def drift(spark: SparkSession, dir: String): Seq[String] =
+    loaders(spark, dir).toSeq.sortBy(_._1).flatMap { case (table, ld) =>
+      expected.get(table).toSeq.flatMap { exp =>
+        try {
+          val got = ld().schema.map(f => f.name -> f.dataType.sql)
+          val gotMap = got.toMap
+          val expNames = exp.map(_._1).toSet
+          val mismatches = exp.flatMap { case (c, t) =>
+            gotMap.get(c) match {
+              case None => Some(s"$table.$c: MISSING (expected $t)")
+              case Some(g) if g != t => Some(s"$table.$c: expected $t, got $g")
+              case _ => None
+            }
+          }
+          val extras = got.collect {
+            case (c, t) if !expNames.contains(c) => s"$table.$c: UNEXPECTED column ($t)"
+          }
+          mismatches ++ extras
+        } catch {
+          case e: Throwable => Seq(s"$table: load failed: ${e.getMessage}")
+        }
+      }
+    }
+
+  /** Throws ONE IllegalStateException naming every drifted column, or
+    * returns silently. `context` labels which harness tripped it. */
+  def preflight(spark: SparkSession, dir: String, context: String): Unit = {
+    val d = drift(spark, dir)
+    if (d.nonEmpty) throw new IllegalStateException(
+      s"[$context] testdata schema drift at $dir (fix graft.Tables / update " +
+        s"graft.SchemaContract):\n  " + d.mkString("\n  "))
+  }
+}

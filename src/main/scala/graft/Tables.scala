@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -22,13 +23,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]); read nanos as long and convert to a
-    * micros TimestampType column (truncation matches DuckDB's ns→µs cast). */
+  /** events.parquet has shipped with two `ts` encodings across driver
+    * testdata generations, so the loader adapts on the OBSERVED type:
+    *   - TIMESTAMP(NANOS): Spark's parquet reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]) unless read nanos-as-long, then converted
+    *     to micros TimestampType (truncation matches DuckDB's ns→µs cast);
+    *   - timestamp[us] without tz (current generation): arrives as
+    *     TIMESTAMP_NTZ; cast to the session-UTC TimestampType the oracles
+    *     assume — an identity re-tag of the wall-clock value under the
+    *     UTC session every graft main pins, matching DuckDB's naive read.
+    * Any third encoding fails HERE with the table+column named, not deep
+    * inside 21 query plans (the round-6 drift failure mode). */
   def events(s: SparkSession, d: String): DataFrame = {
+    // harmless when ts is already micros; keeps legacy nanos files readable
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet encoding $other " +
+          "(expected TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

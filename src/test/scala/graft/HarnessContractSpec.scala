@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the r7 harness contracts (VERDICT r6 "what's wrong" #3/#4 + next
+  * list #2/#3): the schema-contract preflight catches testdata drift with
+  * a message naming the column, Verify writes a RED row (never an absent
+  * one) for a query that throws, and Bench records a failed query as
+  * FAILED with no timing sample instead of timing the crash. */
+class HarnessContractSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("schema contract holds on the driver-provided testdata") {
+    assert(SchemaContract.drift(spark, sfDir) == Seq.empty)
+  }
+
+  test("events loader adapts both ts encodings to TIMESTAMP") {
+    // current generation: timestamp[us] (TIMESTAMP_NTZ at the reader)
+    val cur = Tables.events(spark, sfDir)
+    assert(cur.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // legacy generation: TIMESTAMP(NANOS) read nanos-as-long — synthesize
+    // a long-ts events file and load through the same adaptive path
+    val dir = Files.createTempDirectory(Paths.get("target"), "evdrift").toString
+    Tables.events(spark, sfDir).limit(10)
+      .withColumn("ts", unix_micros(col("ts")) * 1000) // micros → fake nanos
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val legacy = Tables.events(spark, dir)
+    assert(legacy.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // the two encodings decode to the same instants
+    val a = cur.limit(10).select("event_id", "ts").collect().map(_.toString).sorted
+    val b = legacy.select("event_id", "ts").collect().map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("schema drift is reported naming the drifted column") {
+    // clone the testdata dir by re-pointing loaders at a temp dir where
+    // every table is a symlink except events, which gets a drifted ts
+    val dir = Files.createTempDirectory(Paths.get("target"), "drift")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings"))
+      Files.createSymbolicLink(
+        dir.resolve(s"$t.parquet"), Paths.get(s"$sfDir/$t.parquet"))
+    Tables.events(spark, sfDir).limit(5)
+      .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd")) // ts → STRING
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val drift = SchemaContract.drift(spark, dir.toString)
+    assert(drift.size == 1)
+    // the adaptive loader itself rejects the unknown encoding, so the
+    // drift line carries its message — which names the column and the
+    // offending type (what the one-line diagnosis needs)
+    assert(drift.head.contains("events.ts"))
+    assert(drift.head.contains("StringType"))
+    intercept[IllegalStateException] {
+      SchemaContract.preflight(spark, dir.toString, "spec")
+    }
+  }
+
+  test("Verify writes a red-row marker for a query that throws") {
+    val out = Files.createTempDirectory(Paths.get("target"), "vfail").toString
+    val boom: (SparkSession, String) => DataFrame =
+      (_, _) => throw new RuntimeException("deliberate gate failure")
+    val okQ: (SparkSession, String) => DataFrame =
+      (s, d) => Tables.region(s, d)
+    val failed = Verify.run(spark,
+      Map("q_boom" -> boom, "q_ok" -> okQ), sfDir, out)
+    assert(failed == Seq("q_boom"))
+    // the failed slot is a READABLE one-row parquet that can never match
+    // an oracle schema — red, not absent, in every downstream compare
+    val marker = spark.read.parquet(s"$out/q_boom")
+    assert(marker.columns.toSeq == Seq("_graft_error"))
+    assert(marker.count() == 1)
+    assert(marker.head().getString(0).contains("deliberate gate failure"))
+    assert(spark.read.parquet(s"$out/q_ok").count() > 0)
+  }
+
+  test("Bench records a crashed query as failed with no timing sample") {
+    val boom: (SparkSession, String) => DataFrame =
+      (_, _) => throw new RuntimeException("bench crash")
+    val okQ: (SparkSession, String) => DataFrame =
+      (s, d) => Tables.region(s, d)
+    val (ok, failed) = Bench.measureSuite(spark, sfDir,
+      Seq("a_ok" -> okQ, "b_boom" -> boom))
+    assert(failed == Seq("b_boom"))
+    assert(ok.map(_._1) == Seq("a_ok"))
+    assert(ok.head._2 > 0)
+  }
+}
