@@ -46,15 +46,22 @@ import scala.jdk.CollectionConverters._
   *     the CPU probe read 1.0×, i.e. the contention was storage-side):
   *     a fixed 256 MiB write+fsync+read-back against `target/` scratch —
   *     senses the disk bandwidth shuffle spill and memo artifacts feel.
-  * Per-run factors are each arm's probe over the best run's probe; the
-  * COMBINED factor (elementwise max of the arms) drives `total_norm`
-  * (every sample divided by its run's combined factor, then per-query
-  * medians summed) and `ambient_inflated` (true when any combined factor
-  * exceeds 1.10). The line carries `probe_sec`/`inflation` (CPU arm,
-  * field names unchanged for round-over-round comparability) plus
-  * `probe_io_sec`/`inflation_io`. The probes cannot conjure a quiet
-  * machine — if ALL runs are inflated, factors read ~1.0 and `total_norm`
-  * stays pessimistic; they detect UNEQUAL windows.
+  * Per-run factors are each arm's probe over the best run's probe.
+  * `total_norm` divides samples by the CPU factor only — the same
+  * semantics as round 6, so it stays comparable round-over-round and
+  * never over-corrects a compute-bound query by a disk-side spike
+  * (observed: I/O factors of 4.6× alongside CPU factors of 1.0 would
+  * deflate an 11 s suite to a fictitious 3 s). `total_norm_lb` divides
+  * by the COMBINED factor (elementwise max of the arms): the quiet-
+  * window cost IF every query were fully bound by the window's binding
+  * resource — a lower bound. Quiet-window truth lies in
+  * [total_norm_lb, total_norm]; `ambient_inflated` keys on the combined
+  * factor spread (>10 %), so a disk-noisy window can no longer present
+  * as clean. Field names `probe_sec`/`inflation` stay CPU-arm for
+  * comparability; `probe_io_sec`/`inflation_io` carry the new arm. The
+  * probes cannot conjure a quiet machine — if ALL runs are inflated,
+  * factors read ~1.0 and the norms stay pessimistic; they detect
+  * UNEQUAL windows.
   *
   * `SPARK_GRAFT_BENCH_RUNS=1` (or any child-spawn failure) degrades to the
   * old in-process single run, so the driver always gets its line. */
@@ -298,8 +305,8 @@ object Bench {
     val cpuFactors = factorsOf(cpuProbes)
     val ioFactors = factorsOf(ioProbes)
     // combined factor: the binding constraint of the window (either arm)
-    val factors = cpuFactors.zip(ioFactors).map { case (a, b) => math.max(a, b) }
-    val inflated = factors.max > 1.10
+    val combined = cpuFactors.zip(ioFactors).map { case (a, b) => math.max(a, b) }
+    val inflated = combined.max > 1.10
     // failure accounting: a query red in ANY surviving run invalidates
     val failedQueries = samples.flatMap(_.failed).distinct.sorted
     val nFailed = failedQueries.size
@@ -308,19 +315,21 @@ object Bench {
     val byName = names.map { n =>
       n -> samples.flatMap(_.ok.collectFirst { case (`n`, v) => v })
     }
-    // normalized samples: each divided by its run's combined ambient factor
-    val byNameNorm = names.map { n =>
-      n -> samples.zip(factors).flatMap { case (r, f) =>
+    // normalized samples: total_norm by the CPU arm (r6-comparable),
+    // total_norm_lb by the combined arm (full-sensitivity lower bound)
+    def normTotal(fs: Seq[Double]): Double = names.map { n =>
+      median(samples.zip(fs).flatMap { case (r, f) =>
         r.ok.collectFirst { case (`n`, v) => v / f }
-      }
-    }
+      })
+    }.sum
     val med = byName.map { case (n, vs) => n -> median(vs) }
     val total = med.map(_._2).sum
-    val totalNorm = byNameNorm.map { case (_, vs) => median(vs) }.sum
+    val totalNorm = normTotal(cpuFactors)
+    val totalNormLb = normTotal(combined)
     val minTotal = byName.map(_._2.min).sum
     val maxTotal = byName.map(_._2.max).sum
     def fmtJ(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians","queries":${qJson(med)},"sf":"$sfDir","runs":${samples.size},"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"ambient_inflated":$inflated,"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians","queries":${qJson(med)},"sf":"$sfDir","runs":${samples.size},"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"ambient_inflated":$inflated,"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
     // full spread snapshot (per-query min/med/max + raw samples) — the
     // driver's BENCH tail truncates at 2000 chars, this file never does
     val detail = byName.map { case (n, vs) =>
@@ -330,7 +339,7 @@ object Bench {
     val runFailed = samples.map(_.failed.size).mkString("[", ",", "]")
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench_runs_latest.json"),
-      s"""{"sf":"$sfDir","runs":${samples.size},"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"per_query":$detail}""")
+      s"""{"sf":"$sfDir","runs":${samples.size},"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"per_query":$detail}""")
     System.err.println(s"[bench] ${samples.size} runs, median total $total s (norm $totalNorm, inflated=$inflated, n_failed=$nFailed); full spread in target/bench_runs_latest.json")
   }
 }
