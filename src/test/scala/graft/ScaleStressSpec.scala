@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the honest-scaling construction behind SCALE_STRESS_r07.json:
+  * the ×f corpus must behave as f INDEPENDENT corpora at the 3-shingle
+  * level, or the measured exponents would be an artifact of replicated
+  * text inflating pair mass quadratically. */
+class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // the ScaleStress mangle, inlined for a 3-copy corpus over tiny docs
+  private def mangled(i: Int) = {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    if (i == 0) docs
+    else docs.select(
+      col("doc_id") + lit(i.toLong * 100000000L) as "doc_id",
+      array_join(
+        transform(split(col("text"), " "),
+          (w, idx) => when(pmod(idx, lit(3)) === lit(i % 3),
+            concat(w, lit(s"·c$i"))).otherwise(w)),
+        " ") as "text")
+  }
+
+  private def shingles(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, size(split(text,' ')) - 3),
+        |  k -> concat_ws(' ', slice(split(text,' '), k + 1, 3)))""".stripMargin))
+      .as("sh"))
+
+  test("copies share zero 3-shingles with the original and each other") {
+    // copies 1..4 cover both distinct (i%3 differs) and colliding
+    // (1%3 == 4%3) rewrite phases — the suffix must disambiguate the latter
+    val copies = (0 to 4).map(i => shingles(mangled(i)).withColumn("copy", lit(i)))
+    val all = copies.reduce(_ unionByName _).cache()
+    try {
+      val cross = all.as("a").join(all.as("b"),
+        col("a.sh") === col("b.sh") && col("a.copy") < col("b.copy"))
+      assert(cross.count() == 0)
+      // sanity: WITHIN a copy the shingle multiset is intact (same count
+      // as the original's), so intra-copy dup structure is preserved
+      val perCopy = all.groupBy("copy").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(perCopy.values.toSet.size == 1)
+    } finally { all.unpersist(); () }
+  }
+
+  test("every 3-word window of a mangled copy covers a rewritten position") {
+    // the disjointness mechanism: with every 3rd word rewritten, no
+    // 3-window can consist of original words only
+    val sh = shingles(mangled(2)).select("sh").collect().map(_.getString(0))
+    assert(sh.nonEmpty)
+    assert(sh.forall(_.contains("·c2")))
+  }
+}
