@@ -1,6 +1,7 @@
 package graft
 
-/** Per-process scratch root for gate fixtures (q67 CSV, q106 JSONL).
+/** Per-process scratch root for gate fixtures (q67 CSV, q106 JSONL),
+  * streaming checkpoint/store dirs, and memo artifacts.
   *
   * The fixture gates materialize a tiny dim-table file to exercise the
   * ingestion sources; the path must not be a fixed literal or two
@@ -9,13 +10,35 @@ package graft
   * SPARK_GRAFT_SCRATCH; the default embeds the JVM pid so concurrent
   * processes get disjoint roots. Fact-sized data must never go through
   * this path — it is driver-side PrintWriter territory, dim tables only.
+  *
+  * The default root prefers `/dev/shm` (tmpfs) when writable. Everything
+  * here is bounded gate-fixture-sized (MBs against a 126 GiB tmpfs), but
+  * the ACCESS PATTERN is sync-heavy: streaming micro-batches commit state
+  * stores and sink metadata with create+sync+rename per partition, and
+  * the memo builders write their parquet artifacts here. Measured honestly
+  * (r7, interleaved disk/tmpfs A/B on the 4 heaviest streaming gates in
+  * the same window): the QUIET-window cost is unchanged — the fixed
+  * streaming overhead is per-batch planning/commit latency, not disk.
+  * What tmpfs removes is the EXPOSURE to co-tenant disk pressure: the r6
+  * round recorded 3–15× inflation on exactly the scratch-heaviest queries
+  * (q62/q115/q34/q108, all memo-artifact writers) in windows whose
+  * disk-I/O probe read 3.5–4.6× while CPU read ~1.0×. At production
+  * scale these artifacts live on cluster storage chosen for that duty;
+  * locally, RAM-backing them measures the operators instead of the
+  * co-tenant's disk queue. Disk fallback keeps any non-tmpfs host
+  * working unchanged.
   */
 object Scratch {
   private lazy val base: String = {
-    val b = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
-      s"/root/repo/target/scratch-${ProcessHandle.current().pid()}")
+    val b = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", {
+      val shm = new java.io.File("/dev/shm")
+      val root =
+        if (shm.isDirectory && shm.canWrite) "/dev/shm" else "/root/repo/target"
+      s"$root/graft-scratch-${ProcessHandle.current().pid()}"
+    })
     // the pid default is unique per process, so nothing else ever reuses
-    // it — remove it at exit or target/ accrues one orphan dir per run
+    // it — remove it at exit or the root accrues one orphan dir per run
+    // (on tmpfs that would be leaked RAM, so the hook matters even more)
     if (!sys.env.contains("SPARK_GRAFT_SCRATCH"))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         deleteRec(new java.io.File(b))))
