@@ -24,8 +24,11 @@ class HarnessContractSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("schema contract holds on the driver-provided testdata") {
-    assert(SchemaContract.drift(spark, sfDir) == Seq.empty)
+  test("schema contract holds on the driver-provided testdata, all tiers") {
+    // a partial regeneration could drift one tier only — check all three
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1"))
+      assert(SchemaContract.drift(spark, d) == Seq.empty, s"tier $d")
   }
 
   test("events loader adapts both ts encodings to TIMESTAMP") {
