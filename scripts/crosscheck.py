@@ -66,6 +66,15 @@ def compare(sfdir: str, outdir: str):
 
 def main():
     sfdir, outdir, label = sys.argv[1], sys.argv[2], sys.argv[3]
+    # surface Verify's own failure record (gates that crashed write a
+    # {_graft_error} marker parquet AND are listed here — r7 contract)
+    try:
+        status = json.load(open(f"{outdir}/_verify_status.json"))
+        if status.get("n_failed"):
+            print(f"[crosscheck {label}] VERIFY REPORTED {status['n_failed']} "
+                  f"FAILED GATES: {', '.join(status['failed'])}")
+    except FileNotFoundError:
+        pass
     report = compare(sfdir, outdir)
     path = f"target/CROSSCHECK_{label}.json"
     with open(path, "w") as f:
