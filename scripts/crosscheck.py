@@ -75,6 +75,10 @@ def main():
                   f"FAILED GATES: {', '.join(status['failed'])}")
     except FileNotFoundError:
         pass
+    except (json.JSONDecodeError, KeyError) as e:
+        # a truncated/partial status (Verify killed mid-write) must not
+        # abort the whole crosscheck before compare() runs
+        print(f"[crosscheck {label}] WARNING: malformed _verify_status.json: {e}")
     report = compare(sfdir, outdir)
     path = f"target/CROSSCHECK_{label}.json"
     with open(path, "w") as f:

@@ -188,6 +188,19 @@ object Bench {
   private def sJson(ss: Seq[String]): String =
     ss.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+  /** Full JSON string escape (backslash, quote, ALL control chars) — drift
+    * entries embed raw exception messages, and Spark messages routinely
+    * contain newlines that would break the one-line stdout contract. */
+  private def jstr(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** One run = probes, suite, probes: ambient load is sampled in the same
     * window the suite ran in (min of the two brackets per arm — the best
     * the window allowed). */
@@ -276,7 +289,7 @@ object Bench {
       val s = session(cpus)
       val drift = try SchemaContract.drift(s, sfDir) finally s.stop()
       if (drift.nonEmpty) {
-        val msg = drift.mkString("; ").replace("\\", "\\\\").replace("\"", "\\\"")
+        val msg = jstr(drift.mkString("; "))
         System.err.println(s"[bench] SCHEMA DRIFT — artifact invalid: ${drift.mkString("; ")}")
         println(s"""{"metric":"total","value":-1,"unit":"sec","sf":"$sfDir","invalid":true,"n_failed":${SparkEntry.queries.size},"error":"schema drift: $msg"}""")
         return

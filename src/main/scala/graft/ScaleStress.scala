@@ -50,17 +50,37 @@ object ScaleStress {
     (if (factor > 30) docGates.filterNot(_ == "q34_simhash") else docGates) ++
       embGates ++ controlGates
 
+  /** Recursive delete that does NOT follow symlinks — the stale corpus dir
+    * contains links into the (read-only) base testdata; a follow-links
+    * delete would recurse into it. */
+  private def deleteNoFollow(p: java.nio.file.Path): Unit = {
+    if (!Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) return
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val s = Files.list(p)
+      try s.forEach(deleteNoFollow(_)) finally s.close()
+    }
+    Files.deleteIfExists(p): Unit
+  }
+
   private def buildDir(spark: SparkSession, base: String, factor: Int): String = {
+    // Symlink targets must be absolute (a relative SPARK_GRAFT_SF_DIR would
+    // otherwise resolve relative to the link's dir and dangle), and the
+    // _READY marker records the base dir so a corpus built from a DIFFERENT
+    // base is rebuilt instead of silently reused.
+    val absBase = Paths.get(base).toAbsolutePath.normalize
     val dir = Paths.get(s"target/scale_stress/x$factor")
     val marker = dir.resolve("_READY")
-    if (Files.exists(marker)) return dir.toString
+    if (Files.exists(marker) &&
+        Files.readString(marker).trim == absBase.toString)
+      return dir.toString
+    deleteNoFollow(dir)
     Files.createDirectories(dir)
     // non-scaled tables: symlink (same bytes, no copy cost)
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events")) {
       val link = dir.resolve(s"$t.parquet")
       if (!Files.exists(link))
-        Files.createSymbolicLink(link, Paths.get(s"$base/$t.parquet"))
+        Files.createSymbolicLink(link, absBase.resolve(s"$t.parquet"))
     }
     val docs = Tables.documents(spark, base)
     val mangled = (0 until factor).map { i =>
@@ -93,7 +113,7 @@ object ScaleStress {
     }.reduce(_ unionByName _)
       .repartition(math.max(4, factor / 4))
       .write.mode("overwrite").parquet(dir.resolve("embeddings.parquet").toString)
-    Files.createFile(marker)
+    Files.writeString(marker, absBase.toString)
     dir.toString
   }
 

@@ -32,8 +32,15 @@ object Scratch {
   private lazy val base: String = {
     val b = sys.env.getOrElse("SPARK_GRAFT_SCRATCH", {
       val shm = new java.io.File("/dev/shm")
+      // Writability alone is not enough: Docker/containerd mounts /dev/shm
+      // at 64 MiB by default, and streaming state stores + memo parquet
+      // would ENOSPC mid-gate. Require real headroom (4 GiB) before
+      // preferring tmpfs; otherwise fall back to disk.
+      val minTmpfsBytes = 4L << 30
       val root =
-        if (shm.isDirectory && shm.canWrite) "/dev/shm" else "/root/repo/target"
+        if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > minTmpfsBytes)
+          "/dev/shm"
+        else "/root/repo/target"
       s"$root/graft-scratch-${ProcessHandle.current().pid()}"
     })
     // the pid default is unique per process, so nothing else ever reuses
