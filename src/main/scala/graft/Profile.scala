@@ -228,6 +228,34 @@ object ProfileCurate {
   }
 }
 
+/** Dev tool: bench-like timing of ONE named gate — warmup on q1_agg, then
+  * N samples of the gate with clearCache + GC between (the same cache
+  * hygiene [[Bench.measureSuite]] applies), so the number matches what the
+  * bench's per-query median measures without paying a full-suite run. */
+object ProfileOne {
+  import Profile.time
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val name = if (args.length > 1) args(1) else "q62_curation_pipeline"
+    val n = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", Scratch.sparkLocalDir())
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    time("warmup q1_agg") { SparkEntry.queries("q1_agg")(spark, sfDir).count() }
+    spark.catalog.clearCache(); System.gc()
+    for (i <- 1 to n) {
+      time(s"$name run $i") { println("rows=" + SparkEntry.queries(name)(spark, sfDir).count()) }
+      spark.catalog.clearCache(); System.gc()
+    }
+    spark.stop()
+  }
+}
+
 /** Dev tool: per-round timing of the CC loop (replicates DupClusters). */
 object ProfileCCRounds {
   import Profile.time

@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   * aggregation — nothing recomputes. */
 object DupClusters {
 
+  /** Symmetrized-edge-count bound under which the component labeling runs
+    * as a driver-side union-find instead of the iterative join loop. A
+    * near-dup edge set after thresholding is a tiny fraction of the corpus
+    * (it lists the DUPLICATES, not the documents), so at gate scale the
+    * iterative path spends seconds of per-round job overhead labeling a
+    * few hundred edges. 2²⁰ symmetrized edges ≈ 16 MB of (Long, Long) —
+    * the same order as Spark's own broadcast ceiling, and the count GATE
+    * means a 100 TB corpus whose edge set is billions of rows takes the
+    * distributed path untouched: this is a measured fallback, not a
+    * driver-side assumption. */
+  val SmallGraphEdgeBound: Long = 1L << 20
+
   /** `edges`: undirected pairs in columns (`a`, `b`). Returns
     * (`id`, `cluster`) where cluster = min id reachable from `id`;
     * every id appearing in any edge is labeled.
@@ -29,10 +41,40 @@ object DupClusters {
     * Duplicates would not affect correctness (min is idempotent), only
     * per-round join width. */
   def connectedComponents(edges: DataFrame,
-                          uniquePairs: Boolean = false): DataFrame = {
+                          uniquePairs: Boolean = false,
+                          smallGraphBound: Long = SmallGraphEdgeBound): DataFrame = {
     val sym0 = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
     val sym = (if (uniquePairs) sym0 else sym0.distinct()).cache()
+    // Small-graph fast path: one cached count decides. Long-typed ids only
+    // (every house pair generator emits Long doc/vec ids); any other type
+    // falls through to the type-generic iterative loop.
+    val longIds = sym.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && smallGraphBound > 0 && sym.count() <= smallGraphBound) {
+      val s = edges.sparkSession
+      import s.implicits._
+      val es = sym.as[(Long, Long)].collect()
+      sym.unpersist()
+      // Union by MIN root: the smaller root becomes parent, so each
+      // component's root IS its minimum id — no relabeling pass needed.
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var root = x0
+        while (parent.getOrElse(root, root) != root)
+          root = parent.getOrElse(root, root)
+        var x = x0 // path compression
+        while (x != root) { val nxt = parent.getOrElse(x, x); parent(x) = root; x = nxt }
+        root
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.iterator.map(_._1).toArray.distinct // sym carries both directions
+      return s.createDataset(nodes.map(id => (id, find(id))).toSeq)
+        .toDF("id", "cluster")
+    }
     // Seed with the 1-hop minimum directly: the naive identity seed makes
     // round 1 a join against id->id labels, which computes exactly
     // min(id, min(neighbor)) — one groupBy gets the same labels without

@@ -198,6 +198,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 1L),
       (1L, 4L, 2L), (1L, 5L, 3L), (1L, 6L, 4L)))
+    // bound=0 forces the distributed label-propagation loop the 100 TB
+    // graphs take — same result as the driver fast path above
+    val outIter = Traceability.reach(edges, Seq(Tuple1(1L)).toDF("id"),
+        maxHops = 10, smallGraphBound = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(outIter == out)
     // maxHops truncates the walk
     val shallow = Traceability.reach(edges, Seq(Tuple1(1L)).toDF("id"), maxHops = 2)
       .as[(Long, Long, Long)].collect().toSet
@@ -286,10 +292,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = parent.keys.map(k => k -> find(k)).toMap
+      // both paths against the same oracle: the default hits the
+      // small-graph union-find fast path; bound=0 forces the iterative
+      // label-propagation loop the 100 TB edge sets take
       val got = graft.operators.DupClusters
         .connectedComponents(edges.toDF("a", "b"))
         .as[(Long, Long)].collect().toMap
-      assert(got == expected, s"nEdges=$nEdges")
+      assert(got == expected, s"nEdges=$nEdges (fast path)")
+      val gotIter = graft.operators.DupClusters
+        .connectedComponents(edges.toDF("a", "b"), smallGraphBound = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(gotIter == expected, s"nEdges=$nEdges (iterative path)")
     }
   }
 
