@@ -243,7 +243,6 @@ object ProfileOne {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", Scratch.sparkLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     time("warmup q1_agg") { SparkEntry.queries("q1_agg")(spark, sfDir).count() }
