@@ -63,13 +63,24 @@ import scala.jdk.CollectionConverters._
   * factors read ~1.0 and the norms stay pessimistic; they detect
   * UNEQUAL windows.
   *
+  * QUIET-WINDOW RETRY (r8): when the quietest-`runs` subset of attempts
+  * still shows >10 % combined-probe spread, the harness spawns one
+  * replacement child at a time (≤ SPARK_GRAFT_BENCH_MAX_RUNS attempts
+  * total, default 6) and keeps the `runs` quietest attempts — the
+  * official artifact converges to `ambient_inflated: false` on a shared
+  * host instead of documenting that it couldn't. Uniformly-loaded hosts
+  * read factors ~1.0 and never retry (normalization has nothing to
+  * correct there). `runs_attempted` and every attempt's probes are
+  * recorded so a retried artifact is distinguishable from a first-try
+  * quiet one.
+  *
   * `SPARK_GRAFT_BENCH_RUNS=1` (or any child-spawn failure) degrades to the
   * old in-process single run, so the driver always gets its line. */
 object Bench {
 
   /** One run's outcome: bracket-min probe seconds per arm, per-query
     * timings for queries that RAN, names of queries that threw. */
-  private final case class Run(
+  private[graft] final case class Run(
       probe: Double, probeIo: Double,
       ok: Seq[(String, Double)], failed: Seq[String])
 
@@ -273,6 +284,34 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
   }
 
+  /** The `k` quietest attempts, ranked by each run's combined probe
+    * factor against the global per-arm minima (CPU and I/O arms; a probe
+    * of 0 — pre-field child or parse failure — scores as baseline).
+    * Package-visible with [[windowInflated]] so the retry-selection
+    * contract is spec-testable on synthetic probe vectors. */
+  private[graft] def quietestSubset(rs: Seq[Run], k: Int): Seq[Run] = {
+    def minPos(ps: Seq[Double]) = ps.filter(_ > 0) match {
+      case Seq() => 0.0; case xs => xs.min
+    }
+    val (mc, mi) = (minPos(rs.map(_.probe)), minPos(rs.map(_.probeIo)))
+    def score(r: Run): Double = math.max(
+      if (r.probe > 0 && mc > 0) r.probe / mc else 1.0,
+      if (r.probeIo > 0 && mi > 0) r.probeIo / mi else 1.0)
+    rs.sortBy(score).take(k)
+  }
+
+  /** True when the subset's combined (max-of-arms) probe spread exceeds
+    * the 10 % band — the same criterion the artifact's `ambient_inflated`
+    * field reports over the kept runs. */
+  private[graft] def windowInflated(rs: Seq[Run]): Boolean = {
+    def fs(ps: Seq[Double]) = {
+      val best = ps.filter(_ > 0) match { case Seq() => 0.0; case xs => xs.min }
+      ps.map(p => if (p > 0 && best > 0) p / best else 1.0)
+    }
+    fs(rs.map(_.probe)).zip(fs(rs.map(_.probeIo)))
+      .map { case (a, b) => math.max(a, b) }.max > 1.10
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -283,27 +322,55 @@ object Bench {
       return
     }
     // Schema-contract preflight BEFORE spawning 3 × 45-min children: on
-    // drift, emit the artifact immediately as invalid with the cause in
-    // one line (the r6 drift instead produced 21 scattered crash-timings).
-    locally {
+    // BREAKING drift (missing/retyped/unloadable — the r6 failure mode),
+    // emit the artifact immediately as invalid with the cause in one line.
+    // ADDITIVE drift (a new column no gate projects) is a warning carried
+    // in the artifact, not an invalidation (policy: [[SchemaContract]]).
+    val schemaWarnings: Seq[String] = {
       val s = session(cpus)
-      val drift = try SchemaContract.drift(s, sfDir) finally s.stop()
-      if (drift.nonEmpty) {
-        val msg = jstr(drift.mkString("; "))
-        System.err.println(s"[bench] SCHEMA DRIFT — artifact invalid: ${drift.mkString("; ")}")
+      val (errors, warnings) = try SchemaContract.driftDetailed(s, sfDir) finally s.stop()
+      if (errors.nonEmpty) {
+        val msg = jstr(errors.mkString("; "))
+        System.err.println(s"[bench] SCHEMA DRIFT — artifact invalid: ${errors.mkString("; ")}")
         println(s"""{"metric":"total","value":-1,"unit":"sec","sf":"$sfDir","invalid":true,"n_failed":${SparkEntry.queries.size},"error":"schema drift: $msg"}""")
         return
       }
+      warnings.foreach(w => System.err.println(s"[bench] schema warning (non-fatal): $w"))
+      warnings
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // QUIET-WINDOW CONVERGENCE (r8, VERDICT r7 next-list #2): rather than
+    // documenting an inflated window, retry it away. After the initial
+    // `runs` children, if the quietest-`runs` subset still shows >10 %
+    // combined-probe spread, spawn ONE replacement child at a time (hard
+    // cap SPARK_GRAFT_BENCH_MAX_RUNS, default 6 attempts total — the
+    // driver's patience bounds this) and re-select the `runs` quietest
+    // attempts by each run's combined probe factor vs the global per-arm
+    // minima. The probes can only rank windows, not conjure a quiet host:
+    // if every window is equally loaded, factors read ~1.0, `inflated`
+    // is false, and no retry fires — which is the correct outcome, since
+    // normalization has nothing to correct. All attempts (kept + dropped)
+    // are recorded in target/bench_runs_latest.json.
+    var attempted: Vector[Run] = Vector.empty
+    var attempts = 0
     val samples: Seq[Run] =
-      if (runs == 1) Seq(inProcessRun(sfDir, cpus))
+      if (runs == 1) { attempts = 1; attempted = Vector(inProcessRun(sfDir, cpus)); attempted }
       else {
-        val ok = (1 to runs).flatMap(i => spawnRun(i, runs))
-        if (ok.nonEmpty) ok
+        val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "6")
+          .toInt.max(runs)
+        attempted = (1 to runs).flatMap(i => spawnRun(i, maxAttempts)).toVector
+        attempts = runs
+        while (attempted.nonEmpty && attempts < maxAttempts &&
+            windowInflated(quietestSubset(attempted, runs))) {
+          attempts += 1
+          System.err.println(s"[bench] window inflated; retry $attempts/$maxAttempts")
+          spawnRun(attempts, maxAttempts).foreach(r => attempted :+= r)
+        }
+        if (attempted.nonEmpty) quietestSubset(attempted, runs)
         else { // degrade rather than give the driver nothing
           System.err.println("[bench] all child runs failed; in-process fallback")
-          Seq(inProcessRun(sfDir, cpus))
+          attempts += 1
+          attempted = Vector(inProcessRun(sfDir, cpus)); attempted
         }
       }
     // per-run ambient factor per arm: probe relative to the quietest run's
@@ -342,7 +409,7 @@ object Bench {
     val minTotal = byName.map(_._2.min).sum
     val maxTotal = byName.map(_._2.max).sum
     def fmtJ(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians","queries":${qJson(med)},"sf":"$sfDir","runs":${samples.size},"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"ambient_inflated":$inflated,"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians","queries":${qJson(med)},"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
     // full spread snapshot (per-query min/med/max + raw samples) — the
     // driver's BENCH tail truncates at 2000 chars, this file never does
     val detail = byName.map { case (n, vs) =>
@@ -350,9 +417,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val runTotals = samples.map(_.ok.map(_._2).sum).mkString("[", ",", "]")
     val runFailed = samples.map(_.failed.size).mkString("[", ",", "]")
+    val allProbes = attempted.map(r => f"[${r.probe}%.3f,${r.probeIo}%.3f]")
+      .mkString("[", ",", "]")
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench_runs_latest.json"),
-      s"""{"sf":"$sfDir","runs":${samples.size},"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"per_query":$detail}""")
+      s"""{"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"per_query":$detail}""")
     System.err.println(s"[bench] ${samples.size} runs, median total $total s (norm $totalNorm, inflated=$inflated, n_failed=$nFailed); full spread in target/bench_runs_latest.json")
   }
 }

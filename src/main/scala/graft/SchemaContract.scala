@@ -68,39 +68,68 @@ object SchemaContract {
     "documents" -> (() => Tables.documents(s, d)),
     "embeddings" -> (() => Tables.embeddings(s, d)))
 
-  /** One message per drifted/missing/extra column (empty = contract holds).
+  /** `(errors, warnings)` — one message per drifted column.
+    *
+    * ADDITIVE-DRIFT POLICY (pinned r8, VERDICT r7 next-list #7): a column
+    * the contract doesn't know about is a WARNING, not an error. The r6
+    * incident this contract exists for was a TYPE change (`events.ts`
+    * nanos→micros) — a missing column, a retyped column, or a loader that
+    * cannot read the file at all each breaks gates and must invalidate
+    * the artifact; a purely ADDED column changes no gate's projection and
+    * no oracle's SQL, and the correctness gate (Verify + DuckDB compare)
+    * independently attests results either way. Strict-reject here would
+    * make the next harmless testdata widening self-invalidate a whole
+    * round's bench for nothing. Warnings are still surfaced (stderr + a
+    * `schema_warnings` field in the bench artifacts) so the contract map
+    * gets updated rather than silently rotting.
+    *
     * A loader that itself throws (e.g. an unreadable encoding) yields one
-    * message for its table rather than propagating. */
-  def drift(spark: SparkSession, dir: String): Seq[String] =
-    loaders(spark, dir).toSeq.sortBy(_._1).flatMap { case (table, ld) =>
-      expected.get(table).toSeq.flatMap { exp =>
-        try {
-          val got = ld().schema.map(f => f.name -> f.dataType.sql)
-          val gotMap = got.toMap
-          val expNames = exp.map(_._1).toSet
-          val mismatches = exp.flatMap { case (c, t) =>
-            gotMap.get(c) match {
-              case None => Some(s"$table.$c: MISSING (expected $t)")
-              case Some(g) if g != t => Some(s"$table.$c: expected $t, got $g")
-              case _ => None
+    * error for its table rather than propagating. */
+  def driftDetailed(spark: SparkSession, dir: String): (Seq[String], Seq[String]) = {
+    val per = loaders(spark, dir).toSeq.sortBy(_._1).map { case (table, ld) =>
+      expected.get(table) match {
+        case None => (Seq.empty[String], Seq.empty[String])
+        case Some(exp) =>
+          try {
+            val got = ld().schema.map(f => f.name -> f.dataType.sql)
+            val gotMap = got.toMap
+            val expNames = exp.map(_._1).toSet
+            val mismatches = exp.flatMap { case (c, t) =>
+              gotMap.get(c) match {
+                case None => Some(s"$table.$c: MISSING (expected $t)")
+                case Some(g) if g != t => Some(s"$table.$c: expected $t, got $g")
+                case _ => None
+              }
             }
+            val extras = got.collect {
+              case (c, t) if !expNames.contains(c) => s"$table.$c: UNEXPECTED column ($t)"
+            }
+            (mismatches, extras)
+          } catch {
+            case e: Throwable => (Seq(s"$table: load failed: ${e.getMessage}"), Seq.empty)
           }
-          val extras = got.collect {
-            case (c, t) if !expNames.contains(c) => s"$table.$c: UNEXPECTED column ($t)"
-          }
-          mismatches ++ extras
-        } catch {
-          case e: Throwable => Seq(s"$table: load failed: ${e.getMessage}")
-        }
       }
     }
+    (per.flatMap(_._1), per.flatMap(_._2))
+  }
 
-  /** Throws ONE IllegalStateException naming every drifted column, or
-    * returns silently. `context` labels which harness tripped it. */
+  /** Errors AND warnings flattened (back-compat view for specs/tools that
+    * want "is the contract map exactly current"). */
+  def drift(spark: SparkSession, dir: String): Seq[String] = {
+    val (e, w) = driftDetailed(spark, dir)
+    e ++ w
+  }
+
+  /** Throws ONE IllegalStateException naming every breaking drifted column
+    * (missing / retyped / unloadable), or returns silently; additive
+    * columns print a warning per the policy above. `context` labels which
+    * harness tripped it. */
   def preflight(spark: SparkSession, dir: String, context: String): Unit = {
-    val d = drift(spark, dir)
-    if (d.nonEmpty) throw new IllegalStateException(
+    val (errors, warnings) = driftDetailed(spark, dir)
+    warnings.foreach(w => System.err.println(
+      s"[$context] schema warning (additive drift, non-fatal): $w"))
+    if (errors.nonEmpty) throw new IllegalStateException(
       s"[$context] testdata schema drift at $dir (fix graft.Tables / update " +
-        s"graft.SchemaContract):\n  " + d.mkString("\n  "))
+        s"graft.SchemaContract):\n  " + errors.mkString("\n  "))
   }
 }

@@ -74,6 +74,47 @@ class HarnessContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("additive drift (new column) warns but does not invalidate") {
+    // r8 policy (SchemaContract scaladoc): a purely ADDED column changes
+    // no gate's projection, so it is a warning, not an error — preflight
+    // must NOT throw, and Bench must not self-invalidate on it
+    val dir = Files.createTempDirectory(Paths.get("target"), "adddrift")
+    for (t <- Seq("nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings"))
+      Files.createSymbolicLink(
+        dir.resolve(s"$t.parquet"), Paths.get(s"$sfDir/$t.parquet"))
+    Tables.region(spark, sfDir)
+      .withColumn("r_comment", lit("benign widening"))
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val (errors, warnings) = SchemaContract.driftDetailed(spark, dir.toString)
+    assert(errors.isEmpty)
+    assert(warnings == Seq("region.r_comment: UNEXPECTED column (STRING)"))
+    SchemaContract.preflight(spark, dir.toString, "spec") // must not throw
+    // the flattened view still surfaces it for contract-map maintenance
+    assert(SchemaContract.drift(spark, dir.toString).nonEmpty)
+  }
+
+  test("bench retry keeps the quietest runs and detects window spread") {
+    def run(cpu: Double, io: Double) = Bench.Run(cpu, io, Seq("q" -> 1.0), Nil)
+    val quietA = run(1.60, 0.60); val quietB = run(1.65, 0.62)
+    val quietC = run(1.62, 0.61)
+    val cpuNoisy = run(4.80, 0.61); val ioNoisy = run(1.61, 2.10)
+    // spread on either arm flags the window; a tight set does not
+    assert(Bench.windowInflated(Seq(quietA, quietB, cpuNoisy)))
+    assert(Bench.windowInflated(Seq(quietA, quietB, ioNoisy)))
+    assert(!Bench.windowInflated(Seq(quietA, quietB, quietC)))
+    // selection drops the noisy attempt regardless of which arm was loud
+    assert(Bench.quietestSubset(
+      Seq(cpuNoisy, quietA, ioNoisy, quietB, quietC), 3).toSet ==
+      Set(quietA, quietB, quietC))
+    // a probe of 0 (pre-field child) scores as baseline: it ties with the
+    // quiet runs but a measured-noisy attempt is still dropped first
+    val legacy = run(0.0, 0.0)
+    assert(!Bench.quietestSubset(Seq(legacy, quietA, cpuNoisy), 2).contains(cpuNoisy))
+    // uniformly-loaded host: factors ~1.0 everywhere -> no retry signal
+    assert(!Bench.windowInflated(Seq(run(4.8, 2.1), run(4.85, 2.12), run(4.82, 2.08))))
+  }
+
   test("Verify writes a red-row marker for a query that throws") {
     val out = Files.createTempDirectory(Paths.get("target"), "vfail").toString
     val boom: (SparkSession, String) => DataFrame =
