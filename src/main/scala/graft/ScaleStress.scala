@@ -42,13 +42,22 @@ object ScaleStress {
     "q32_ngram_jaccard", "q33_minhash_lsh", "q34_simhash",
     "q59_dup_clusters", "q62_curation_pipeline")
   private val embGates = Seq("q85_kmeans_quantizer", "q147_pq_codes")
+  // Events family (r8, VERDICT r7 next-list #3): the window/group-by
+  // shapes get the same measured-exponent treatment the dedup family got
+  // in r7 — q30 is q167's batch twin (windowed hourly rollup), q75
+  // sessionization, q81 CDC apply, q96 cohort retention, q122 quality
+  // audit. All load through Tables.events, so the synthetic dir's scaled
+  // events.parquet reaches them unchanged.
+  private val eventGates = Seq(
+    "q30_events_hourly", "q75_sessionize", "q81_cdc_apply",
+    "q96_cohort_retention", "q122_quality_audit")
   private val controlGates = Seq("q1_agg")
   // q34's OUTPUT is corpus-construction-driven (word-level near-dup mass
   // across the 2/3-overlap copies grows with factor²), so past ×30 its
   // count() cost measures the synthetic corpus, not the operator — skip
   private def gatesFor(factor: Int): Seq[String] =
     (if (factor > 30) docGates.filterNot(_ == "q34_simhash") else docGates) ++
-      embGates ++ controlGates
+      embGates ++ eventGates ++ controlGates
 
   /** Recursive delete that does NOT follow symlinks — the stale corpus dir
     * contains links into the (read-only) base testdata; a follow-links
@@ -70,18 +79,39 @@ object ScaleStress {
     val absBase = Paths.get(base).toAbsolutePath.normalize
     val dir = Paths.get(s"target/scale_stress/x$factor")
     val marker = dir.resolve("_READY")
-    if (Files.exists(marker) &&
-        Files.readString(marker).trim == absBase.toString)
+    // the marker is versioned: v2 added scaled events, so a v1 corpus
+    // (events symlinked, unscaled) rebuilds instead of silently reusing
+    val markerWant = s"v2 $absBase"
+    if (Files.exists(marker) && Files.readString(marker).trim == markerWant)
       return dir.toString
     deleteNoFollow(dir)
     Files.createDirectories(dir)
     // non-scaled tables: symlink (same bytes, no copy cost)
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events")) {
+        "orders", "lineitem")) {
       val link = dir.resolve(s"$t.parquet")
       if (!Files.exists(link))
         Files.createSymbolicLink(link, absBase.resolve(s"$t.parquet"))
     }
+    // events ×f: copy i offsets user_id AND event_id by i·10⁸, keeping
+    // ts/event_type/value/props byte-identical — f INDEPENDENT user
+    // populations over the SAME time span. Honest for the shapes under
+    // measurement: per-user session structure is preserved exactly (q75,
+    // q96, q81 key on user), windowed rollups (q30) see f× rows in the
+    // same windows (denser traffic, not a longer history — the cluster-
+    // scale growth mode), and no cross-copy interaction exists because
+    // user/event ids are disjoint and no events gate joins on value/props.
+    val ev = Tables.events(spark, base)
+    (0 until factor).map { i =>
+      if (i == 0) ev
+      else ev.select(
+        col("event_id") + lit(i.toLong * 100000000L) as "event_id",
+        col("ts"),
+        col("user_id") + lit(i.toLong * 100000000L) as "user_id",
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(math.max(4, factor))
+      .write.mode("overwrite").parquet(dir.resolve("events.parquet").toString)
     val docs = Tables.documents(spark, base)
     val mangled = (0 until factor).map { i =>
       val t =
@@ -113,7 +143,7 @@ object ScaleStress {
     }.reduce(_ unionByName _)
       .repartition(math.max(4, factor / 4))
       .write.mode("overwrite").parquet(dir.resolve("embeddings.parquet").toString)
-    Files.writeString(marker, absBase.toString)
+    Files.writeString(marker, markerWant)
     dir.toString
   }
 
@@ -144,6 +174,30 @@ object ScaleStress {
         println(line)
         rows += line
       }
+    }
+    // Plan-audit sweep at the LARGEST synthetic factor (r8, VERDICT r7
+    // next-list #5): the sf0.001 PlanAuditSpec pins shapes at gate scale;
+    // AQE/size-based planning could legitimately switch strategies on
+    // ×30 inputs. Re-run the identical three-killer sweep (PlanAudit —
+    // cartesian, non-scalar BNLJ, partition-less window) over every
+    // non-streaming gate against the scaled dir; runs AFTER the timing
+    // loop so the heavy memo artifacts already exist. Streaming gates
+    // are excluded because planning them executes them (Queries.scala
+    // contract); their batch twins are in the sweep. Disable with
+    // SPARK_GRAFT_SCALE_PLAN_AUDIT=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PLAN_AUDIT", "1") != "0"
+        && factors.exists(_ > 1)) {
+      val f = factors.max
+      val dir = buildDir(spark, base, f)
+      val names = Queries.all.keys.filterNot(PlanAudit.streamingGates)
+      val t0 = System.nanoTime()
+      val offenders = PlanAudit.sweep(spark, dir, names)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val line = s"""{"plan_audit_factor":$f,"gates_swept":${names.size},"offenders":${
+        offenders.map(o => "\"" + o.replace("\"", "'") + "\"").mkString("[", ",", "]")
+      },"sec":$dt}"""
+      println(line)
+      rows += line
     }
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/scale_stress.json"),

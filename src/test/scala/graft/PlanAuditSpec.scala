@@ -25,30 +25,12 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def plan(q: String): String =
     Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
 
-  /** The only tolerated nested loop is the 1-row scalar broadcast
-    * (crossJoin(broadcast(agg)) — the documented A9/df-cap pattern).
-    * ADVICE r4: the old text heuristic accepted ANY `BuildRight, Cross`
-    * BNLJ, so a fact-scale broadcast cross join could slip through the
-    * global sweep. Now we walk the PHYSICAL tree (pre-exchange
-    * `sparkPlan`, so the build child is the actual subplan) and require
-    * every BNLJ's build side to bottom out in a grand-total aggregate —
-    * no grouping keys ⇒ exactly one row broadcasts, at any corpus size. */
-  private def onlyScalarBnlj(qe: org.apache.spark.sql.execution.QueryExecution): Boolean = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-    import org.apache.spark.sql.catalyst.optimizer.BuildRight
-    def scalarBuild(n: SparkPlan): Boolean = n match {
-      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
-      case u if u.children.size == 1 => scalarBuild(u.children.head)
-      case _ => false
-    }
-    val phys = qe.sparkPlan
-    !phys.toString.contains("CartesianProduct") &&
-      phys.collect { case j: BroadcastNestedLoopJoinExec =>
-        scalarBuild(if (j.buildSide == BuildRight) j.right else j.left)
-      }.forall(identity)
-  }
+  /** The only tolerated nested loop is the 1-row scalar broadcast — the
+    * tree-walking check lives in [[PlanAudit.onlyScalarBnlj]] (main
+    * source, r8) so [[ScaleStress]] re-runs the SAME audit against its
+    * ×10/×30 synthetic dirs; this spec pins it at sf0.001 per test run. */
+  private def onlyScalarBnlj(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+    PlanAudit.onlyScalarBnlj(qe)
 
   private def onlyScalarBnlj(q: String): Boolean =
     onlyScalarBnlj(Queries.all(q)(spark, sf).queryExecution)
@@ -278,37 +260,10 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     //      whole input sorts on ONE task.
     // Queries whose FINAL presentation orderBy plans a global Sort are
     // fine — Sort is allowed, single-partition WINDOW state is not.
-    // A window spec's first argument being an ORDERING (contains ASC/DESC
-    // before the first comma) means no partition keys precede it.
-    val partitionlessWindow =
-      """windowspecdefinition\([^,()]*(ASC|DESC)""".r
-    // Tolerated non-equi broadcast loops — each builds a PROVABLY BOUNDED
-    // side (never fact-scale), so the loop is dim-bounded at any corpus
-    // size; the queries' own scaladocs carry the argument:
-    // (The r4 text heuristic accepted any `BuildRight, Cross` BNLJ; the
-    // tree-walking onlyScalarBnlj only accepts grand-total-aggregate build
-    // sides, so the bounded-QUERY-SET broadcasts below now need explicit
-    // waivers — each names the bound.)
-    val bnljWaivers = Map(
-      "q10_prefix_membership" -> "prefix dim (bounded code list) broadcast under a startsWith condition",
-      "q35_cosine_topk" -> "brute-force BASELINE over the bounded query set (the scale path is q36/q52)",
-      "q69_multimodal_meta" -> "tiny codec-fixture frame broadcast for the outer metadata join",
-      "q77_topk_native_agg" -> "bounded query set broadcast against the corpus for per-query top-k",
-      "q90_ann_recall" -> "exact brute-force RECALL ORACLE arm over the ≤50-row query set (the serving arm is cell-keyed)",
-      "q99_edit_distance" -> "self-join of the 25-row nation dim (constant cardinality at any SF)",
-      "q148_pq_adc_recall" -> "exact-L2 recall arm + per-block query LUTs, both bounded by the ≤10-row query set",
-      "q151_ivfpq_search" -> "exact-L2 recall arm + query LUT broadcasts, bounded by the ≤10-row query set; serving arm joins cell-keyed codes")
-    val offenders = Queries.all.keys.toSeq.sorted.flatMap { name =>
-      val qe = Queries.all(name)(spark, sf).queryExecution
-      val p = qe.executedPlan.toString
-      val bad = Seq(
-        if (p.contains("CartesianProduct")) Some("cartesian") else None,
-        if (!onlyScalarBnlj(qe) && !bnljWaivers.contains(name))
-          Some("non-scalar BNLJ") else None,
-        partitionlessWindow.findFirstIn(p).map(_ => "partition-less window")
-      ).flatten
-      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
-    }
+    // The sweep logic (killer list, waiver map, partition-less-window
+    // signature) lives in [[PlanAudit]] so ScaleStress runs the IDENTICAL
+    // audit against its scaled synthetic dirs.
+    val offenders = PlanAudit.sweep(spark, sf)
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 }

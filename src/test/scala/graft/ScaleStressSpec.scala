@@ -60,6 +60,39 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { all.unpersist(); () }
   }
 
+  test("events copies are disjoint user populations with identical structure") {
+    // the r8 events construction: copy i offsets user_id/event_id by
+    // i·10⁸ and keeps (ts, event_type, value) byte-identical. The
+    // properties the measured exponents rest on: (a) copies share no
+    // keys, so no cross-copy session/group interaction exists; (b)
+    // de-offsetting a copy reproduces the base exactly, so per-copy
+    // session and window structure equals the base corpus's.
+    val s = spark; import s.implicits._
+    val base = Seq(
+      (1L, "2024-01-15 10:00:00", 7L, "click", 1.5),
+      (2L, "2024-01-15 10:04:00", 7L, "purchase", 2.0),
+      (3L, "2024-01-16 09:00:00", 9L, "signup", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    def copy(i: Int) =
+      if (i == 0) base
+      else base.select(
+        col("event_id") + lit(i.toLong * 100000000L) as "event_id",
+        col("ts"),
+        col("user_id") + lit(i.toLong * 100000000L) as "user_id",
+        col("event_type"), col("value"))
+    val all = (0 to 2).map(copy).reduce(_ unionByName _)
+    // (a) disjoint keys across copies
+    assert(all.select("user_id").distinct().count() == 2 * 3)
+    assert(all.select("event_id").distinct().count() == 3 * 3)
+    // (b) de-offset copy 2 == base, row for row
+    val deoff = copy(2).select(
+      (col("event_id") - 200000000L).as("event_id"), col("ts"),
+      (col("user_id") - 200000000L).as("user_id"),
+      col("event_type"), col("value"))
+    assert(deoff.except(base).count() == 0 && base.except(deoff).count() == 0)
+  }
+
   test("every 3-word window of a mangled copy covers a rewritten position") {
     // the disjointness mechanism: with every 3rd word rewritten, no
     // 3-window can consist of original words only
