@@ -573,8 +573,8 @@ object SelectionOps {
       .agg(graft.functions.TopKByScore.topK(-col("adc"), col("nid"), 5).as("t"))
       .select(col("qid"), transform(col("t"), _.getField("id")).as("adc_ids"))
     val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val exact5 = v.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact5 = broadcast(v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
       .crossJoin(v.select(col("vec_id").as("nid"), col("embedding").as("cv")))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -803,8 +803,8 @@ object SelectionOps {
     val ivf5 = adc.groupBy(col("qid"))
       .agg(graft.functions.TopKByScore.topK(-col("adc"), col("nid"), 5).as("t"))
       .select(col("qid"), transform(col("t"), _.getField("id")).as("ivf_ids"))
-    val exact5 = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val exact5 = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv")))
       .crossJoin(e.select(col("vec_id").as("nid"), col("v").as("cv")))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
