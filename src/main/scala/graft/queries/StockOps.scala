@@ -136,9 +136,22 @@ object StockOps {
     val e3 = Tables.customer(s, d).select(
       (col("c_custkey") + lit(3 * T)).as("src"),
       (col("c_nationkey") + lit(4 * T)).as("dst"))
+    // Prune each downstream layer to the TRACE subgraph before the walk:
+    // the graph is layered (disjoint typed-id spaces), so an orders/
+    // customer edge is reachable iff its src appears in the previous
+    // layer's dst set — a semi-join per layer. The BFS result is
+    // IDENTICAL (BFS never walks unreachable edges; hop budget 5 covers
+    // all 3 layers), but the operator now caches/counts/collects the
+    // ~1k-edge trace instead of every order and customer edge — at
+    // 100 TB the difference between shipping the move GRAPH and the
+    // lot's trace, mirroring the reference's per-lot linked-move walk.
+    val e2p = e2.join(e1.select(col("dst").as("j")).distinct(),
+      col("src") === col("j"), "left_semi")
+    val e3p = e3.join(e2p.select(col("dst").as("j")).distinct(),
+      col("src") === col("j"), "left_semi")
     val seeds = li.select((col("l_partkey") + lit(T)).as("id")).distinct()
     graft.operators.Traceability
-      .reach(e1.unionByName(e2).unionByName(e3), seeds, maxHops = 5)
+      .reach(e1.unionByName(e2p).unionByName(e3p), seeds, maxHops = 5)
       .orderBy("root", "node")
   }
 
