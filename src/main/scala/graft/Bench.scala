@@ -70,9 +70,11 @@ import scala.jdk.CollectionConverters._
   * official artifact converges to `ambient_inflated: false` on a shared
   * host instead of documenting that it couldn't. Uniformly-loaded hosts
   * read factors ~1.0 and never retry (normalization has nothing to
-  * correct there). `runs_attempted` and every attempt's probes are
-  * recorded so a retried artifact is distinguishable from a first-try
-  * quiet one.
+  * correct there). `runs_attempted` counts every SPAWN attempt —
+  * including children that died or failed to parse, which contribute no
+  * probes, so `parsed_attempt_probes_cpu_io` in the detail file may be
+  * shorter than it — making a retried artifact distinguishable from a
+  * first-try quiet one.
   *
   * `SPARK_GRAFT_BENCH_RUNS=1` (or any child-spawn failure) degrades to the
   * old in-process single run, so the driver always gets its line. */
@@ -285,8 +287,12 @@ object Bench {
   }
 
   /** The `k` quietest attempts, ranked by each run's combined probe
-    * factor against the global per-arm minima (CPU and I/O arms; a probe
-    * of 0 — pre-field child or parse failure — scores as baseline).
+    * factor against the global per-arm minima (CPU and I/O arms). A run
+    * with a ZERO probe (pre-field child or parse failure) ranks after
+    * every measured run, however loud: a measured-loud window is still
+    * normalizable (its factor is known), an unmeasured one would enter
+    * the medians with factor 1.0 and hide whatever its window was — it
+    * only fills the set when there are not enough measured runs.
     * Package-visible with [[windowInflated]] so the retry-selection
     * contract is spec-testable on synthetic probe vectors. */
   private[graft] def quietestSubset(rs: Seq[Run], k: Int): Seq[Run] = {
@@ -294,9 +300,11 @@ object Bench {
       case Seq() => 0.0; case xs => xs.min
     }
     val (mc, mi) = (minPos(rs.map(_.probe)), minPos(rs.map(_.probeIo)))
-    def score(r: Run): Double = math.max(
-      if (r.probe > 0 && mc > 0) r.probe / mc else 1.0,
-      if (r.probeIo > 0 && mi > 0) r.probeIo / mi else 1.0)
+    def score(r: Run): Double =
+      if (r.probe <= 0 || r.probeIo <= 0) Double.PositiveInfinity
+      else math.max(
+        if (mc > 0) r.probe / mc else 1.0,
+        if (mi > 0) r.probeIo / mi else 1.0)
     rs.sortBy(score).take(k)
   }
 
@@ -417,11 +425,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val runTotals = samples.map(_.ok.map(_._2).sum).mkString("[", ",", "]")
     val runFailed = samples.map(_.failed.size).mkString("[", ",", "]")
+    // parsed attempts only: a child that died/failed to parse left no Run
     val allProbes = attempted.map(r => f"[${r.probe}%.3f,${r.probeIo}%.3f]")
       .mkString("[", ",", "]")
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench_runs_latest.json"),
-      s"""{"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"per_query":$detail}""")
+      s"""{"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"parsed_attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"per_query":$detail}""")
     System.err.println(s"[bench] ${samples.size} runs, median total $total s (norm $totalNorm, inflated=$inflated, n_failed=$nFailed); full spread in target/bench_runs_latest.json")
   }
 }

@@ -107,10 +107,15 @@ class HarnessContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bench.quietestSubset(
       Seq(cpuNoisy, quietA, ioNoisy, quietB, quietC), 3).toSet ==
       Set(quietA, quietB, quietC))
-    // a probe of 0 (pre-field child) scores as baseline: it ties with the
-    // quiet runs but a measured-noisy attempt is still dropped first
+    // a probe of 0 (pre-field child / parse failure) ranks LAST — even a
+    // measured-loud window beats it (loud-but-measured is normalizable;
+    // unmeasured would enter the medians with factor 1.0 unflagged) —
+    // but it still fills the set when measured runs are too few
     val legacy = run(0.0, 0.0)
-    assert(!Bench.quietestSubset(Seq(legacy, quietA, cpuNoisy), 2).contains(cpuNoisy))
+    assert(Bench.quietestSubset(Seq(legacy, quietA, cpuNoisy), 2).toSet ==
+      Set(quietA, cpuNoisy))
+    assert(Bench.quietestSubset(Seq(legacy, quietA), 2).toSet ==
+      Set(quietA, legacy))
     // uniformly-loaded host: factors ~1.0 everywhere -> no retry signal
     assert(!Bench.windowInflated(Seq(run(4.8, 2.1), run(4.85, 2.12), run(4.82, 2.08))))
   }
