@@ -71,6 +71,28 @@ object ScaleStress {
     Files.deleteIfExists(p): Unit
   }
 
+  /** Copy-offset unit: every copy's ids live in their own 10⁸-wide band. */
+  private[graft] val OffsetUnit = 100000000L
+
+  /** The disjoint-copy invariant every measured exponent rests on
+    * REQUIRES every base id to fit under [[OffsetUnit]] — a future tier
+    * with denser ids must fail loudly here, not silently merge copies.
+    * Package-visible so the guard itself is spec-testable. */
+  private[graft] def assertOffsetHeadroom(spark: SparkSession, base: String): Unit = {
+    val limits = Seq(
+      "events.event_id" -> Tables.events(spark, base).agg(max(col("event_id"))),
+      "events.user_id" -> Tables.events(spark, base).agg(max(col("user_id"))),
+      "documents.doc_id" -> Tables.documents(spark, base).agg(max(col("doc_id"))),
+      "embeddings.vec_id" -> Tables.embeddings(spark, base).agg(max(col("vec_id"))))
+    for ((name, df) <- limits) {
+      val m = df.head().getLong(0)
+      require(m < OffsetUnit,
+        s"scale-stress copy offset unit $OffsetUnit <= max($name) = $m: " +
+          "copies would share ids and the disjoint-corpus construction " +
+          "breaks; raise the offset unit before trusting any exponent")
+    }
+  }
+
   private def buildDir(spark: SparkSession, base: String, factor: Int): String = {
     // Symlink targets must be absolute (a relative SPARK_GRAFT_SF_DIR would
     // otherwise resolve relative to the link's dir and dangle), and the
@@ -99,25 +121,7 @@ object ScaleStress {
         Files.createSymbolicLink(link, absBase.resolve(s"$t.parquet"))
     }
     if (factor == 1) { Files.writeString(marker, markerWant); return dir.toString }
-    // The copy-offset unit is 10⁸: every copy's ids live in their own
-    // 10⁸-wide band, so the disjoint-copy invariant the exponents rest on
-    // REQUIRES every base id to fit under the unit. Assert it — a future
-    // tier with denser ids must fail loudly, not silently merge copies.
-    val OffsetUnit = 100000000L
-    locally {
-      val limits = Seq(
-        "events.event_id" -> Tables.events(spark, base).agg(max(col("event_id"))),
-        "events.user_id" -> Tables.events(spark, base).agg(max(col("user_id"))),
-        "documents.doc_id" -> Tables.documents(spark, base).agg(max(col("doc_id"))),
-        "embeddings.vec_id" -> Tables.embeddings(spark, base).agg(max(col("vec_id"))))
-      for ((name, df) <- limits) {
-        val m = df.head().getLong(0)
-        require(m < OffsetUnit,
-          s"scale-stress copy offset unit $OffsetUnit <= max($name) = $m: " +
-            "copies would share ids and the disjoint-corpus construction " +
-            "breaks; raise the offset unit before trusting any exponent")
-      }
-    }
+    assertOffsetHeadroom(spark, base)
     // events ×f: copy i offsets user_id AND event_id by i·10⁸, keeping
     // ts/event_type/value/props byte-identical — f INDEPENDENT user
     // populations over the SAME time span. Honest for the shapes under

@@ -35,6 +35,46 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def onlyScalarBnlj(q: String): Boolean =
     onlyScalarBnlj(Queries.all(q)(spark, sf).queryExecution)
 
+  test("the sweep DETECTS each killer it exists to catch (positive control)") {
+    // the global sweep below proves 168 gates are clean; this proves the
+    // detector itself still fires — a broken regex or a Spark plan-text
+    // rename would otherwise silently green every future sweep
+    import org.apache.spark.sql.functions._
+    val n = Tables.nation(spark, sf)
+    // 1. cartesian: an inequality join of two un-hinted sides that the
+    //    planner may not broadcast (threshold off = both sides fact-shaped)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // planning is lazy: offenses() must force the plan while the
+    // threshold override is still in effect
+    val cartOffenses = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      PlanAudit.offenses("synthetic_cartesian",
+        n.as("a").join(n.as("b"),
+          col("a.n_nationkey") < col("b.n_nationkey")).queryExecution)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    assert(cartOffenses.contains("cartesian"))
+    // 2. non-scalar BNLJ: broadcast-hinted inequality join whose build
+    //    side is NOT a grand-total aggregate (and name not waived)
+    val bnlj = n.as("a").join(broadcast(n.as("b")),
+      col("a.n_nationkey") < col("b.n_nationkey")).queryExecution
+    assert(PlanAudit.offenses("synthetic_bnlj", bnlj)
+      .contains("non-scalar BNLJ"))
+    //    ...and the waiver map suppresses exactly that offense by name
+    assert(!PlanAudit.offenses("q99_edit_distance", bnlj)
+      .contains("non-scalar BNLJ"))
+    // 3. partition-less window: a global row_number orders ALL input on
+    //    one task — the single-partition state the regex must catch
+    val win = n.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("n_name"))))
+      .queryExecution
+    assert(PlanAudit.offenses("synthetic_window", win)
+      .contains("partition-less window"))
+    // 4. the scalar-aggregate broadcast pattern stays tolerated
+    val cap = n.agg(max(col("n_nationkey")).as("cap"))
+    val scalarOk = n.crossJoin(broadcast(cap)).queryExecution
+    assert(PlanAudit.offenses("synthetic_scalar_bc", scalarOk).isEmpty)
+  }
+
   test("star join broadcasts its dimensions, never shuffles them") {
     val p = plan("q3_star_join")
     assert(p.contains("BroadcastHashJoin"))

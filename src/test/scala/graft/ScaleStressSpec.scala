@@ -93,6 +93,28 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deoff.except(base).count() == 0 && base.except(deoff).count() == 0)
   }
 
+  test("the offset-headroom guard fires when base ids exceed the unit") {
+    // synthesize a tier whose doc_id sits above the 1e8 copy-offset unit:
+    // the guard must refuse to build (silently merged copies would void
+    // every measured exponent), and must NAME the offending column
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), "offguard")
+    val base = "/root/testdata/sf0.001"
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings"))
+      Files.createSymbolicLink(
+        dir.resolve(s"$t.parquet"), Paths.get(s"$base/$t.parquet"))
+    Tables.documents(spark, base)
+      .withColumn("doc_id", col("doc_id") + lit(ScaleStress.OffsetUnit))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      ScaleStress.assertOffsetHeadroom(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("documents.doc_id"))
+    // and the real tiers all have headroom
+    ScaleStress.assertOffsetHeadroom(spark, base)
+  }
+
   test("every 3-word window of a mangled copy covers a rewritten position") {
     // the disjointness mechanism: with every 3rd word rewritten, no
     // 3-window can consist of original words only
