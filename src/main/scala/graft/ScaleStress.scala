@@ -51,13 +51,20 @@ object ScaleStress {
   private val eventGates = Seq(
     "q30_events_hourly", "q75_sessionize", "q81_cdc_apply",
     "q96_cohort_retention", "q122_quality_audit")
+  // Text-analysis family (r8): the heaviest per-token scans — langid
+  // trigram voting, TF-IDF top terms, contamination shingle screen,
+  // bigram-LM fluency. All map-side explode + keyed aggregation shapes;
+  // measured rather than argued, same bar as the other families.
+  private val textGates = Seq(
+    "q37_langid", "q84_tfidf_topterms", "q102_contamination",
+    "q138_bigram_lm")
   private val controlGates = Seq("q1_agg")
   // q34's OUTPUT is corpus-construction-driven (word-level near-dup mass
   // across the 2/3-overlap copies grows with factor²), so past ×30 its
   // count() cost measures the synthetic corpus, not the operator — skip
   private def gatesFor(factor: Int): Seq[String] =
     (if (factor > 30) docGates.filterNot(_ == "q34_simhash") else docGates) ++
-      embGates ++ eventGates ++ controlGates
+      embGates ++ eventGates ++ textGates ++ controlGates
 
   /** Recursive delete that does NOT follow symlinks — the stale corpus dir
     * contains links into the (read-only) base testdata; a follow-links
