@@ -50,7 +50,10 @@ object PlanAudit {
     * Walks the PHYSICAL tree (pre-exchange `sparkPlan`, so the build
     * child is the actual subplan) and requires every BNLJ's build side
     * to bottom out in a grand-total aggregate — no grouping keys ⇒
-    * exactly one row broadcasts, at any corpus size. */
+    * exactly one row broadcasts, at any corpus size. Checks BNLJs ONLY
+    * (r8 ADVICE: a cartesian used to flip this too, double-labeling a
+    * cartesian-only plan "non-scalar BNLJ" — the cartesian detector in
+    * [[offenses]] owns that signal, on both plan stages). */
   def onlyScalarBnlj(qe: QueryExecution): Boolean = {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
@@ -60,11 +63,9 @@ object PlanAudit {
       case u if u.children.size == 1 => scalarBuild(u.children.head)
       case _ => false
     }
-    val phys = qe.sparkPlan
-    !phys.toString.contains("CartesianProduct") &&
-      phys.collect { case j: BroadcastNestedLoopJoinExec =>
-        scalarBuild(if (j.buildSide == BuildRight) j.right else j.left)
-      }.forall(identity)
+    qe.sparkPlan.collect { case j: BroadcastNestedLoopJoinExec =>
+      scalarBuild(if (j.buildSide == BuildRight) j.right else j.left)
+    }.forall(identity)
   }
 
   /** A window spec whose first argument is an ORDERING (ASC/DESC before
@@ -72,11 +73,18 @@ object PlanAudit {
   private val partitionlessWindow =
     """windowspecdefinition\([^,()]*(ASC|DESC)""".r
 
-  /** The killer list for ONE planned gate (empty = clean). */
+  /** The killer list for ONE planned gate (empty = clean). The cartesian
+    * detector reads BOTH plan stages (pre-AQE `sparkPlan` and
+    * `executedPlan`): AQE can rewrite the initial plan, but a cartesian
+    * in either stage is the signal — and it is labeled `cartesian`
+    * exactly once, never smuggled through the BNLJ detector (which a
+    * waiver would suppress). */
   def offenses(name: String, qe: QueryExecution): Seq[String] = {
     val p = qe.executedPlan.toString
     Seq(
-      if (p.contains("CartesianProduct")) Some("cartesian") else None,
+      if (p.contains("CartesianProduct") ||
+          qe.sparkPlan.toString.contains("CartesianProduct"))
+        Some("cartesian") else None,
       if (!onlyScalarBnlj(qe) && !bnljWaivers.contains(name))
         Some("non-scalar BNLJ") else None,
       partitionlessWindow.findFirstIn(p).map(_ => "partition-less window")

@@ -141,9 +141,9 @@ object ScaleStress {
     (0 until factor).map { i =>
       if (i == 0) ev
       else ev.select(
-        col("event_id") + lit(i.toLong * 100000000L) as "event_id",
+        col("event_id") + lit(i * OffsetUnit) as "event_id",
         col("ts"),
-        col("user_id") + lit(i.toLong * 100000000L) as "user_id",
+        col("user_id") + lit(i * OffsetUnit) as "user_id",
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
       .repartition(math.max(4, factor))
@@ -153,7 +153,7 @@ object ScaleStress {
       val t =
         if (i == 0) docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
         else docs.select(
-          col("doc_id") + lit(i.toLong * 100000000L) as "doc_id",
+          col("doc_id") + lit(i * OffsetUnit) as "doc_id",
           array_join(
             transform(split(col("text"), " "),
               (w, idx) => when(pmod(idx, lit(3)) === lit(i % 3),
@@ -170,7 +170,7 @@ object ScaleStress {
     (0 until factor).map { i =>
       if (i == 0) emb
       else emb.select(
-        col("vec_id") + lit(i.toLong * 100000000L) as "vec_id",
+        col("vec_id") + lit(i * OffsetUnit) as "vec_id",
         transform(col("embedding"),
           (v, idx) => v * (lit(1.0f) +
             (pmod(col("vec_id") * lit(31) + idx * lit(7) + lit(i), lit(997))

@@ -53,6 +53,9 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
           col("a.n_nationkey") < col("b.n_nationkey")).queryExecution)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     assert(cartOffenses.contains("cartesian"))
+    //    ...labeled by the cartesian detector ALONE (r8 ADVICE: a
+    //    cartesian-only plan with zero BNLJs was double-labeled)
+    assert(!cartOffenses.contains("non-scalar BNLJ"))
     // 2. non-scalar BNLJ: broadcast-hinted inequality join whose build
     //    side is NOT a grand-total aggregate (and name not waived)
     val bnlj = n.as("a").join(broadcast(n.as("b")),

@@ -29,7 +29,7 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_id", "text")
     if (i == 0) docs
     else docs.select(
-      col("doc_id") + lit(i.toLong * 100000000L) as "doc_id",
+      col("doc_id") + lit(i * ScaleStress.OffsetUnit) as "doc_id",
       array_join(
         transform(split(col("text"), " "),
           (w, idx) => when(pmod(idx, lit(3)) === lit(i % 3),
@@ -77,9 +77,9 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     def copy(i: Int) =
       if (i == 0) base
       else base.select(
-        col("event_id") + lit(i.toLong * 100000000L) as "event_id",
+        col("event_id") + lit(i * ScaleStress.OffsetUnit) as "event_id",
         col("ts"),
-        col("user_id") + lit(i.toLong * 100000000L) as "user_id",
+        col("user_id") + lit(i * ScaleStress.OffsetUnit) as "user_id",
         col("event_type"), col("value"))
     val all = (0 to 2).map(copy).reduce(_ unionByName _)
     // (a) disjoint keys across copies
@@ -87,8 +87,8 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.select("event_id").distinct().count() == 3 * 3)
     // (b) de-offset copy 2 == base, row for row
     val deoff = copy(2).select(
-      (col("event_id") - 200000000L).as("event_id"), col("ts"),
-      (col("user_id") - 200000000L).as("user_id"),
+      (col("event_id") - 2 * ScaleStress.OffsetUnit).as("event_id"), col("ts"),
+      (col("user_id") - 2 * ScaleStress.OffsetUnit).as("user_id"),
       col("event_type"), col("value"))
     assert(deoff.except(base).count() == 0 && base.except(deoff).count() == 0)
   }
