@@ -455,6 +455,74 @@ object Profile85b {
   }
 }
 
+/** Dev tool: q80 stage timing — edge-layer construction vs the reach
+  * probe vs the final sort, warm. */
+object Profile80 {
+  import Profile.time
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.DataFrame
+    time("warmup q1_agg") { SparkEntry.queries("q1_agg")(spark, sfDir).count() }
+    spark.catalog.clearCache(); System.gc()
+    val T = 1000000000L
+    def li = Tables.lineitem(spark, sfDir).filter(col("l_partkey") <= 20)
+    def mkE1: DataFrame = li.select((col("l_partkey") + lit(T)).as("src"),
+      (col("l_orderkey") + lit(2 * T)).as("dst")).distinct()
+    for (i <- 1 to 3) {
+      val e1 = mkE1.cache()
+      time(s"[$i] e1 cache+count") { println("e1=" + e1.count()) }
+      val e2 = Tables.orders(spark, sfDir).select(
+        (col("o_orderkey") + lit(2 * T)).as("src"),
+        (col("o_custkey") + lit(3 * T)).as("dst"))
+      val e3 = Tables.customer(spark, sfDir).select(
+        (col("c_custkey") + lit(3 * T)).as("src"),
+        (col("c_nationkey") + lit(4 * T)).as("dst"))
+      val e2p = e2.join(e1.select(col("dst").as("j")).distinct(),
+        col("src") === col("j"), "left_semi")
+      val e3p = e3.join(e2p.select(col("dst").as("j")).distinct(),
+        col("src") === col("j"), "left_semi")
+      val union = e1.unionByName(e2p).unionByName(e3p)
+      val probe = time(s"[$i] A: edges limit-collect") {
+        union.limit(262145).collect()
+      }
+      println("edges=" + probe.length)
+      // B: no-distinct broadcast build sides (semi-join dedups by nature)
+      val e2b = e2.join(broadcast(e1.select(col("dst").as("j"))),
+        col("src") === col("j"), "left_semi")
+      val e3b = e3.join(broadcast(e2b.select(col("dst").as("j"))),
+        col("src") === col("j"), "left_semi")
+      val unionB = e1.unionByName(e2b).unionByName(e3b)
+      println("edgesB=" + time(s"[$i] B: bcast-nodistinct limit-collect") {
+        unionB.limit(262145).collect() }.length)
+      println("edgesC=" + time(s"[$i] C: B + coalesce(1)") {
+        unionB.coalesce(1).limit(262145).collect() }.length)
+      val cached = unionB.cache()
+      println("edgesD=" + time(s"[$i] D: B + cache+count+collect") {
+        if (cached.count() <= 262144) cached.collect().length else -1 })
+      cached.unpersist()
+      val seedsArr = time(s"[$i] seeds distinct limit-collect") {
+        e1.select(col("src").as("id")).distinct().limit(1025).collect()
+      }
+      println("seeds=" + seedsArr.length)
+      println("seedsB=" + time(s"[$i] seeds coalesce(1) limit-collect") {
+        e1.select(col("src").as("id")).distinct().coalesce(1)
+          .limit(1025).collect() }.length)
+      time(s"[$i] full q80 (count)") {
+        println("rows=" + SparkEntry.queries("q80_traceability")(spark, sfDir).count())
+      }
+      e1.unpersist()
+      spark.catalog.clearCache(); System.gc()
+    }
+    spark.stop()
+  }
+}
+
 /** Dev tool: candidate-pair count with/without the length filter. */
 object ProfileLenFilter {
   def main(args: Array[String]): Unit = {

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * Scale: the frontier join is partitioned on the edge source; visited
   * state is a distributed DataFrame (never collected); each round is
   * localCheckpoint-ed so an N-hop trace builds an N-piece union, not an
-  * N-deep lazy plan re-executed per round. Small graphs (count-gated, see
+  * N-deep lazy plan re-executed per round. Small graphs (probe-gated, see
   * [[SmallGraphEdgeBound]]) run as a driver-side BFS instead — a
   * traceability trace is usually a filtered lot/serial subgraph, and the
   * iterative path spends a join-round of job overhead per hop on data a
@@ -26,8 +26,9 @@ object Traceability {
 
   /** Edge count at or under which the walk runs on the driver: 2¹⁸ edges
     * ≈ 4 MB of (Long, Long) — a filtered trace subgraph, not a fact
-    * table. The COUNT decides, so a 100 TB move graph takes the
-    * distributed loop untouched. */
+    * table. A bounded limit-probe decides (stops scanning at bound+1
+    * rows), so a 100 TB move graph takes the distributed loop after a
+    * truncated probe, never a full collect. */
   val SmallGraphEdgeBound: Long = 1L << 18
 
   /** Distinct-seed cap for the driver path (the result is one BFS tree
@@ -45,50 +46,57 @@ object Traceability {
     * Cycles are safe — a node is expanded once per root. */
   def reach(edges: DataFrame, seeds: DataFrame, maxHops: Int,
             smallGraphBound: Long = SmallGraphEdgeBound): DataFrame = {
-    // cached: the frontier join rereads the edge table every hop (and the
-    // small-graph count below materializes it either way)
-    val e = edges.select(col("src"), col("dst")).cache()
-    val longTyped = (e.schema.fields :+ seeds.schema("id"))
+    val eSel = edges.select(col("src"), col("dst"))
+    val longTyped = (eSel.schema.fields :+ seeds.schema("id"))
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
-    if (longTyped && smallGraphBound > 0 && e.count() <= smallGraphBound) {
+    if (longTyped && smallGraphBound > 0) {
       val s = edges.sparkSession
       import s.implicits._
-      val seedD = seeds.select(col("id")).distinct()
-      if (seedD.count() <= SmallSeedBound) {
-        val adj = scala.collection.mutable.LongMap
-          .empty[scala.collection.mutable.ArrayBuffer[Long]]
-        e.as[(Long, Long)].collect().foreach { case (a, b) =>
-          adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
-        }
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        var overflow = false
-        val seedIds = seedD.as[Long].collect()
-        for (root <- seedIds if !overflow) {
-          val depthOf = scala.collection.mutable.LongMap.empty[Long]
-          var frontier = List(root)
-          depthOf(root) = 0L
-          out += ((root, root, 0L))
-          var d = 0L
-          while (d < maxHops && frontier.nonEmpty && !overflow) {
-            d += 1
-            val next = scala.collection.mutable.ListBuffer.empty[Long]
-            for (n <- frontier; m <- adj.getOrElse(n, Nil)
-                 if !depthOf.contains(m)) {
-              depthOf(m) = d
-              out += ((root, m, d))
-              next += m
-            }
-            if (out.size > SmallResultBound) overflow = true
-            frontier = next.toList
+      // ONE bounded job probes the edge count AND lands the edges when the
+      // graph is small (the old cache+count+collect spent three jobs and a
+      // cache materialization on the same decision — r8 bench showed that
+      // overhead IS most of the gate at trace scale). limit(bound+1) stops
+      // scanning once the bound is disproven, so a fact-scale graph pays a
+      // truncated probe, never a full collect.
+      val probe = eSel.limit((smallGraphBound + 1).toInt).as[(Long, Long)].collect()
+      if (probe.length <= smallGraphBound) {
+        val seedIds = seeds.select(col("id")).distinct()
+          .limit((SmallSeedBound + 1).toInt).as[Long].collect()
+        if (seedIds.length <= SmallSeedBound) {
+          val adj = scala.collection.mutable.LongMap
+            .empty[scala.collection.mutable.ArrayBuffer[Long]]
+          probe.foreach { case (a, b) =>
+            adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
           }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var overflow = false
+          for (root <- seedIds if !overflow) {
+            val depthOf = scala.collection.mutable.LongMap.empty[Long]
+            var frontier = List(root)
+            depthOf(root) = 0L
+            out += ((root, root, 0L))
+            var d = 0L
+            while (d < maxHops && frontier.nonEmpty && !overflow) {
+              d += 1
+              val next = scala.collection.mutable.ListBuffer.empty[Long]
+              for (n <- frontier; m <- adj.getOrElse(n, Nil)
+                   if !depthOf.contains(m)) {
+                depthOf(m) = d
+                out += ((root, m, d))
+                next += m
+              }
+              if (out.size > SmallResultBound) overflow = true
+              frontier = next.toList
+            }
+          }
+          if (!overflow)
+            return s.createDataset(out.toSeq).toDF("root", "node", "depth")
+          // fall through: result larger than the driver should hold
         }
-        if (!overflow) {
-          e.unpersist()
-          return s.createDataset(out.toSeq).toDF("root", "node", "depth")
-        }
-        // fall through: result larger than the driver should hold
       }
     }
+    // cached: the frontier join rereads the edge table every hop
+    val e = eSel.cache()
     var visited = seeds.select(col("id").as("root"), col("id").as("node"),
       lit(0L).as("depth")).localCheckpoint(true)
     var frontier = visited
