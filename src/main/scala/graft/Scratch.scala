@@ -52,6 +52,36 @@ object Scratch {
     b
   }
 
+  /** tmpfs-backed `spark.local.dir` for BENCH sessions (r9, VERDICT r8
+    * next-list #2): q62 ran 5.7 s builder-quiet but 12.5 s on the driver —
+    * the 2.2× gap was shuffle exposure, because `spark.local.dir` defaults
+    * to the contended disk that tmpfs SCRATCH deliberately does not cover.
+    * Gate-scale shuffle is bounded MBs against a 126 GiB tmpfs, but the
+    * guard is stricter than Scratch's own (16 GiB): one bench child keeps
+    * a single SparkSession across 168 gates, so shuffle files accrue until
+    * the per-gate GC nudge lets the ContextCleaner drop them. Only Bench
+    * routes through this — ScaleStress's ×100 corpora shuffle GBs and
+    * stay on disk, and Verify's timing is not a measurement. Returns None
+    * (→ Spark default) without headroom or when SPARK_GRAFT_LOCAL_TMPFS=0
+    * (the A/B switch). At production scale this knob is the cluster's
+    * fast local SSD/NVMe spill volume — the point is measuring operators,
+    * not the co-tenant's disk queue. */
+  def benchLocalDir(): Option[String] = {
+    if (sys.env.get("SPARK_GRAFT_LOCAL_TMPFS").contains("0")) None
+    else {
+      val shm = new java.io.File("/dev/shm")
+      val minFreeBytes = 16L << 30
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > minFreeBytes) {
+        val d = new java.io.File(shm, s"graft-local-${ProcessHandle.current().pid()}")
+        d.mkdirs()
+        // Spark removes its blockmgr-*/spark-* subdirs on context stop;
+        // this hook removes the root itself (tmpfs leak = leaked RAM)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(d)))
+        Some(d.getPath)
+      } else None
+    }
+  }
+
   /** A fresh, empty scratch subdirectory (recreated on every call). */
   def fresh(sub: String): java.io.File = {
     val f = new java.io.File(base, sub)
