@@ -19,11 +19,14 @@ import scala.jdk.CollectionConverters._
   *
   * Metric semantics (pinned; the r5 VERDICT/ADVICE asked for this to be
   * explicit): `value` is the SUM OF PER-QUERY MEDIANS across the fresh-JVM
-  * runs — a robust synthetic total no single run produced. `min_total` /
+  * runs — a robust synthetic total no single run produced — PLUS the
+  * suite-level memo-build ledger (`setup`, r9: the PairMemo/PQ/quantizer
+  * constructions timed as their own lines instead of billed to their
+  * first alphabetical consumer; see [[memoSetups]]). `min_total` /
   * `max_total` bound it with per-query extremes; `run_totals` (in the
   * target file) are the actual single-run sums. The one-line JSON carries
-  * `"semantics":"sum_of_per_query_medians"` so downstream tooling cannot
-  * silently conflate it with a single-run total.
+  * `"semantics":"sum_of_per_query_medians_incl_setup"` so downstream
+  * tooling cannot silently conflate it with a single-run total.
   *
   * VALIDITY (r6 postmortem: 21 gates crashed in ~0.1 s each and were timed
   * as if they ran, so the artifact printed a "total" over work that never
@@ -81,10 +84,62 @@ import scala.jdk.CollectionConverters._
 object Bench {
 
   /** One run's outcome: bracket-min probe seconds per arm, per-query
-    * timings for queries that RAN, names of queries that threw. */
+    * timings for queries that RAN, names of queries that threw, and the
+    * suite-level memo-build ledger ([[memoSetups]]). */
   private[graft] final case class Run(
       probe: Double, probeIo: Double,
-      ok: Seq[(String, Double)], failed: Seq[String])
+      ok: Seq[(String, Double)], failed: Seq[String],
+      setup: Seq[(String, Double)] = Nil)
+
+  /** Suite-level memo artifacts ledgered as their OWN bench lines (r9,
+    * VERDICT r8 next-list #5): the PairMemo / MinHash-index / PQ-codebook /
+    * coarse-quantizer constructions are per-corpus-version artifacts that
+    * used to be billed to whichever consumer ran first alphabetically
+    * (q108 carried ~0.6 s of pair-memo build it never asked for). Each
+    * build is triggered once here, timed, and every consumer gate then
+    * reads the finished artifact — per-query numbers measure the queries.
+    * A setup only runs when one of its consumers is in the selected suite,
+    * so SPARK_GRAFT_ONLY probe runs don't pay for indexes nothing reads.
+    * The artifact's `value` still includes these lines (semantics field
+    * says so), so totals stay comparable round-over-round — the cost is
+    * redistributed, not hidden. */
+  private[graft] val memoSetups: Seq[(String, Set[String], (SparkSession, String) => Unit)] = Seq(
+    ("setup_pairs05", Set("q32_ngram_jaccard", "q108_incremental_dedup",
+      "q115_minhash_recall", "q140_leakage_split", "q154_cluster_audit",
+      "q59_dup_clusters"),
+      (s, d) => { graft.queries.PairMemo.pairs(s, d); () }),
+    ("setup_cc05", Set("q59_dup_clusters", "q140_leakage_split",
+      "q154_cluster_audit"),
+      (s, d) => { graft.queries.PairMemo.clusters(s, d); () }),
+    ("setup_mh12", Set("q33_minhash_lsh", "q115_minhash_recall"),
+      (s, d) => { graft.queries.PairMemo.minhashCandidates(s, d); () }),
+    ("setup_pq4x8", Set("q147_pq_codes", "q148_pq_adc_recall",
+      "q151_ivfpq_search"),
+      (s, d) => graft.queries.SelectionOps.buildPqMemo(s, d)),
+    ("setup_kmeans8x2", Set("q85_kmeans_quantizer", "q145_semantic_dedup"),
+      (s, d) => { graft.queries.SimilarityOps.coarseCentroids(s, d); () }))
+
+  /** Times each memo build whose consumers intersect `suiteNames`. A
+    * failed build yields no ledger line — its consumers rebuild inline
+    * (ArtifactMemo releases the key on failure), so the cost lands back
+    * in their samples instead of vanishing. */
+  private[graft] def measureSetup(spark: SparkSession, sfDir: String,
+      suiteNames: Set[String]): Seq[(String, Double)] =
+    memoSetups.flatMap { case (name, consumers, build) =>
+      if (!consumers.exists(suiteNames)) None
+      else {
+        val t0 = System.nanoTime()
+        val ok = try { build(spark, sfDir); true }
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] $name FAILED (consumers build inline): ${e.getMessage}")
+            false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc()
+        if (ok) Some(name -> dt) else None
+      }
+    }
 
   /** Wall seconds for one xorshift64* thread per host vCPU (≤32) ×
     * 4·10⁸ steps each (~1.6 s quiet on the 32-vCPU test host — record the
@@ -224,15 +279,22 @@ object Bench {
   private def inProcessRun(sfDir: String, cpus: String): Run = {
     val p1 = calibrationProbe(); val io1 = ioProbe()
     val spark = session(cpus)
-    val (ok, failed) =
+    val (setup, ok, failed) =
       try {
         val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
         val suite = SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (name, _) => only.forall(_.contains(name)) }
-        measureSuite(spark, sfDir, suite)
+        // warmup BEFORE the setup ledger, so setup lines measure the
+        // builds, not JVM/codegen cold start (measureSuite's own warmup
+        // then re-runs the head query warm — cheap)
+        try suite.headOption.foreach(_._2(spark, sfDir).count())
+        catch { case _: Throwable => () }
+        val setup = measureSetup(spark, sfDir, suite.map(_._1).toSet)
+        val (ok, failed) = measureSuite(spark, sfDir, suite)
+        (setup, ok, failed)
       } finally spark.stop()
     val p2 = calibrationProbe(); val io2 = ioProbe()
-    Run(math.min(p1, p2), math.min(io1, io2), ok, failed)
+    Run(math.min(p1, p2), math.min(io1, io2), ok, failed, setup)
   }
 
   /** Spawn one fresh child JVM (this JVM's flags + classpath, inherited
@@ -277,8 +339,12 @@ object Bench {
           .map(_.group(1)).getOrElse("")
           .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
           .filter(_.nonEmpty).toSeq
+        val setup = "\"setup\":\\{([^}]*)\\}".r.findFirstMatchIn(l)
+          .map(_.group(1)).getOrElse("")
+        val setupPairs = "\"([^\"]+)\":([0-9.eE+\\-]+)".r.findAllMatchIn(setup)
+          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
         if (pairs.isEmpty && failed.isEmpty) None
-        else Some(Run(num("probe"), num("probe_io"), pairs, failed))
+        else Some(Run(num("probe"), num("probe_io"), pairs, failed, setupPairs))
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] run $i/$runs failed to spawn: $e"); None
@@ -329,8 +395,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     if (args.contains("--child")) {
       val r = inProcessRun(sfDir, cpus)
-      val total = r.ok.map(_._2).sum
-      println(s"""{"metric":"run","value":$total,"unit":"sec","probe":${r.probe},"probe_io":${r.probeIo},"queries":${qJson(r.ok)},"failed":${sJson(r.failed)},"sf":"$sfDir"}""")
+      val total = r.ok.map(_._2).sum + r.setup.map(_._2).sum
+      println(s"""{"metric":"run","value":$total,"unit":"sec","probe":${r.probe},"probe_io":${r.probeIo},"queries":${qJson(r.ok)},"setup":${qJson(r.setup)},"failed":${sJson(r.failed)},"sf":"$sfDir"}""")
       return
     }
     // Schema-contract preflight BEFORE spawning 3 × 45-min children: on
@@ -402,39 +468,57 @@ object Bench {
     // failure accounting: a query red in ANY surviving run invalidates
     val failedQueries = samples.flatMap(_.failed).distinct.sorted
     val nFailed = failedQueries.size
-    // per-query spread over however many runs survived, in suite order
+    // per-query spread over however many runs survived, in suite order;
+    // the setup ledger aggregates identically but reports separately
     val names = samples.flatMap(_.ok.map(_._1)).distinct.sorted
     val byName = names.map { n =>
       n -> samples.flatMap(_.ok.collectFirst { case (`n`, v) => v })
     }
+    val setupNames = samples.flatMap(_.setup.map(_._1)).distinct.sorted
+    val bySetup = setupNames.map { n =>
+      n -> samples.flatMap(_.setup.collectFirst { case (`n`, v) => v })
+    }
     // normalized samples: total_norm by the CPU arm (r6-comparable),
     // total_norm_lb by the combined arm (full-sensitivity lower bound)
-    def normTotal(fs: Seq[Double]): Double = names.map { n =>
-      median(samples.zip(fs).flatMap { case (r, f) =>
-        r.ok.collectFirst { case (`n`, v) => v / f }
-      })
-    }.sum
+    def normTotal(fs: Seq[Double]): Double =
+      names.map { n =>
+        median(samples.zip(fs).flatMap { case (r, f) =>
+          r.ok.collectFirst { case (`n`, v) => v / f }
+        })
+      }.sum +
+      setupNames.map { n =>
+        median(samples.zip(fs).flatMap { case (r, f) =>
+          r.setup.collectFirst { case (`n`, v) => v / f }
+        })
+      }.sum
     val med = byName.map { case (n, vs) => n -> median(vs) }
-    val total = med.map(_._2).sum
+    val setupMed = bySetup.map { case (n, vs) => n -> median(vs) }
+    // `value` INCLUDES the setup ledger — cost is redistributed out of the
+    // first-consumer gates, never dropped from the headline total
+    val total = med.map(_._2).sum + setupMed.map(_._2).sum
     val totalNorm = normTotal(cpuFactors)
     val totalNormLb = normTotal(combined)
-    val minTotal = byName.map(_._2.min).sum
-    val maxTotal = byName.map(_._2.max).sum
+    val minTotal = byName.map(_._2.min).sum + bySetup.map(_._2.min).sum
+    val maxTotal = byName.map(_._2.max).sum + bySetup.map(_._2.max).sum
     def fmtJ(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians","queries":${qJson(med)},"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians_incl_setup","queries":${qJson(med)},"setup":${qJson(setupMed)},"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
     // full spread snapshot (per-query min/med/max + raw samples) — the
     // driver's BENCH tail truncates at 2000 chars, this file never does
     val detail = byName.map { case (n, vs) =>
       s""""$n":{"med":${median(vs)},"min":${vs.min},"max":${vs.max},"samples":[${vs.mkString(",")}]}"""
     }.mkString("{", ",", "}")
-    val runTotals = samples.map(_.ok.map(_._2).sum).mkString("[", ",", "]")
+    val setupDetail = bySetup.map { case (n, vs) =>
+      s""""$n":{"med":${median(vs)},"min":${vs.min},"max":${vs.max},"samples":[${vs.mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val runTotals = samples.map(r => r.ok.map(_._2).sum + r.setup.map(_._2).sum)
+      .mkString("[", ",", "]")
     val runFailed = samples.map(_.failed.size).mkString("[", ",", "]")
     // parsed attempts only: a child that died/failed to parse left no Run
     val allProbes = attempted.map(r => f"[${r.probe}%.3f,${r.probeIo}%.3f]")
       .mkString("[", ",", "]")
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench_runs_latest.json"),
-      s"""{"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"parsed_attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"per_query":$detail}""")
+      s"""{"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"parsed_attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"setup":$setupDetail,"per_query":$detail}""")
     System.err.println(s"[bench] ${samples.size} runs, median total $total s (norm $totalNorm, inflated=$inflated, n_failed=$nFailed); full spread in target/bench_runs_latest.json")
   }
 }

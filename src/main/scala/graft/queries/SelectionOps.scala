@@ -479,6 +479,12 @@ object SelectionOps {
     }
   }
 
+  /** Trigger the PQ-codebook memo build without running a consumer gate —
+    * [[graft.Bench]]'s setup ledger times it as its own line. */
+  private[graft] def buildPqMemo(s: SparkSession, d: String): Unit = {
+    pqTrain(s, d); ()
+  }
+
   def q147(s: SparkSession, d: String): DataFrame = {
     val perBlock = pqTrain(s, d).zipWithIndex.map { case ((sub, assign, cents), b) =>
       sub.join(assign, Seq("vec_id"))

@@ -149,4 +149,18 @@ class HarnessContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ok.map(_._1) == Seq("a_ok"))
     assert(ok.head._2 > 0)
   }
+
+  test("Bench setup ledger is consumer-gated and builds the real memos") {
+    // no memo consumer selected -> no setup lines, no build jobs
+    assert(Bench.measureSetup(spark, sfDir, Set("q1_agg", "q80_traceability"))
+      .isEmpty)
+    // a q59-only suite needs the pair memo AND its cc layer, nothing else;
+    // the builds run for real (ArtifactMemo) and each reports a time
+    val lines = Bench.measureSetup(spark, sfDir, Set("q59_dup_clusters"))
+    assert(lines.map(_._1) == Seq("setup_pairs05", "setup_cc05"))
+    assert(lines.forall(_._2 > 0))
+    // the artifact now exists: the consumer gate runs without rebuilding
+    // (smoke: it still returns its oracle-shaped result)
+    assert(SparkEntry.queries("q59_dup_clusters")(spark, sfDir).count() > 0)
+  }
 }
