@@ -59,6 +59,19 @@ object ScaleStress {
     "q37_langid", "q84_tfidf_topterms", "q102_contamination",
     "q138_bigram_lm")
   private val controlGates = Seq("q1_agg")
+  // Relational/report-engine family (r9, VERDICT r8 next-list #1): the
+  // flagship reference capability — GL balances (q47), aged pivot (q48),
+  // running ledger (q50), the ReportRunner orchestration (q54), the
+  // journal report (q74) — rides the TPC-H facts this harness never
+  // inflated; its exponents were argued from plan shape, not measured.
+  // These time against the rel_x{f} dirs (orders/lineitem ×f); q1_agg
+  // (lineitem group-by) joins the measured set, and the flat control
+  // becomes q31 (documents hash-groupBy — documents stay base-sized in
+  // the rel dirs).
+  private val relGates = Seq(
+    "q1_agg", "q47_general_ledger", "q48_aged_handler",
+    "q50_running_ledger", "q54_report_runner", "q74_journal_report")
+  private val relControlGates = Seq("q31_dedup_exact")
   // q34's OUTPUT is corpus-construction-driven (word-level near-dup mass
   // across the 2/3-overlap copies grows with factor²), so past ×30 its
   // count() cost measures the synthetic corpus, not the operator — skip
@@ -98,6 +111,77 @@ object ScaleStress {
           "copies would share ids and the disjoint-corpus construction " +
           "breaks; raise the offset unit before trusting any exponent")
     }
+  }
+
+  /** The relational-family headroom guard: copy offsets land on the
+    * order-id spaces, so THOSE maxima must clear the unit. */
+  private[graft] def assertRelOffsetHeadroom(spark: SparkSession, base: String): Unit = {
+    val limits = Seq(
+      "orders.o_orderkey" -> Tables.orders(spark, base).agg(max(col("o_orderkey"))),
+      "lineitem.l_orderkey" -> Tables.lineitem(spark, base).agg(max(col("l_orderkey"))))
+    for ((name, df) <- limits) {
+      val m = df.head().getLong(0)
+      require(m < OffsetUnit,
+        s"scale-stress copy offset unit $OffsetUnit <= max($name) = $m: " +
+          "copies would share ids and the disjoint-corpus construction " +
+          "breaks; raise the offset unit before trusting any exponent")
+    }
+  }
+
+  /** ×f `orders`/`lineitem` under `target/scale_stress/rel_x$factor`:
+    * copy i offsets ONLY the order id (o_orderkey / l_orderkey) by
+    * i·[[OffsetUnit]] and keeps every other column verbatim — f
+    * independent order populations over the SAME date span (denser
+    * facts, the cluster growth mode), with three properties the
+    * measured exponents rest on (spec-pinned in [[graft.ScaleStressSpec]]):
+    *   - orderkey bands are disjoint, and lineitem copy i joins orders
+    *     copy i exactly (the offset aligns), so orders⋈lineitem shapes
+    *     grow ×f on both sides without cross-copy edges;
+    *   - every OTHER key (custkey, partkey, suppkey) is untouched, so
+    *     FK joins into the UNSCALED dims stay valid — the whole-suite
+    *     plan sweep runs every gate against this dir unchanged;
+    *   - grouping keys (dates, status, priority, custkey-derived account
+    *     codes) are copy-invariant, so group COUNTS stay constant while
+    *     rows-per-group grow ×f — grouped sums/counts scale exactly ×f,
+    *     which is the spec's copy-independence pin.
+    * Everything else (docs/events/embeddings/dims) is symlinked, making
+    * q31 (documents hash-groupBy) the flat control. */
+  private def buildRelDir(spark: SparkSession, base: String, factor: Int): String = {
+    val absBase = Paths.get(base).toAbsolutePath.normalize
+    val dir = Paths.get(s"target/scale_stress/rel_x$factor")
+    val marker = dir.resolve("_READY")
+    val markerWant = s"rel_v1 $absBase"
+    if (Files.exists(marker) && Files.readString(marker).trim == markerWant)
+      return dir.toString
+    deleteNoFollow(dir)
+    Files.createDirectories(dir)
+    val scaled = Seq("orders", "lineitem")
+    val passthrough = Seq("region", "nation", "customer", "supplier",
+      "part", "events", "documents", "embeddings") ++
+      (if (factor == 1) scaled else Nil)
+    for (t <- passthrough) {
+      val link = dir.resolve(s"$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, absBase.resolve(s"$t.parquet"))
+    }
+    if (factor == 1) { Files.writeString(marker, markerWant); return dir.toString }
+    assertRelOffsetHeadroom(spark, base)
+    val ord = Tables.orders(spark, base)
+    (0 until factor).map { i =>
+      if (i == 0) ord
+      else ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * OffsetUnit))
+    }.reduce(_ unionByName _)
+      .repartition(math.max(4, factor))
+      .write.mode("overwrite").parquet(dir.resolve("orders.parquet").toString)
+    val li = Tables.lineitem(spark, base)
+    (0 until factor).map { i =>
+      if (i == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * OffsetUnit))
+    }.reduce(_ unionByName _)
+      .repartition(math.max(8, 2 * factor))
+      .write.mode("overwrite").parquet(dir.resolve("lineitem.parquet").toString)
+    Files.writeString(marker, markerWant)
+    dir.toString
   }
 
   private def buildDir(spark: SparkSession, base: String, factor: Int): String = {
@@ -211,6 +295,26 @@ object ScaleStress {
         rows += line
       }
     }
+    // Relational/report-engine family over the rel_x{f} dirs (r9): same
+    // protocol — single-run timings, read exponents not seconds; q31 is
+    // the flat control (documents stay base-sized here).
+    val relFactors = sys.env.getOrElse("SPARK_GRAFT_SCALE_REL_FACTORS", "1,10,30")
+      .split(",").map(_.trim.toInt).toSeq
+    for (f <- relFactors) {
+      val dir = buildRelDir(spark, base, f)
+      val nOrd = spark.read.parquet(s"$dir/orders.parquet").count()
+      val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      for (g <- relGates ++ relControlGates) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(g)(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc()
+        val line = s"""{"gate":"$g","factor":$f,"family":"rel","orders":$nOrd,"lineitem":$nLi,"result_rows":$n,"sec":$dt}"""
+        println(line)
+        rows += line
+      }
+    }
     // Plan-audit sweep at the LARGEST synthetic factor (r8, VERDICT r7
     // next-list #5): the sf0.001 PlanAuditSpec pins shapes at gate scale;
     // AQE/size-based planning could legitimately switch strategies on
@@ -226,19 +330,25 @@ object ScaleStress {
     // builds). Streaming gates are excluded because planning them
     // executes them; their batch twins are in the sweep. Disable with
     // SPARK_GRAFT_SCALE_PLAN_AUDIT=0.
-    if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PLAN_AUDIT", "1") != "0"
-        && factors.exists(_ > 1)) {
-      val f = factors.max
-      val dir = buildDir(spark, base, f)
+    if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PLAN_AUDIT", "1") != "0") {
       val names = Queries.all.keys.filterNot(PlanAudit.streamingGates)
-      val t0 = System.nanoTime()
-      val offenders = PlanAudit.sweep(spark, dir, names)
-      val dt = (System.nanoTime() - t0) / 1e9
-      val line = s"""{"plan_audit_factor":$f,"gates_swept":${names.size},"offenders":${
-        offenders.map(o => "\"" + o.replace("\"", "'") + "\"").mkString("[", ",", "]")
-      },"sec":$dt}"""
-      println(line)
-      rows += line
+      def sweepAt(dir: String, f: Int, family: String): Unit = {
+        val t0 = System.nanoTime()
+        val offenders = PlanAudit.sweep(spark, dir, names)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val line = s"""{"plan_audit_factor":$f,"family":"$family","gates_swept":${names.size},"offenders":${
+          offenders.map(o => "\"" + o.replace("\"", "'") + "\"").mkString("[", ",", "]")
+        },"sec":$dt}"""
+        println(line)
+        rows += line
+      }
+      if (factors.exists(_ > 1))
+        sweepAt(buildDir(spark, base, factors.max), factors.max, "docs")
+      // the rel sweep catches strategy flips that only scaled FACT stats
+      // provoke (the r8 docs sweep could not — orders/lineitem were
+      // symlinks there)
+      if (relFactors.exists(_ > 1))
+        sweepAt(buildRelDir(spark, base, relFactors.max), relFactors.max, "rel")
     }
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/scale_stress.json"),

@@ -115,6 +115,64 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     ScaleStress.assertOffsetHeadroom(spark, base)
   }
 
+  test("rel copies: disjoint order bands, exact ×f grouped aggregates") {
+    // the r9 relational construction: copy i offsets ONLY the order id by
+    // i·OffsetUnit. Properties the measured q1/q47/q48/q50/q54/q74
+    // exponents rest on: (a) orderkey bands are disjoint while every other
+    // key is untouched (FK joins into unscaled dims stay valid); (b)
+    // de-offsetting a copy reproduces the base exactly; (c) grouping keys
+    // are copy-invariant, so grouped sums/counts scale EXACTLY ×f with a
+    // constant group count — scaled cost is the algorithm's, not a
+    // group-explosion artifact.
+    val s = spark; import s.implicits._
+    val base = Seq(
+      (1L, 7L, "F", "1996-01-05", 100.0),
+      (2L, 7L, "O", "1996-02-11", 250.0),
+      (3L, 9L, "F", "1995-07-01", 40.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice")
+    def copy(i: Int) =
+      if (i == 0) base
+      else base.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i * ScaleStress.OffsetUnit))
+    val all = (0 to 2).map(copy).reduce(_ unionByName _)
+    // (a) disjoint order ids, shared everything else
+    assert(all.select("o_orderkey").distinct().count() == 3 * 3)
+    assert(all.select("o_custkey").distinct().count() == 2)
+    // (b) de-offset copy 2 == base, row for row
+    val deoff = copy(2).withColumn("o_orderkey",
+      col("o_orderkey") - lit(2 * ScaleStress.OffsetUnit))
+    assert(deoff.except(base).count() == 0 && base.except(deoff).count() == 0)
+    // (c) grouped aggregates scale exactly ×3: same groups, count ×3,
+    // sum ×3, max invariant (the q1/q47 shapes)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("t"),
+        max(col("o_totalprice")).as("m"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (b, a3) = (agg(base), agg(all))
+    assert(a3.keySet == b.keySet)
+    for ((k, (n, t, m)) <- b)
+      assert(a3(k) == ((3 * n, 3 * t, m)), s"group $k")
+  }
+
+  test("the rel offset-headroom guard fires when order ids exceed the unit") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), "reloffguard")
+    val base = "/root/testdata/sf0.001"
+    Files.createSymbolicLink(
+      dir.resolve("lineitem.parquet"), Paths.get(s"$base/lineitem.parquet"))
+    Tables.orders(spark, base)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(ScaleStress.OffsetUnit))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val e = intercept[IllegalArgumentException] {
+      ScaleStress.assertRelOffsetHeadroom(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("orders.o_orderkey"))
+    // and the real tiers all have headroom
+    ScaleStress.assertRelOffsetHeadroom(spark, base)
+  }
+
   test("every 3-word window of a mangled copy covers a rewritten position") {
     // the disjointness mechanism: with every 3rd word rewritten, no
     // 3-window can consist of original words only
