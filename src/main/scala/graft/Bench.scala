@@ -117,7 +117,10 @@ object Bench {
       "q151_ivfpq_search"),
       (s, d) => graft.queries.SelectionOps.buildPqMemo(s, d)),
     ("setup_kmeans8x2", Set("q85_kmeans_quantizer", "q145_semantic_dedup"),
-      (s, d) => { graft.queries.SimilarityOps.coarseCentroids(s, d); () }))
+      (s, d) => { graft.queries.SimilarityOps.coarseCentroids(s, d); () }),
+    ("setup_evslice4", Set("q159_stream_sessionize", "q163_stream_join",
+      "q164_stream_outer_join", "q165_stream_restart", "q167_stream_hourly"),
+      (s, d) => { graft.queries.GateOps.buildEvSliceMemo(s, d); () }))
 
   /** Times each memo build whose consumers intersect `suiteNames`. A
     * failed build yields no ledger line — its consumers rebuild inline
@@ -173,16 +176,21 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** I/O arm: 256 MiB of 4 MiB blocks written to `target/` scratch with a
-    * final fsync, then read back (~0.6 s quiet on the test host's NVMe).
-    * Same scratch filesystem Spark spills/memos hit, so co-tenant disk
-    * pressure inflates this probe the way it inflates the suite's
-    * shuffle-heavy queries — the blind spot the r6 CPU-only probe proved
-    * to have. Page cache makes the read-back cheap when the disk is
-    * quiet; under write pressure both phases stretch, which is the
-    * signal. The file is per-PID and deleted on exit. */
+  /** I/O arm: 256 MiB of 4 MiB blocks written with a final fsync, then
+    * read back, against THE MEDIUM THE SUITE'S SHUFFLE/SPILL ACTUALLY
+    * USES — [[Scratch.benchLocalDir]]'s tmpfs when routed (r9; quiet
+    * reference ~0.1 s there), else `target/` disk (~0.6 s quiet on the
+    * test host's NVMe). Probing the live medium keeps the ambient flag
+    * and `total_norm_lb` honest in both directions: before r9's tmpfs
+    * routing the probe correctly sensed the disk the shuffle felt; after
+    * it, a loud disk the suite no longer touches must not flag (or
+    * deflate) a run that never felt it. Co-tenant pressure on the probed
+    * medium stretches both phases, which is the signal; source-parquet
+    * reads stay page-cached at bench scale and their residual exposure
+    * shows in the CPU arm and sample spread. The file is per-PID and
+    * deleted on exit. */
   private def ioProbe(): Double = {
-    val dir = Paths.get("target")
+    val dir = Scratch.benchLocalDir().map(Paths.get(_)).getOrElse(Paths.get("target"))
     Files.createDirectories(dir)
     val f = dir.resolve(s"ioprobe_${ProcessHandle.current().pid()}.bin")
     val block = new Array[Byte](4 << 20)

@@ -455,6 +455,75 @@ object Profile85b {
   }
 }
 
+/** Dev tool: streaming per-trigger fixed-cost A/B (r9, VERDICT r8 #4) —
+  * the SAME sessionization pipeline over the SAME data, staged as 2, 4,
+  * or 8 real micro-batches (+2 sentinel batches each). The per-trigger
+  * slope quantifies how much of a streaming gate is fixed micro-batch
+  * overhead (planning + state-store commit + sink/offset-log I/O) versus
+  * data, i.e. what batch-count reduction COULD buy if the gates' arrival
+  * semantics allowed it (they don't: the fixtures pin event-time-ordered
+  * quartile arrival and watermark advancement, and q165's restart needs
+  * a mid-stream boundary). */
+object ProfileStream {
+  import Profile.time
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val evs = Tables.events(spark, sfDir)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("double").as("value"))
+      .cache()
+    val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
+    time("warmup (slice count)") { println("n=" + evs.count()) }
+    for (n <- Seq(2, 4, 8); rep <- 1 to 2) {
+      val staged = evs.withColumn("__b",
+        ntile(n).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))))
+      val sentinels = Seq(
+        (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "x", 0.0),
+        (-2L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "x", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val src = graft.queries.GateOps.stageBatches(
+        staged.unionByName(sentinels.withColumn("__b",
+          when(col("event_id") === -1L, lit(n + 1)).otherwise(lit(n + 2)))),
+        n + 2, s"profstream$n")
+      val store = Scratch.fresh(s"profstream${n}_store")
+      val ckpt = Scratch.fresh(s"profstream${n}_ckpt")
+      val stream = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+          "event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.getPath)
+        .as[graft.streaming.EventsStream.Event]
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      time(s"sessionize ${n + 2} triggers (rep $rep)") {
+        try {
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+          val q = graft.streaming.EventsStream.sessionize(stream, gapMinutes = 30)
+            .writeStream
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+            .format("parquet")
+            .option("path", store.getPath)
+            .option("checkpointLocation", ckpt.getPath)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      println("sessions=" + spark.read.parquet(store.getPath)
+        .filter(col("user_id") >= 0).count())
+    }
+    spark.stop()
+  }
+}
+
 /** Dev tool: q80 stage timing — edge-layer construction vs the reach
   * probe vs the final sort, warm. */
 object Profile80 {

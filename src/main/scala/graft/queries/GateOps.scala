@@ -398,8 +398,14 @@ object GateOps {
     * and an mtime tie could deliver a later batch first — e.g. q157's
     * write/unlink deltas before their creates, which the n>0 snapshot
     * pruning then legitimately drops. */
-  private[graft] def stageBatches(staged: DataFrame, n: Int, tag: String): java.io.File = {
-    val src = graft.Scratch.fresh(s"${tag}_src")
+  private[graft] def stageBatches(staged: DataFrame, n: Int, tag: String): java.io.File =
+    stageBatchesInto(staged, n, tag, graft.Scratch.fresh(s"${tag}_src"))
+
+  /** [[stageBatches]] into a caller-provided src dir — lets a gate lay its
+    * sentinel batches on top of memo-copied quartile files (the batch
+    * numbers continue, so the later mtime base keeps arrival order). */
+  private[graft] def stageBatchesInto(staged: DataFrame, n: Int, tag: String,
+      src: java.io.File): java.io.File = {
     val tmp = graft.Scratch.fresh(s"${tag}_tmp")
     staged.coalesce(1).write.mode("overwrite")
       .partitionBy("__b").parquet(tmp.getPath)
@@ -418,6 +424,63 @@ object GateOps {
         }
     }
     src
+  }
+
+  /** The shared streaming fixture, staged ONCE per (application, data
+    * dir): five gates (q159/q163/q164/q165/q167) stream the IDENTICAL
+    * 5 %-user events slice (integer cents) as the same 4 time-quartile
+    * batch files, and each used to re-run the scan + max-ts aggregate +
+    * global ntile + coalesced write (~0.5–1 s apiece, ~a quarter of the
+    * streaming block's cost — VERDICT r8 next-list #4's "shared fixture
+    * staging"). The memo builds the quartile files and records the max
+    * ts; [[sharedSliceSrc]] then hands each gate a PRIVATE copy (driver-
+    * side file copy of KB-sized files, mtimes pinned to arrival order) so
+    * q165's hold-back moves and per-gate sentinel batches never touch the
+    * shared artifact. Ledgered as `setup_evslice4` in [[graft.Bench]]. */
+  private[graft] def buildEvSliceMemo(s: SparkSession, d: String): String =
+    ArtifactMemo.path(s, d, "evslice4") { out =>
+      import org.apache.spark.sql.expressions.Window
+      val evs = Tables.events(s, d)
+        .filter(col("user_id") % 20 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("double").as("value"))
+      val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
+      val staged = evs.withColumn("__b",
+        ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
+      val tmp = graft.Scratch.fresh("evslice4_tmp")
+      staged.coalesce(1).write.mode("overwrite")
+        .partitionBy("__b").parquet(tmp.getPath)
+      val outF = new java.io.File(out)
+      (1 to 4).foreach { b =>
+        Option(new java.io.File(tmp, s"__b=$b").listFiles())
+          .flatMap(_.find(_.getName.endsWith(".parquet")))
+          .foreach { part =>
+            java.nio.file.Files.copy(part.toPath,
+              new java.io.File(outF, f"batch_$b%02d.parquet").toPath): Unit
+          }
+      }
+      java.nio.file.Files.writeString(
+        new java.io.File(outF, "maxts.txt").toPath, maxTs.getTime.toString): Unit
+    }
+
+  /** A per-gate src dir holding a private mtime-pinned copy of the memo's
+    * quartile files, plus the slice's max ts (for sentinel construction). */
+  private def sharedSliceSrc(s: SparkSession, d: String, tag: String)
+      : (java.io.File, java.sql.Timestamp) = {
+    val root = buildEvSliceMemo(s, d)
+    val maxTs = new java.sql.Timestamp(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "maxts.txt")).trim.toLong)
+    val src = graft.Scratch.fresh(s"${tag}_src")
+    val t0 = System.currentTimeMillis() - 60000L
+    (1 to 4).foreach { b =>
+      val from = new java.io.File(root, f"batch_$b%02d.parquet")
+      if (from.exists()) {
+        val dst = new java.io.File(src, from.getName)
+        java.nio.file.Files.copy(from.toPath, dst.toPath)
+        dst.setLastModified(t0 + b * 1000L): Unit
+      }
+    }
+    (src, maxTs)
   }
 
   /** q157 — streaming changelog materialization, EXECUTED as a real
@@ -542,25 +605,18 @@ object GateOps {
   private def sessionGate(s: SparkSession, d: String,
       restartAfter: Option[Int], tag: String): DataFrame = {
     import s.implicits._
-    // value staged as integer cents (exact-sum type; see q159 scaladoc)
-    val evs = Tables.events(s, d)
-      .filter(col("user_id") % 20 === 0)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("double").as("value"))
-    val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
+    // quartile fixture from the shared memo (value staged as integer
+    // cents — exact-sum type; see q159 scaladoc); only the two sentinel
+    // batches are staged per-gate
     val store = graft.Scratch.fresh(s"${tag}_store")
     val ckpt = graft.Scratch.fresh(s"${tag}_ckpt")
-    val staged = evs.withColumn("__b",
-      ntile(4).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("ts"), col("event_id"))))
+    val (src, maxTs) = sharedSliceSrc(s, d, tag)
     val sentinels = Seq(
       (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "x", 0.0),
       (-2L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "x", 0.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    val src = stageBatches(
-      staged.unionByName(sentinels.withColumn("__b",
-        when(col("event_id") === -1L, lit(5)).otherwise(lit(6)))),
-      6, tag)
+    stageBatchesInto(sentinels.withColumn("__b",
+      when(col("event_id") === -1L, lit(5)).otherwise(lit(6))), 6, tag, src)
     // restart mode: hold back every batch past the stop point; moving the
     // files back later preserves their pinned mtimes (same-fs rename), so
     // the resumed query sees the same arrival order the one-shot run does
@@ -767,17 +823,10 @@ object GateOps {
     // value staged as integer cents: the pass-through pair values AND the
     // per-user attribution sum below are then exact against the oracle
     // (VERDICT r5 #4 — no float column left unverified in streaming gates)
-    val evs = Tables.events(s, d)
-      .filter(col("user_id") % 20 === 0)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("double").as("value"))
     val store = graft.Scratch.fresh("q163_store")
     val ckpt = graft.Scratch.fresh("q163_ckpt")
-    val src = stageBatches(
-      evs.withColumn("__b",
-        ntile(4).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("ts"), col("event_id")))),
-      4, "q163")
+    // quartile fixture from the shared memo (integer-cents slice)
+    val (src, _) = sharedSliceSrc(s, d, "q163")
     val stream = s.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
         "event_type STRING, value DOUBLE")
@@ -849,26 +898,19 @@ object GateOps {
     * contract). */
   def q164(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val evs = Tables.events(s, d)
-      .filter(col("user_id") % 20 === 0)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("double").as("value"))
-    val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
     val store = graft.Scratch.fresh("q164_store")
     val ckpt = graft.Scratch.fresh("q164_ckpt")
-    val staged = evs.withColumn("__b",
-      ntile(4).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("ts"), col("event_id"))))
+    // quartile fixture from the shared memo; the gate stages only its
+    // two both-sides sentinel batches
+    val (src, maxTs) = sharedSliceSrc(s, d, "q164")
     val sentinels = Seq(
       (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "click", 0.0),
       (-2L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "purchase", 0.0),
       (-3L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "click", 0.0),
       (-4L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "purchase", 0.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    val src = stageBatches(
-      staged.unionByName(sentinels.withColumn("__b",
-        when(col("event_id") >= -2L, lit(5)).otherwise(lit(6)))),
-      6, "q164")
+    stageBatchesInto(sentinels.withColumn("__b",
+      when(col("event_id") >= -2L, lit(5)).otherwise(lit(6))), 6, "q164", src)
     val stream = s.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
         "event_type STRING, value DOUBLE")
@@ -907,24 +949,16 @@ object GateOps {
     * longs/integer-cents and emission is once-per-window. */
   def q167(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val evs = Tables.events(s, d)
-      .filter(col("user_id") % 20 === 0)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("double").as("value"))
-    val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
     val store = graft.Scratch.fresh("q167_store")
     val ckpt = graft.Scratch.fresh("q167_ckpt")
-    val staged = evs.withColumn("__b",
-      ntile(4).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("ts"), col("event_id"))))
+    // quartile fixture from the shared memo + the two sentinel batches
+    val (src, maxTs) = sharedSliceSrc(s, d, "q167")
     val sentinels = Seq(
       (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "x", 0.0),
       (-2L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "x", 0.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    val src = stageBatches(
-      staged.unionByName(sentinels.withColumn("__b",
-        when(col("event_id") === -1L, lit(5)).otherwise(lit(6)))),
-      6, "q167")
+    stageBatchesInto(sentinels.withColumn("__b",
+      when(col("event_id") === -1L, lit(5)).otherwise(lit(6))), 6, "q167", src)
     val stream = s.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
         "event_type STRING, value DOUBLE")
