@@ -68,9 +68,17 @@ object ScaleStress {
   // (lineitem group-by) joins the measured set, and the flat control
   // becomes q31 (documents hash-groupBy — documents stay base-sized in
   // the rel dirs).
+  // Beyond the verdict's six: q3 is the canonical fact⋈fact join (both
+  // sides scale, orderkey bands aligned by construction), q17 the
+  // multi-period one-scan shape, q78/q79 the FIFO cumulative-interval
+  // family — the one relational shape where per-KEY density growth
+  // (copies share partkey) could hide superlinear matching, so it gets
+  // measured, not argued.
   private val relGates = Seq(
-    "q1_agg", "q47_general_ledger", "q48_aged_handler",
-    "q50_running_ledger", "q54_report_runner", "q74_journal_report")
+    "q1_agg", "q3_star_join", "q17_multi_period",
+    "q47_general_ledger", "q48_aged_handler", "q50_running_ledger",
+    "q54_report_runner", "q74_journal_report",
+    "q78_fifo_remaining", "q79_fifo_allocation")
   private val relControlGates = Seq("q31_dedup_exact")
   // q34's OUTPUT is corpus-construction-driven (word-level near-dup mass
   // across the 2/3-overlap copies grows with factor²), so past ×30 its

@@ -467,7 +467,15 @@ object SelectionOps {
     def sub(b: Int) = base.select(col("vec_id"),
       slice(col("embedding"), b * PqDims + 1, PqDims).as("embedding"))
     val root = ArtifactMemo.path(s, d, s"pq${PqBlocks}x$PqK") { out =>
-      (0 until PqBlocks).foreach { b =>
+      // the 4 block trainings are fully independent (disjoint slices,
+      // disjoint output dirs, no session-conf mutation in the trainer),
+      // so they submit their Lloyd-round jobs CONCURRENTLY — the
+      // scheduler interleaves the small jobs' scheduling gaps instead of
+      // serializing 4 × (rounds × per-job latency); exactly what a
+      // production pipeline does with per-block training jobs. Results
+      // are bit-identical to sequential training (nothing shared).
+      import scala.collection.parallel.CollectionConverters._
+      (0 until PqBlocks).par.foreach { b =>
         graft.operators.KMeansQuantizer.trainCentroids(
             sub(b), k = PqK, iterations = PqRounds)
           .write.mode("overwrite").parquet(s"$out/cents$b")
