@@ -305,6 +305,38 @@ object Bench {
     Run(math.min(p1, p2), math.min(io1, io2), ok, failed, setup)
   }
 
+  /** The child's one-line JSON for a [[Run]] — paired with
+    * [[parseChildLine]] and round-trip spec-tested ([[graft
+    * .HarnessContractSpec]]): a drift between the format and the parse
+    * would silently drop samples (or the whole setup ledger) from the
+    * official artifact, the exact r6 failure class. */
+  private[graft] def childLine(r: Run, sfDir: String): String = {
+    val total = r.ok.map(_._2).sum + r.setup.map(_._2).sum
+    s"""{"metric":"run","value":$total,"unit":"sec","probe":${r.probe},"probe_io":${r.probeIo},"queries":${qJson(r.ok)},"setup":${qJson(r.setup)},"failed":${sJson(r.failed)},"sf":"$sfDir"}"""
+  }
+
+  /** Parse one child line back into a [[Run]] (None = unparseable). */
+  private[graft] def parseChildLine(l: String): Option[Run] = {
+    def num(field: String): Double =
+      ("\"" + field + "\":([0-9.eE+\\-]+)").r.findFirstMatchIn(l)
+        .map(_.group(1).toDouble).getOrElse(0.0)
+    val body = l.substring(l.indexOf("\"queries\":{") + "\"queries\":{".length)
+    // the number class must admit negative exponents (8.6E-4 from a
+    // sub-millisecond sample) or the whole run's samples are dropped
+    val pairs = "\"([^\"]+)\":([0-9.eE+\\-]+)".r.findAllMatchIn(
+      body.take(body.indexOf('}'))).map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    val failed = "\"failed\":\\[([^\\]]*)\\]".r.findFirstMatchIn(l)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    val setup = "\"setup\":\\{([^}]*)\\}".r.findFirstMatchIn(l)
+      .map(_.group(1)).getOrElse("")
+    val setupPairs = "\"([^\"]+)\":([0-9.eE+\\-]+)".r.findAllMatchIn(setup)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    if (pairs.isEmpty && failed.isEmpty) None
+    else Some(Run(num("probe"), num("probe_io"), pairs, failed, setupPairs))
+  }
+
   /** Spawn one fresh child JVM (this JVM's flags + classpath, inherited
     * env) running `graft.Bench --child`; parse its one-line JSON back into
     * a [[Run]]. None on any launch/parse failure. */
@@ -333,27 +365,8 @@ object Bench {
       }
       drainer.join(60000)
       val out = outBuf.get()
-      val line = out.linesIterator.find(_.startsWith("""{"metric""""))
-      line.flatMap { l =>
-        def num(field: String): Double =
-          ("\"" + field + "\":([0-9.eE+\\-]+)").r.findFirstMatchIn(l)
-            .map(_.group(1).toDouble).getOrElse(0.0)
-        val body = l.substring(l.indexOf("\"queries\":{") + "\"queries\":{".length)
-        // the number class must admit negative exponents (8.6E-4 from a
-        // sub-millisecond sample) or the whole run's samples are dropped
-        val pairs = "\"([^\"]+)\":([0-9.eE+\\-]+)".r.findAllMatchIn(
-          body.take(body.indexOf('}'))).map(m => m.group(1) -> m.group(2).toDouble).toSeq
-        val failed = "\"failed\":\\[([^\\]]*)\\]".r.findFirstMatchIn(l)
-          .map(_.group(1)).getOrElse("")
-          .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-          .filter(_.nonEmpty).toSeq
-        val setup = "\"setup\":\\{([^}]*)\\}".r.findFirstMatchIn(l)
-          .map(_.group(1)).getOrElse("")
-        val setupPairs = "\"([^\"]+)\":([0-9.eE+\\-]+)".r.findAllMatchIn(setup)
-          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-        if (pairs.isEmpty && failed.isEmpty) None
-        else Some(Run(num("probe"), num("probe_io"), pairs, failed, setupPairs))
-      }
+      out.linesIterator.find(_.startsWith("""{"metric""""))
+        .flatMap(parseChildLine)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] run $i/$runs failed to spawn: $e"); None
     }
@@ -402,9 +415,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     if (args.contains("--child")) {
-      val r = inProcessRun(sfDir, cpus)
-      val total = r.ok.map(_._2).sum + r.setup.map(_._2).sum
-      println(s"""{"metric":"run","value":$total,"unit":"sec","probe":${r.probe},"probe_io":${r.probeIo},"queries":${qJson(r.ok)},"setup":${qJson(r.setup)},"failed":${sJson(r.failed)},"sf":"$sfDir"}""")
+      println(childLine(inProcessRun(sfDir, cpus), sfDir))
       return
     }
     // Schema-contract preflight BEFORE spawning 3 × 45-min children: on

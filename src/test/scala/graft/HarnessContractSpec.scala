@@ -150,6 +150,25 @@ class HarnessContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ok.head._2 > 0)
   }
 
+  test("Bench child line round-trips through the parser exactly") {
+    // format and parse are a spec'd PAIR: drift between them silently
+    // drops samples (or the whole setup ledger) from the official
+    // artifact — the r6 failure class. Cover the hard cases: scientific
+    // notation with negative exponent, empty vs nonempty setup/failed,
+    // and the all-failed run.
+    val runs = Seq(
+      Bench.Run(1.23, 0.45, Seq("q1" -> 0.5, "q2" -> 8.6e-4), Nil),
+      Bench.Run(1.0, 2.0, Seq("q1" -> 1.5e3), Seq("q_boom", "q_bang"),
+        Seq("setup_pairs05" -> 5.14, "setup_mh12" -> 2.0e-2)),
+      Bench.Run(0.9, 0.1, Nil, Seq("q_only_failure")))
+    for (r <- runs) {
+      val parsed = Bench.parseChildLine(Bench.childLine(r, "/tmp/sf"))
+      assert(parsed.contains(r), s"round-trip of $r")
+    }
+    // an unparseable line yields None, never a half-parsed Run
+    assert(Bench.parseChildLine("""{"metric":"run","garbage":true}""").isEmpty)
+  }
+
   test("Bench setup ledger is consumer-gated and builds the real memos") {
     // no memo consumer selected -> no setup lines, no build jobs
     assert(Bench.measureSetup(spark, sfDir, Set("q1_agg", "q80_traceability"))
