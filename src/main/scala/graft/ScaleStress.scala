@@ -154,7 +154,7 @@ object ScaleStress {
     *     which is the spec's copy-independence pin.
     * Everything else (docs/events/embeddings/dims) is symlinked, making
     * q31 (documents hash-groupBy) the flat control. */
-  private def buildRelDir(spark: SparkSession, base: String, factor: Int): String = {
+  private[graft] def buildRelDir(spark: SparkSession, base: String, factor: Int): String = {
     val absBase = Paths.get(base).toAbsolutePath.normalize
     val dir = Paths.get(s"target/scale_stress/rel_x$factor")
     val marker = dir.resolve("_READY")

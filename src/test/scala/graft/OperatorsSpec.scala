@@ -270,6 +270,44 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       centroids2.as[(Long, Seq[Double])].collect().toMap)
   }
 
+  test("traceability matches a reference BFS on random graphs, both paths") {
+    val s = spark; import s.implicits._
+    import graft.operators.Traceability
+    // deterministic LCG (the CC test's discipline) over cyclic multigraphs
+    var seed = 98765L
+    def next(bound: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for ((nEdges, maxHops) <- Seq((12, 3), (50, 4), (150, 10))) {
+      val edges = (0 until nEdges).map(_ => (next(25).toLong, next(25).toLong))
+      val seedIds = (0 until 3).map(_ => next(25).toLong).distinct
+      // driver-side reference BFS (shortest hop depth, per root)
+      val adj = edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      val expected = seedIds.flatMap { root =>
+        val depth = scala.collection.mutable.Map(root -> 0L)
+        var frontier = List(root)
+        var d = 0L
+        while (d < maxHops && frontier.nonEmpty) {
+          d += 1
+          frontier = for {
+            n <- frontier; m <- adj.getOrElse(n, Nil)
+            if !depth.contains(m) && { depth(m) = d; true }
+          } yield m
+        }
+        depth.map { case (node, dd) => (root, node, dd) }
+      }.toSet
+      val edgeDf = edges.toDF("src", "dst")
+      val seedDf = seedIds.map(Tuple1(_)).toDF("id")
+      val fast = Traceability.reach(edgeDf, seedDf, maxHops)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(fast == expected, s"nEdges=$nEdges (driver path)")
+      val dist = Traceability.reach(edgeDf, seedDf, maxHops, smallGraphBound = 0L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(dist == expected, s"nEdges=$nEdges (distributed path)")
+    }
+  }
+
   test("connected components matches union-find on random graphs") {
     val s = spark; import s.implicits._
     // deterministic LCG so the three shapes (sparse, chains, dense-ish)

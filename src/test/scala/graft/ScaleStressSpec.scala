@@ -156,6 +156,41 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a3(k) == ((3 * n, 3 * t, m)), s"group $k")
   }
 
+  test("the REAL rel construction yields exact ×2 aggregates at sf0.001") {
+    // end-to-end through ScaleStress.buildRelDir itself, not an inlined
+    // mirror of it (the r9 ADVICE's lesson: a spec that copies the
+    // construction can drift from it while both stay green) — the ×f
+    // invariant must hold on the actual dir the exponents are measured
+    // against. Uses factor 2 at sf0.001: rel_x2 is not a factor the
+    // sf0.1 measurement runs use, so no cached measurement corpus is
+    // clobbered (and the _READY marker records the base, so a later
+    // sf0.1 run at factor 2 would rebuild rather than reuse this one).
+    val base = "/root/testdata/sf0.001"
+    val dir = ScaleStress.buildRelDir(spark, base, 2)
+    // decimal-cast sums: exact at any multiplicity, independent of the
+    // tier's physical column type
+    def q1Style(d: String) = Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(20,2)")).as("qty"),
+        max(col("l_extendedprice").cast("decimal(20,2)")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDecimal(3), r.getDecimal(4)))).toMap
+    val (b, s2) = (q1Style(base), q1Style(dir))
+    assert(s2.keySet == b.keySet) // constant group count
+    for ((k, (n, qty, mx)) <- b) {
+      assert(s2(k)._1 == 2 * n, s"count $k")
+      assert(s2(k)._2.compareTo(qty.add(qty)) == 0, s"sum $k")
+      assert(s2(k)._3.compareTo(mx) == 0, s"max $k")
+    }
+    // the join alignment: lineitem copy i joins orders copy i, so the
+    // orders⋈lineitem row count scales exactly ×2 as well
+    def joined(d: String) = Tables.lineitem(spark, d)
+      .join(Tables.orders(spark, d),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined(dir) == 2 * joined(base))
+  }
+
   test("the rel offset-headroom guard fires when order ids exceed the unit") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory(Paths.get("target"), "reloffguard")
