@@ -192,7 +192,7 @@ object ScaleStress {
     dir.toString
   }
 
-  private def buildDir(spark: SparkSession, base: String, factor: Int): String = {
+  private[graft] def buildDir(spark: SparkSession, base: String, factor: Int): String = {
     // Symlink targets must be absolute (a relative SPARK_GRAFT_SF_DIR would
     // otherwise resolve relative to the link's dir and dangle), and the
     // _READY marker records the base dir so a corpus built from a DIFFERENT

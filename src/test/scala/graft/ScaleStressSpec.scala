@@ -156,6 +156,38 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(a3(k) == ((3 * n, 3 * t, m)), s"group $k")
   }
 
+  test("the REAL docs construction yields disjoint copies at sf0.001") {
+    // end-to-end through ScaleStress.buildDir itself (the docs/events/
+    // embeddings family), closing the same spec-mirror drift class the
+    // rel test below closes: the invariants must hold on the actual dir.
+    val base = "/root/testdata/sf0.001"
+    val dir = ScaleStress.buildDir(spark, base, 2)
+    val bDocs = Tables.documents(spark, base)
+    val sDocs = Tables.documents(spark, dir)
+    // ×2 rows, fully disjoint doc_ids (copy 1 offsets by OffsetUnit)
+    assert(sDocs.count() == 2 * bDocs.count())
+    assert(sDocs.select("doc_id").distinct().count() ==
+      2 * bDocs.select("doc_id").distinct().count())
+    // zero shared 3-shingles between the two copies ON THE REAL DIR —
+    // the property every dedup exponent rests on
+    val sh = sDocs.select(
+        (col("doc_id") >= ScaleStress.OffsetUnit).as("copy"),
+        explode(expr(
+          """transform(sequence(0, size(split(text,' ')) - 3),
+            |  k -> concat_ws(' ', slice(split(text,' '), k + 1, 3)))"""
+            .stripMargin)).as("sh"))
+    assert(sh.filter(col("copy")).select("sh")
+      .intersect(sh.filter(!col("copy")).select("sh")).count() == 0)
+    // events: disjoint user populations, ×2 rows; embeddings: ×2 vec_ids
+    val bEv = Tables.events(spark, base)
+    val sEv = Tables.events(spark, dir)
+    assert(sEv.count() == 2 * bEv.count())
+    assert(sEv.select("user_id").distinct().count() ==
+      2 * bEv.select("user_id").distinct().count())
+    assert(Tables.embeddings(spark, dir).select("vec_id").distinct().count() ==
+      2 * Tables.embeddings(spark, base).select("vec_id").distinct().count())
+  }
+
   test("the REAL rel construction yields exact ×2 aggregates at sf0.001") {
     // end-to-end through ScaleStress.buildRelDir itself, not an inlined
     // mirror of it (the r9 ADVICE's lesson: a spec that copies the
