@@ -95,7 +95,8 @@ object Bench {
     * VERDICT r8 next-list #5): the PairMemo / MinHash-index / PQ-codebook /
     * coarse-quantizer constructions are per-corpus-version artifacts that
     * used to be billed to whichever consumer ran first alphabetically
-    * (q108 carried ~0.6 s of pair-memo build it never asked for). Each
+    * (q108's r8 median was 4.64 s; with the pair-memo build on its own
+    * 5.1 s line it reads 0.90 s — BENCH_r09_builder.json). Each
     * build is triggered once here, timed, and every consumer gate then
     * reads the finished artifact — per-query numbers measure the queries.
     * A setup only runs when one of its consumers is in the selected suite,
