@@ -439,6 +439,7 @@ object GateOps {
     * shared artifact. Ledgered as `setup_evslice4` in [[graft.Bench]]. */
   private[graft] def buildEvSliceMemo(s: SparkSession, d: String): String =
     ArtifactMemo.path(s, d, "evslice4") { out =>
+      import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val evs = Tables.events(s, d)
         .filter(col("user_id") % 20 === 0)
@@ -447,40 +448,62 @@ object GateOps {
       val maxTs = evs.agg(max(col("ts"))).head().getTimestamp(0)
       val staged = evs.withColumn("__b",
         ntile(4).over(Window.orderBy(col("ts"), col("event_id"))))
-      val tmp = graft.Scratch.fresh("evslice4_tmp")
-      staged.coalesce(1).write.mode("overwrite")
-        .partitionBy("__b").parquet(tmp.getPath)
+      // the sentinel batches are memoized too: the watermark gates share
+      // two fixed shapes (q159/q165/q167's "x" pair; q164's both-sides
+      // click+purchase pair), both pure functions of maxTs — building
+      // them here turns per-gate staging into file copies with ZERO
+      // Spark jobs per gate
+      val sentX = Seq(
+        (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "x", 0.0, 5),
+        (-2L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "x", 0.0, 6))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "__b")
+      val sentCp = Seq(
+        (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "click", 0.0, 5),
+        (-2L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "purchase", 0.0, 5),
+        (-3L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "click", 0.0, 6),
+        (-4L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "purchase", 0.0, 6))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "__b")
       val outF = new java.io.File(out)
-      (1 to 4).foreach { b =>
-        Option(new java.io.File(tmp, s"__b=$b").listFiles())
-          .flatMap(_.find(_.getName.endsWith(".parquet")))
-          .foreach { part =>
-            java.nio.file.Files.copy(part.toPath,
-              new java.io.File(outF, f"batch_$b%02d.parquet").toPath): Unit
-          }
+      def emit(frame: DataFrame, tmpTag: String, prefix: String, bs: Seq[Int]): Unit = {
+        val tmp = graft.Scratch.fresh(tmpTag)
+        frame.coalesce(1).write.mode("overwrite")
+          .partitionBy("__b").parquet(tmp.getPath)
+        bs.foreach { b =>
+          Option(new java.io.File(tmp, s"__b=$b").listFiles())
+            .flatMap(_.find(_.getName.endsWith(".parquet")))
+            .foreach { part =>
+              java.nio.file.Files.copy(part.toPath,
+                new java.io.File(outF, f"$prefix$b%02d.parquet").toPath): Unit
+            }
+        }
       }
+      emit(staged, "evslice4_tmp", "batch_", 1 to 4)
+      emit(sentX, "evslice4_sx_tmp", "sentx_", Seq(5, 6))
+      emit(sentCp, "evslice4_scp_tmp", "sentcp_", Seq(5, 6))
       java.nio.file.Files.writeString(
         new java.io.File(outF, "maxts.txt").toPath, maxTs.getTime.toString): Unit
     }
 
   /** A per-gate src dir holding a private mtime-pinned copy of the memo's
-    * quartile files, plus the slice's max ts (for sentinel construction). */
-  private def sharedSliceSrc(s: SparkSession, d: String, tag: String)
-      : (java.io.File, java.sql.Timestamp) = {
+    * quartile files as batches 1–4 — plus, when `sentinels` names a memo
+    * variant ("sentx" or "sentcp"), that variant's files as batches 5–6.
+    * Pure driver-side file copies; the later mtimes keep arrival order. */
+  private def sharedSliceSrc(s: SparkSession, d: String, tag: String,
+      sentinels: Option[String] = None): java.io.File = {
     val root = buildEvSliceMemo(s, d)
-    val maxTs = new java.sql.Timestamp(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(root, "maxts.txt")).trim.toLong)
     val src = graft.Scratch.fresh(s"${tag}_src")
     val t0 = System.currentTimeMillis() - 60000L
-    (1 to 4).foreach { b =>
-      val from = new java.io.File(root, f"batch_$b%02d.parquet")
+    val wanted = (1 to 4).map(b => f"batch_$b%02d.parquet" -> b) ++
+      sentinels.toSeq.flatMap(v => Seq(5, 6).map(b => f"${v}_$b%02d.parquet" -> b))
+    for ((name, b) <- wanted) {
+      val from = new java.io.File(root, name)
       if (from.exists()) {
-        val dst = new java.io.File(src, from.getName)
+        val dst = new java.io.File(src, f"batch_$b%02d.parquet")
         java.nio.file.Files.copy(from.toPath, dst.toPath)
         dst.setLastModified(t0 + b * 1000L): Unit
       }
     }
-    (src, maxTs)
+    src
   }
 
   /** q157 — streaming changelog materialization, EXECUTED as a real
@@ -605,18 +628,11 @@ object GateOps {
   private def sessionGate(s: SparkSession, d: String,
       restartAfter: Option[Int], tag: String): DataFrame = {
     import s.implicits._
-    // quartile fixture from the shared memo (value staged as integer
-    // cents — exact-sum type; see q159 scaladoc); only the two sentinel
-    // batches are staged per-gate
+    // full fixture (quartiles + "x" sentinels) from the shared memo —
+    // value staged as integer cents (exact-sum type; see q159 scaladoc)
     val store = graft.Scratch.fresh(s"${tag}_store")
     val ckpt = graft.Scratch.fresh(s"${tag}_ckpt")
-    val (src, maxTs) = sharedSliceSrc(s, d, tag)
-    val sentinels = Seq(
-      (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "x", 0.0),
-      (-2L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "x", 0.0))
-      .toDF("event_id", "ts", "user_id", "event_type", "value")
-    stageBatchesInto(sentinels.withColumn("__b",
-      when(col("event_id") === -1L, lit(5)).otherwise(lit(6))), 6, tag, src)
+    val src = sharedSliceSrc(s, d, tag, sentinels = Some("sentx"))
     // restart mode: hold back every batch past the stop point; moving the
     // files back later preserves their pinned mtimes (same-fs rename), so
     // the resumed query sees the same arrival order the one-shot run does
@@ -826,7 +842,7 @@ object GateOps {
     val store = graft.Scratch.fresh("q163_store")
     val ckpt = graft.Scratch.fresh("q163_ckpt")
     // quartile fixture from the shared memo (integer-cents slice)
-    val (src, _) = sharedSliceSrc(s, d, "q163")
+    val src = sharedSliceSrc(s, d, "q163")
     val stream = s.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
         "event_type STRING, value DOUBLE")
@@ -897,20 +913,10 @@ object GateOps {
     * Runs the streaming query at construction (bounded; [[graft.Queries]]'
     * contract). */
   def q164(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val store = graft.Scratch.fresh("q164_store")
     val ckpt = graft.Scratch.fresh("q164_ckpt")
-    // quartile fixture from the shared memo; the gate stages only its
-    // two both-sides sentinel batches
-    val (src, maxTs) = sharedSliceSrc(s, d, "q164")
-    val sentinels = Seq(
-      (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "click", 0.0),
-      (-2L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "purchase", 0.0),
-      (-3L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "click", 0.0),
-      (-4L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "purchase", 0.0))
-      .toDF("event_id", "ts", "user_id", "event_type", "value")
-    stageBatchesInto(sentinels.withColumn("__b",
-      when(col("event_id") >= -2L, lit(5)).otherwise(lit(6))), 6, "q164", src)
+    // full fixture (quartiles + both-sides sentinels) from the shared memo
+    val src = sharedSliceSrc(s, d, "q164", sentinels = Some("sentcp"))
     val stream = s.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
         "event_type STRING, value DOUBLE")
@@ -948,17 +954,10 @@ object GateOps {
     * rollup; exact because every window's count/sum state accumulates
     * longs/integer-cents and emission is once-per-window. */
   def q167(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     val store = graft.Scratch.fresh("q167_store")
     val ckpt = graft.Scratch.fresh("q167_ckpt")
-    // quartile fixture from the shared memo + the two sentinel batches
-    val (src, maxTs) = sharedSliceSrc(s, d, "q167")
-    val sentinels = Seq(
-      (-1L, new java.sql.Timestamp(maxTs.getTime + 86400000L), -1L, "x", 0.0),
-      (-2L, new java.sql.Timestamp(maxTs.getTime + 93600000L), -1L, "x", 0.0))
-      .toDF("event_id", "ts", "user_id", "event_type", "value")
-    stageBatchesInto(sentinels.withColumn("__b",
-      when(col("event_id") === -1L, lit(5)).otherwise(lit(6))), 6, "q167", src)
+    // full fixture (quartiles + "x" sentinels) from the shared memo
+    val src = sharedSliceSrc(s, d, "q167", sentinels = Some("sentx"))
     val stream = s.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
         "event_type STRING, value DOUBLE")
