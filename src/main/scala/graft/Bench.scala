@@ -15,7 +15,9 @@ import scala.jdk.CollectionConverters._
   *     "min_total":…,"max_total":…, plus the ambient + validity fields}
   *   - `target/bench_runs_latest.json`: the full spread — per-query
   *     min/median/max plus every raw sample — for reading past the
-  *     driver's 2000-char tail truncation.
+  *     driver's 2000-char tail truncation; full-suite runs mirror it to
+  *     a tracked `BENCH_r{N}_driver.json` in the repo root (r10) so the
+  *     driver's own per-query spread survives in a COMMITTED artifact.
   *
   * Metric semantics (pinned; the r5 VERDICT/ADVICE asked for this to be
   * explicit): `value` is the SUM OF PER-QUERY MEDIANS across the fresh-JVM
@@ -69,7 +71,7 @@ import scala.jdk.CollectionConverters._
   * QUIET-WINDOW RETRY (r8): when the quietest-`runs` subset of attempts
   * still shows >10 % combined-probe spread, the harness spawns one
   * replacement child at a time (≤ SPARK_GRAFT_BENCH_MAX_RUNS attempts
-  * total, default 6) and keeps the `runs` quietest attempts — the
+  * total, default 8 since r10) and keeps the `runs` quietest attempts — the
   * official artifact converges to `ambient_inflated: false` on a shared
   * host instead of documenting that it couldn't. Uniformly-loaded hosts
   * read factors ~1.0 and never retry (normalization has nothing to
@@ -293,10 +295,20 @@ object Bench {
         val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
         val suite = SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (name, _) => only.forall(_.contains(name)) }
-        // warmup BEFORE the setup ledger, so setup lines measure the
-        // builds, not JVM/codegen cold start (measureSuite's own warmup
-        // then re-runs the head query warm — cheap)
-        try suite.headOption.foreach(_._2(spark, sfDir).count())
+        // Warmup BEFORE the setup ledger, so setup lines measure the
+        // builds, not JVM/codegen cold start — but with the first
+        // NON-memo-consumer query (r10, ADVICE r9 #1): warming with a
+        // consumer head (possible under SPARK_GRAFT_ONLY) would build its
+        // memo inline during the UNTIMED warmup, leaving the setup_* line
+        // to time an ArtifactMemo cache hit — the build cost would vanish
+        // from the artifact. If every selected query is a consumer, skip
+        // the pre-setup warmup: JVM cold start then lands in the first
+        // setup line — the honest place, since nothing memo-free exists
+        // to absorb it (measureSuite's own warmup still warms the head
+        // before any query is timed).
+        val consumerNames: Set[String] = memoSetups.flatMap(_._2).toSet
+        try suite.find { case (n, _) => !consumerNames(n) }
+          .foreach(_._2(spark, sfDir).count())
         catch { case _: Throwable => () }
         val setup = measureSetup(spark, sfDir, suite.map(_._1).toSet)
         val (ok, failed) = measureSuite(spark, sfDir, suite)
@@ -441,7 +453,7 @@ object Bench {
     // documenting an inflated window, retry it away. After the initial
     // `runs` children, if the quietest-`runs` subset still shows >10 %
     // combined-probe spread, spawn ONE replacement child at a time (hard
-    // cap SPARK_GRAFT_BENCH_MAX_RUNS, default 6 attempts total — the
+    // cap SPARK_GRAFT_BENCH_MAX_RUNS, default 8 attempts (since r10) total — the
     // driver's patience bounds this) and re-select the `runs` quietest
     // attempts by each run's combined probe factor vs the global per-arm
     // minima. The probes can only rank windows, not conjure a quiet host:
@@ -454,7 +466,12 @@ object Bench {
     val samples: Seq[Run] =
       if (runs == 1) { attempts = 1; attempted = Vector(inProcessRun(sfDir, cpus)); attempted }
       else {
-        val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "6")
+        // default raised 6 → 8 (r10, VERDICT r9 #2): builder windows now
+        // flag quiet routinely (3/3 r9 snapshots) but the driver's own
+        // window has never once cleared the 10 % band in 6 attempts —
+        // two more chances cost ≤ ~11 min worst case against a 45-min
+        // child timeout the driver already tolerates
+        val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "8")
           .toInt.max(runs)
         attempted = (1 to runs).flatMap(i => spawnRun(i, maxAttempts)).toVector
         attempts = runs
@@ -537,8 +554,31 @@ object Bench {
     val allProbes = attempted.map(r => f"[${r.probe}%.3f,${r.probeIo}%.3f]")
       .mkString("[", ",", "]")
     Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/bench_runs_latest.json"),
-      s"""{"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"parsed_attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"setup":$setupDetail,"per_query":$detail}""")
+    val detailJson =
+      s"""{"sf":"$sfDir","written_utc":"${java.time.Instant.now()}","runs":${samples.size},"runs_attempted":$attempts,"parsed_attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"setup":$setupDetail,"per_query":$detail}"""
+    Files.writeString(Paths.get("target/bench_runs_latest.json"), detailJson)
+    // ROUND-STAMPED COMMITTED COPY (r10, VERDICT r9 #1): the driver's
+    // official BENCH_r{N}.json keeps only a 2000-char stdout `tail` and a
+    // null `parsed` field, so driver-side per-query claims (the r8 q62
+    // letter) were only provable from this target/ file — uncommitted and
+    // overwritten by the next bench. Full-suite runs therefore ALSO write
+    // the identical detail JSON to `BENCH_r{N}_driver.json` in the repo
+    // root, where N = 1 + the highest round any committed BENCH_r*/
+    // CORRECTNESS_r* artifact carries (= the round in progress; the file
+    // is tracked, so the driver's end-of-round artifact commit records
+    // it). `written_utc` + `run_totals` (vs the official line's value)
+    // attribute which run wrote it. Filtered (SPARK_GRAFT_ONLY) probe
+    // runs skip the copy — only whole-suite artifacts belong there.
+    if (!sys.env.contains("SPARK_GRAFT_ONLY")) {
+      val re = "^(?:BENCH|CORRECTNESS)_r(\\d+)".r
+      val rounds = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (rounds.nonEmpty) {
+        val p = Paths.get(f"BENCH_r${rounds.max + 1}%02d_driver.json")
+        Files.writeString(p, detailJson)
+        System.err.println(s"[bench] detail snapshot also written to $p")
+      }
+    }
     System.err.println(s"[bench] ${samples.size} runs, median total $total s (norm $totalNorm, inflated=$inflated, n_failed=$nFailed); full spread in target/bench_runs_latest.json")
   }
 }

@@ -40,6 +40,7 @@ object ScaleStress {
 
   private val docGates = Seq(
     "q32_ngram_jaccard", "q33_minhash_lsh", "q34_simhash",
+    "q169_simhash_paircount",
     "q59_dup_clusters", "q62_curation_pipeline")
   private val embGates = Seq("q85_kmeans_quantizer", "q147_pq_codes")
   // Events family (r8, VERDICT r7 next-list #3): the window/group-by
@@ -82,7 +83,10 @@ object ScaleStress {
   private val relControlGates = Seq("q31_dedup_exact")
   // q34's OUTPUT is corpus-construction-driven (word-level near-dup mass
   // across the 2/3-overlap copies grows with factor²), so past ×30 its
-  // count() cost measures the synthetic corpus, not the operator — skip
+  // count() cost measures the synthetic corpus, not the operator — skip.
+  // Its count-only twin q169 (r10, VERDICT r9 #3) runs the SAME pipeline
+  // through the distinct+distance filter but aggregates to pair counts by
+  // distance, so the OPERATOR stays measured at every factor incl. ×100.
   private def gatesFor(factor: Int): Seq[String] =
     (if (factor > 30) docGates.filterNot(_ == "q34_simhash") else docGates) ++
       embGates ++ eventGates ++ textGates ++ controlGates

@@ -66,7 +66,15 @@ object Scratch {
     * (the A/B switch). At production scale this knob is the cluster's
     * fast local SSD/NVMe spill volume — the point is measuring operators,
     * not the co-tenant's disk queue. */
-  def benchLocalDir(): Option[String] = {
+  def benchLocalDir(): Option[String] = benchLocalDirMemo
+
+  // Memoized (r10, ADVICE r9 #2): the decision is made ONCE per JVM —
+  // callers include both ioProbe() brackets AND session(), so a per-call
+  // headroom re-check could land the probe and the actual spark.local.dir
+  // on DIFFERENT media if tmpfs headroom flipped between calls (the probe
+  // would then misrepresent the suite's medium), and each call registered
+  // a redundant shutdown hook. One decision, one hook.
+  private lazy val benchLocalDirMemo: Option[String] = {
     if (sys.env.get("SPARK_GRAFT_LOCAL_TMPFS").contains("0")) None
     else {
       val shm = new java.io.File("/dev/shm")

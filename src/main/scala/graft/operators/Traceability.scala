@@ -58,7 +58,14 @@ object Traceability {
       // overhead IS most of the gate at trace scale). limit(bound+1) stops
       // scanning once the bound is disproven, so a fact-scale graph pays a
       // truncated probe, never a full collect.
-      val probe = eSel.limit((smallGraphBound + 1).toInt).as[(Long, Long)].collect()
+      // clamped (r10, ADVICE r9 #4): a caller-provided bound near
+      // Long.MaxValue would overflow `.toInt` into a negative limit;
+      // capping the PROBE at Int.MaxValue keeps it a valid limit, and a
+      // probe that fills the cap without disproving the bound still takes
+      // the small path only when the collected edges actually fit it
+      // (clamp BEFORE the +1 — bound = Long.MaxValue must not wrap)
+      val probeN = math.min(smallGraphBound, Int.MaxValue.toLong - 1).toInt + 1
+      val probe = eSel.limit(probeN).as[(Long, Long)].collect()
       if (probe.length <= smallGraphBound) {
         val seedIds = seeds.select(col("id")).distinct()
           .limit((SmallSeedBound + 1).toInt).as[Long].collect()

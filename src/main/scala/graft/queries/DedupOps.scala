@@ -378,7 +378,15 @@ object DedupOps {
     * two 8-bit signature halves agree on at least one half, so candidates
     * come from two equi-joins on the halves (union, distinct) instead of a
     * quadratic cartesian — the plan that survives 100 TB. */
-  def q34(s: SparkSession, d: String): DataFrame = {
+  def q34(s: SparkSession, d: String): DataFrame =
+    simhashPairs(s, d).orderBy(col("d1"), col("d2"))
+
+  /** The shared SimHash near-dup pipeline behind q34 (full pair emission)
+    * and q169 (pair counts by distance): signature build + pigeonhole
+    * half-probe, returning (`d1`, `d2`, `dist`) unsorted. Extracted so the
+    * count-only variant measures the SAME operator — one pipeline, two
+    * result shapes, no drift. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // Straight from word INSTANCES: Σ_w cnt(w)·sign_b(hw(w)) over a doc's
     // distinct-word counts is identically Σ over raw instances of
@@ -413,11 +421,29 @@ object DedupOps {
       .withColumn("dist", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
       .filter(col("dist") <= 1)
       .select(col("d1"), col("d2"), col("dist"))
-      .orderBy(col("d1"), col("d2"))
   }
 
-  val q34Sql: String =
-    s"""WITH wc AS (
+  /** q169 — SimHash pair COUNTS by Hamming distance: the capped-emission
+    * twin of q34 (r10, VERDICT r9 next-list #3). Identical pipeline
+    * ([[simhashPairs]]) up to and including the distinct + distance
+    * filter; the tail aggregates to one row per distance instead of
+    * emitting every pair. This is what a production pipeline does with a
+    * giant near-dup clique (count/sample it, never materialize the O(k²)
+    * pair list), and it makes the OPERATOR measurable at scale factors
+    * where the synthetic corpus's near-dup mass makes q34's own output
+    * the dominant cost (90.6 M pairs at ×100 — SURVEY r9; ScaleStress
+    * times this gate at every factor including ×100). */
+  def q169(s: SparkSession, d: String): DataFrame =
+    simhashPairs(s, d)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("dist"))
+
+  /** The SimHash signature CTE chain shared by the q34 and q169 oracles —
+    * one definition, so the count-only oracle cannot drift from the
+    * pair-emission one. */
+  private val simhashSigCte: String =
+    s"""wc AS (
       |  SELECT doc_id, w, count(*) cnt
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)
       |  WHERE w <> '' GROUP BY 1, 2),
@@ -429,12 +455,23 @@ object DedupOps {
       |         THEN 1 ELSE 0 END ob
       |  FROM h CROSS JOIN generate_series(0, 15) t(b) GROUP BY 1, 2),
       |sig AS (SELECT doc_id, sum(ob * CAST(power(2, b) AS BIGINT)) sh
-      |        FROM bits GROUP BY 1)
+      |        FROM bits GROUP BY 1)""".stripMargin
+
+  val q34Sql: String =
+    s"""WITH $simhashSigCte
       |SELECT x.doc_id d1, y.doc_id d2,
       |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS dist
       |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
       |WHERE bit_count(xor(x.sh, y.sh)) <= 1
       |ORDER BY d1, d2""".stripMargin
+
+  val q169Sql: String =
+    s"""WITH $simhashSigCte,
+      |prs AS (
+      |  SELECT CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS dist
+      |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+      |  WHERE bit_count(xor(x.sh, y.sh)) <= 1)
+      |SELECT dist, count(*) AS n_pairs FROM prs GROUP BY dist ORDER BY dist""".stripMargin
 
   /** q40 — winnowing document fingerprints (Schleimer et al.): char 5-gram
     * hashes, window-min over 4 consecutive grams, distinct mins per doc.
@@ -894,6 +931,7 @@ object DedupOps {
     "q31_dedup_exact" -> (q31 _), "q32_ngram_jaccard" -> (q32 _),
     "q166_skew_stress" -> (q166 _),
     "q33_minhash_lsh" -> (q33 _), "q34_simhash" -> (q34 _),
+    "q169_simhash_paircount" -> (q169 _),
     "q162_incremental_index" -> (q162 _),
     "q40_winnow_fingerprint" -> (q40 _), "q59_dup_clusters" -> (q59 _),
     "q115_minhash_recall" -> (q115 _), "q135_span_overlap" -> (q135 _),
@@ -904,6 +942,7 @@ object DedupOps {
     "q31_dedup_exact" -> q31Sql, "q32_ngram_jaccard" -> q32Sql,
     "q166_skew_stress" -> q166Sql,
     "q33_minhash_lsh" -> q33Sql, "q34_simhash" -> q34Sql,
+    "q169_simhash_paircount" -> q169Sql,
     "q162_incremental_index" -> q162Sql,
     "q40_winnow_fingerprint" -> q40Sql, "q115_minhash_recall" -> q115Sql, "q59_dup_clusters" -> q59Sql,
     "q135_span_overlap" -> q135Sql, "q140_leakage_split" -> q140Sql,

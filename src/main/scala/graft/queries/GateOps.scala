@@ -497,11 +497,16 @@ object GateOps {
       sentinels.toSeq.flatMap(v => Seq(5, 6).map(b => f"${v}_$b%02d.parquet" -> b))
     for ((name, b) <- wanted) {
       val from = new java.io.File(root, name)
-      if (from.exists()) {
-        val dst = new java.io.File(src, f"batch_$b%02d.parquet")
-        java.nio.file.Files.copy(from.toPath, dst.toPath)
-        dst.setLastModified(t0 + b * 1000L): Unit
-      }
+      // STRICT (r10, ADVICE r9 #3): the memo build always emits every file
+      // on success, so a missing one means an incomplete/corrupt memo dir —
+      // silently skipping it would stream fewer batches than the gate's
+      // semantics require and only surface later as an oracle mismatch.
+      require(from.exists(),
+        s"evslice4 memo at $root is missing $name — incomplete memo dir " +
+          "(delete it to force a rebuild)")
+      val dst = new java.io.File(src, f"batch_$b%02d.parquet")
+      java.nio.file.Files.copy(from.toPath, dst.toPath)
+      dst.setLastModified(t0 + b * 1000L): Unit
     }
     src
   }

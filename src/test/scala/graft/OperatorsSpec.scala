@@ -442,4 +442,49 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fkOnly == Set(("fk", 2L, 1L)))
     assert(audit(fact, Seq.empty).count() == 0)
   }
+
+  test("traceability leaves no cached RDDs behind on either path") {
+    // r10, VERDICT r9 next-list #6: a 168-gate single-session bench would
+    // feel a leaked edge cache. The result's OWN localCheckpoint blocks are
+    // legitimate retained state (the caller holds them; the ContextCleaner
+    // reclaims them on GC) — what must never linger is a cache()d RDD the
+    // operator created and forgot, on EITHER path, exit taken early or not.
+    val s = spark; import s.implicits._
+    import graft.operators.Traceability
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    def newPersistent(base: Set[Int]) =
+      s.sparkContext.getPersistentRDDs.filter { case (id, _) => !base(id) }
+    // driver fast path: no caching at all
+    val b1 = s.sparkContext.getPersistentRDDs.keySet.toSet
+    Traceability.reach(edges, seeds, maxHops = 10).count()
+    assert(newPersistent(b1).isEmpty, "driver path left persistent RDDs")
+    // distributed path, frontier-drained exit (isEmpty at hop 4)
+    val b2 = s.sparkContext.getPersistentRDDs.keySet.toSet
+    Traceability.reach(edges, seeds, maxHops = 10, smallGraphBound = 0L).count()
+    val lingering2 = newPersistent(b2).values.filterNot(org.apache.spark.rdd.GraftRddInspect.isLocalCheckpoint)
+    assert(lingering2.isEmpty, s"distributed drained-exit leaked: $lingering2")
+    // distributed path, maxHops exit (the early-return branch that forces
+    // the last lazy checkpoint before dropping the edge cache)
+    val b3 = s.sparkContext.getPersistentRDDs.keySet.toSet
+    Traceability.reach(edges, seeds, maxHops = 2, smallGraphBound = 0L).count()
+    val lingering3 = newPersistent(b3).values.filterNot(org.apache.spark.rdd.GraftRddInspect.isLocalCheckpoint)
+    assert(lingering3.isEmpty, s"distributed maxHops-exit leaked: $lingering3")
+  }
+
+  test("q169 pair counts equal q34's emitted pairs aggregated by distance") {
+    // r10: the count-only ScaleStress twin must be the SAME operator —
+    // its per-distance counts have to reproduce q34's full pair emission
+    // exactly on real data (sf0.001), or the ×100 exponent it carries
+    // would be measuring a different pipeline.
+    val s = spark; import s.implicits._
+    val d = "/root/testdata/sf0.001"
+    val full = graft.queries.DedupOps.q34(s, d)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+      .as[(Long, Long)].collect().toMap
+    val counted = graft.queries.DedupOps.q169(s, d)
+      .as[(Long, Long)].collect().toMap
+    assert(counted == full, s"q169=$counted vs q34-agg=$full")
+    assert(counted.values.sum > 0, "fixture produced no near-dup pairs")
+  }
 }
