@@ -82,11 +82,15 @@ object ScaleStress {
     "q78_fifo_remaining", "q79_fifo_allocation")
   private val relControlGates = Seq("q31_dedup_exact")
   // q34's OUTPUT is corpus-construction-driven (word-level near-dup mass
-  // across the 2/3-overlap copies grows with factor²), so past ×30 its
-  // count() cost measures the synthetic corpus, not the operator — skip.
-  // Its count-only twin q169 (r10, VERDICT r9 #3) runs the SAME pipeline
-  // through the distinct+distance filter but aggregates to pair counts by
-  // distance, so the OPERATOR stays measured at every factor incl. ×100.
+  // across the 2/3-overlap copies grows with factor², because copies
+  // share 2/3 of their WORDS even though every 3-shingle differs), so
+  // past ×30 its cost measures the synthetic corpus, not the operator —
+  // skip. Its count-only twin q169 (r10, VERDICT r9 #3) computes the
+  // same per-distance pair counts in closed form from the signature
+  // HISTOGRAM (≤ 2¹⁶ rows) without enumerating pairs — an enumeration
+  // variant was measured first and was itself quadratic here (67.9 s at
+  // ×100, exponent ~2.0: any pair-emitting form is Ω(pair mass)) — so
+  // the OPERATOR stays measured at every factor incl. ×100.
   private def gatesFor(factor: Int): Seq[String] =
     (if (factor > 30) docGates.filterNot(_ == "q34_simhash") else docGates) ++
       embGates ++ eventGates ++ textGates ++ controlGates

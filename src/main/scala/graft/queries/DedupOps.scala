@@ -381,12 +381,11 @@ object DedupOps {
   def q34(s: SparkSession, d: String): DataFrame =
     simhashPairs(s, d).orderBy(col("d1"), col("d2"))
 
-  /** The shared SimHash near-dup pipeline behind q34 (full pair emission)
-    * and q169 (pair counts by distance): signature build + pigeonhole
-    * half-probe, returning (`d1`, `d2`, `dist`) unsorted. Extracted so the
-    * count-only variant measures the SAME operator — one pipeline, two
-    * result shapes, no drift. */
-  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  /** The per-document 16-bit SimHash signature (`doc_id`, `sh`) — the
+    * shared linear-cost front of q34's pair emission and q169's
+    * histogram pair counting. One definition, so the two gates cannot
+    * drift apart on the signature semantics. */
+  private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     // Straight from word INSTANCES: Σ_w cnt(w)·sign_b(hw(w)) over a doc's
     // distinct-word counts is identically Σ over raw instances of
@@ -405,9 +404,16 @@ object DedupOps {
       when(sum(shiftright(col("hw"), b) % 2 * lit(2) - lit(1)) > 0,
         lit(1L << b)).otherwise(lit(0L)).as(s"p$b")
     }
-    val sig = h.groupBy(col("doc_id"))
+    h.groupBy(col("doc_id"))
       .agg(bitCols.head, bitCols.tail: _*)
       .withColumn("sh", (0 until 16).map(b => col(s"p$b")).reduce(_ + _))
+      .select(col("doc_id"), col("sh"))
+  }
+
+  /** q34's pair-emission body: signature build + pigeonhole half-probe,
+    * returning (`d1`, `d2`, `dist`) unsorted. */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = simhashSignatures(s, d)
       .select(col("doc_id"), col("sh"),
         (col("sh") % 256).as("h0"),
         floor(col("sh") / 256).cast("long").as("h1"))
@@ -423,21 +429,48 @@ object DedupOps {
       .select(col("d1"), col("d2"), col("dist"))
   }
 
-  /** q169 — SimHash pair COUNTS by Hamming distance: the capped-emission
-    * twin of q34 (r10, VERDICT r9 next-list #3). Identical pipeline
-    * ([[simhashPairs]]) up to and including the distinct + distance
-    * filter; the tail aggregates to one row per distance instead of
-    * emitting every pair. This is what a production pipeline does with a
-    * giant near-dup clique (count/sample it, never materialize the O(k²)
-    * pair list), and it makes the OPERATOR measurable at scale factors
-    * where the synthetic corpus's near-dup mass makes q34's own output
-    * the dominant cost (90.6 M pairs at ×100 — SURVEY r9; ScaleStress
-    * times this gate at every factor including ×100). */
-  def q169(s: SparkSession, d: String): DataFrame =
-    simhashPairs(s, d)
-      .groupBy(col("dist"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("dist"))
+  /** q169 — SimHash pair COUNTS by Hamming distance, in CLOSED FORM from
+    * the signature histogram (r10, VERDICT r9 next-list #3's
+    * "pair-count by bucket"). Same signatures as q34
+    * ([[simhashSignatures]] — one definition), but the counting never
+    * enumerates a single pair: group the corpus by signature value
+    * (≤ 2¹⁶ rows REGARDLESS of corpus size), then
+    *   - dist 0 pairs = Σ_v C(n_v, 2) — docs sharing a signature;
+    *   - dist 1 pairs = Σ_bits Σ_{v < v⊕bit} n_v · n_{v⊕bit} — each
+    *     unordered pair counted exactly once, since exactly one bit
+    *     differs.
+    * Equality with q34's enumerated pairs aggregated by distance is
+    * spec-pinned ([[graft.OperatorsSpec]]) and oracle-checked (the
+    * DuckDB oracle still counts by enumeration). This is what a
+    * production pipeline does with a giant near-dup clique: a k-clique
+    * costs q34 O(k²) pair rows, but costs this gate ONE histogram row —
+    * the pair-mass audit stays linear in the corpus (signature build)
+    * plus a bounded histogram join, which is why ScaleStress can measure
+    * the SimHash operator at ×100 where q34's own output (90.6 M pairs
+    * at ×30, quadratic in the synthetic corpus's copy overlap) cannot
+    * be. */
+  def q169(s: SparkSession, d: String): DataFrame = {
+    val hist = simhashSignatures(s, d)
+      .groupBy(col("sh")).agg(count(lit(1)).as("n"))
+      .cache() // ≤ 65536 rows; read by both distance branches
+    val d0 = hist
+      .agg(coalesce(sum(shiftright(col("n") * (col("n") - 1), 1)), lit(0L))
+        .as("n_pairs"))
+      .select(lit(0L).as("dist"), col("n_pairs"))
+    // one-bit neighbors: explode each histogram row into its 16 XOR
+    // neighbors, keep each unordered signature pair once (sh < sh2), and
+    // join back against the histogram — a ≤ 2²⁰-row broadcast-scale join,
+    // independent of corpus size
+    val neighbor = hist.select(col("sh"), col("n"),
+        explode(array((0 until 16).map(b => lit(1L << b)): _*)).as("bit"))
+      .select(col("sh"), col("n"), col("sh").bitwiseXOR(col("bit")).as("sh2"))
+      .filter(col("sh") < col("sh2"))
+    val d1 = neighbor
+      .join(hist.select(col("sh").as("sh2"), col("n").as("n2")), Seq("sh2"))
+      .agg(coalesce(sum(col("n") * col("n2")), lit(0L)).as("n_pairs"))
+      .select(lit(1L).as("dist"), col("n_pairs"))
+    d0.unionByName(d1).filter(col("n_pairs") > 0).orderBy(col("dist"))
+  }
 
   /** The SimHash signature CTE chain shared by the q34 and q169 oracles —
     * one definition, so the count-only oracle cannot drift from the

@@ -473,10 +473,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q169 pair counts equal q34's emitted pairs aggregated by distance") {
-    // r10: the count-only ScaleStress twin must be the SAME operator —
-    // its per-distance counts have to reproduce q34's full pair emission
-    // exactly on real data (sf0.001), or the ×100 exponent it carries
-    // would be measuring a different pipeline.
+    // r10: q169 counts pairs in CLOSED FORM from the signature histogram
+    // (ΣC(n,2) at dist 0, Σ n_v·n_{v⊕bit} over one-bit neighbors at
+    // dist 1) — a completely different computation path from q34's
+    // pigeonhole enumeration. The two must agree exactly on real data
+    // (sf0.001), or the ×100 exponent q169 carries would be measuring a
+    // different semantics, not a smarter count of the same one.
     val s = spark; import s.implicits._
     val d = "/root/testdata/sf0.001"
     val full = graft.queries.DedupOps.q34(s, d)
