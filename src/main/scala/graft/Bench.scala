@@ -385,6 +385,17 @@ object Bench {
     }
   }
 
+  /** The round in progress, inferred from repo-root file names: 1 + the
+    * highest OFFICIAL `BENCH_r<N>.json` (see the call site for why that
+    * exact class and nothing else). None when no such artifact exists
+    * (fresh checkout — nothing to stamp against). Package-visible so the
+    * stamp rule is spec-testable against the real artifact-name zoo. */
+  private[graft] def currentRound(fileNames: Seq[String]): Option[Int] = {
+    val re = "^BENCH_r(\\d+)\\.json$".r
+    val rounds = fileNames.flatMap(f => re.findFirstMatchIn(f).map(_.group(1).toInt))
+    if (rounds.isEmpty) None else Some(rounds.max + 1)
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted; val n = s.size
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
@@ -563,18 +574,23 @@ object Bench {
     // letter) were only provable from this target/ file — uncommitted and
     // overwritten by the next bench. Full-suite runs therefore ALSO write
     // the identical detail JSON to `BENCH_r{N}_driver.json` in the repo
-    // root, where N = 1 + the highest round any committed BENCH_r*/
-    // CORRECTNESS_r* artifact carries (= the round in progress; the file
-    // is tracked, so the driver's end-of-round artifact commit records
-    // it). `written_utc` + `run_totals` (vs the official line's value)
-    // attribute which run wrote it. Filtered (SPARK_GRAFT_ONLY) probe
-    // runs skip the copy — only whole-suite artifacts belong there.
+    // root, where N = 1 + the highest OFFICIAL driver bench artifact
+    // (`BENCH_r\d+.json` exactly — the one file class that never exists
+    // yet for the round in progress, because the driver writes it FROM
+    // this very run's output). Deliberately NOT CORRECTNESS_r* (the
+    // driver may write the round's correctness artifact before its
+    // bench) and NOT the suffixed `_builder`/`_driver` snapshots (they
+    // are committed mid-round under the CURRENT round number — counting
+    // them would bump N past it). The file is tracked, so the driver's
+    // end-of-round artifact commit records it; `written_utc` +
+    // `run_totals` (vs the official line's value) attribute which run
+    // wrote it. Filtered (SPARK_GRAFT_ONLY) probe runs skip the copy —
+    // only whole-suite artifacts belong there.
     if (!sys.env.contains("SPARK_GRAFT_ONLY")) {
-      val re = "^(?:BENCH|CORRECTNESS)_r(\\d+)".r
-      val rounds = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      if (rounds.nonEmpty) {
-        val p = Paths.get(f"BENCH_r${rounds.max + 1}%02d_driver.json")
+      val files = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty).toSeq.map(_.getName)
+      currentRound(files).foreach { n =>
+        val p = Paths.get(f"BENCH_r$n%02d_driver.json")
         Files.writeString(p, detailJson)
         System.err.println(s"[bench] detail snapshot also written to $p")
       }

@@ -182,4 +182,23 @@ class HarnessContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (smoke: it still returns its oracle-shaped result)
     assert(SparkEntry.queries("q59_dup_clusters")(spark, sfDir).count() > 0)
   }
+
+  test("Bench round stamp counts only official driver bench artifacts") {
+    // r10: the BENCH_r{N}_driver.json mirror must stamp the round IN
+    // PROGRESS. Only `BENCH_r<N>.json` exactly may count — the round's
+    // own CORRECTNESS file can land BEFORE the driver's bench, and the
+    // suffixed _builder/_driver snapshots are committed mid-round under
+    // the CURRENT number; counting either would bump the stamp past the
+    // live round.
+    val zoo = Seq("BENCH_r09.json", "BENCH_r09_builder3.json",
+      "BENCH_r10_builder.json", "BENCH_r10_driver.json",
+      "CORRECTNESS_r10.json", "CROSSCHECK_r10_sf0.1.json",
+      "SCALE_STRESS_r10.json", "VERDICT.md", "build.sbt")
+    assert(Bench.currentRound(zoo) == Some(10))
+    // the official artifact for the round landing mid-run (double bench
+    // in one round) legitimately advances the stamp
+    assert(Bench.currentRound(zoo :+ "BENCH_r10.json") == Some(11))
+    // fresh checkout: nothing to stamp against
+    assert(Bench.currentRound(Seq("build.sbt", "SURVEY.md")).isEmpty)
+  }
 }
