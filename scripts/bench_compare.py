@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Compare two bench DETAIL artifacts (BENCH_r{N}_builder.json /
+BENCH_r{N}_driver.json / target/bench_runs_latest.json) the way the
+round review does by hand: totals and normalized totals, probe classes,
+per-query median-ratio distribution over the shared gates, the biggest
+movers in both directions, and the setup-ledger diff.
+
+Raw totals from unequal ambient windows are NOT comparable — the
+median-ratio distribution over shared gates vs the probe-factor ratio is
+the honest signal (a median ratio ~= the probe ratio means the code is
+flat and the window moved). Official BENCH_r{N}.json files carry only a
+truncated stdout tail, not per-query data; point this at the detail
+files.
+
+Usage: bench_compare.py OLD.json NEW.json [--top K]
+"""
+import json
+import statistics
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "per_query" not in d:
+        sys.exit(
+            f"{path}: no per_query map — this looks like an official "
+            "BENCH_r{N}.json (truncated tail only); use the _builder/_driver "
+            "detail artifact instead")
+    return d
+
+
+def med(d, name):
+    return d["per_query"][name]["med"]
+
+
+def fmt_probes(d):
+    cpu = d.get("probe_sec", [])
+    io = d.get("probe_io_sec", [])
+    return f"cpu={cpu} io={io}"
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    top = 5
+    for a in sys.argv[1:]:
+        if a.startswith("--top"):
+            top = int(a.split("=", 1)[1]) if "=" in a else top
+    if len(args) != 2:
+        sys.exit(__doc__)
+    old, new = load(args[0]), load(args[1])
+
+    print(f"== totals ==")
+    for label, d in (("old", old), ("new", new)):
+        print(f"  {label}: total_med {d['total_med']:.1f}  "
+              f"norm {d['total_norm']:.1f}  norm_lb {d['total_norm_lb']:.1f}  "
+              f"gates {len(d['per_query'])}  "
+              f"inflated {d['ambient_inflated']}  "
+              f"attempts {d.get('runs_attempted', '?')}  "
+              f"written {d.get('written_utc', '(pre-r10 artifact)')}")
+        print(f"       probes {fmt_probes(d)}")
+
+    shared = sorted(set(old["per_query"]) & set(new["per_query"]))
+    only_old = sorted(set(old["per_query"]) - set(new["per_query"]))
+    only_new = sorted(set(new["per_query"]) - set(old["per_query"]))
+    ratios = sorted(med(new, n) / med(old, n) for n in shared)
+    n = len(ratios)
+    print(f"\n== per-query median ratios (new/old, {n} shared gates) ==")
+    print(f"  median {statistics.median(ratios):.3f}  "
+          f"p25 {ratios[n // 4]:.3f}  p75 {ratios[3 * n // 4]:.3f}")
+    # the window-class anchor: min-probe ratio per arm
+    for arm in ("probe_sec", "probe_io_sec"):
+        po = [p for p in old.get(arm, []) if p > 0]
+        pn = [p for p in new.get(arm, []) if p > 0]
+        if po and pn:
+            print(f"  min-{arm} ratio {min(pn) / min(po):.3f} "
+                  f"(median ratio near this => window moved, not code)")
+    if only_old:
+        print(f"  gates only in old: {only_old}")
+    if only_new:
+        print(f"  gates only in new: "
+              f"{[(g, round(med(new, g), 2)) for g in only_new]}")
+
+    movers = sorted(shared, key=lambda g: med(new, g) - med(old, g))
+    print(f"\n== biggest movers (absolute seconds) ==")
+    for g in movers[:top]:
+        print(f"  improved  {g}: {med(old, g):.2f} -> {med(new, g):.2f}")
+    for g in movers[-top:]:
+        print(f"  regressed {g}: {med(old, g):.2f} -> {med(new, g):.2f}")
+
+    so = {k: v["med"] for k, v in old.get("setup", {}).items()}
+    sn = {k: v["med"] for k, v in new.get("setup", {}).items()}
+    if so or sn:
+        print(f"\n== setup ledger (med) ==")
+        for k in sorted(set(so) | set(sn)):
+            o = f"{so[k]:.2f}" if k in so else "-"
+            w = f"{sn[k]:.2f}" if k in sn else "-"
+            print(f"  {k}: {o} -> {w}")
+        print(f"  setup totals: {sum(so.values()):.1f} -> {sum(sn.values()):.1f} "
+              f"(included in total_med on both sides)")
+
+
+if __name__ == "__main__":
+    main()
