@@ -135,4 +135,32 @@ object DslProps extends Properties("graft.dsl") {
       val ps = graft.streaming.BloomStream.positions(h, m, k)
       ps.forall(p => p >= 0 && p < m) :| s"h=$h m=$m ps=$ps"
     }
+
+  /** The q169 histogram identity (r10): over ANY signature multiset,
+    * ΣC(n_v,2) counts the Hamming-0 pairs and Σ_bits n_v·n_{v⊕bit} over
+    * v < v⊕bit counts the Hamming-1 pairs exactly — each unordered pair
+    * once, because exactly one bit differs. The OperatorsSpec fixture
+    * pins Spark-vs-Spark on real data; this pins the MATH on adversarial
+    * multisets (heavy collisions, isolated values, empty neighbor sets).
+    * 8-bit space keeps brute force cheap; the identity is
+    * bit-width-independent (the gate uses 16). */
+  property("simhash histogram closed form counts hamming<=1 pairs exactly") =
+    Prop.forAll(Gen.listOf(Gen.choose(0L, 255L))) { sigs =>
+      val bits = 8
+      val hist = sigs.groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+      val d0 = hist.values.map(n => n * (n - 1) / 2).sum
+      val d1 = (for {
+        (v, n) <- hist.toSeq
+        b <- 0 until bits
+        v2 = v ^ (1L << b) if v < v2
+        n2 <- hist.get(v2)
+      } yield n * n2).sum
+      val idx = sigs.zipWithIndex
+      val brute = (for {
+        (a, i) <- idx; (c, j) <- idx if i < j
+        d = java.lang.Long.bitCount(a ^ c) if d <= 1
+      } yield d.toLong).groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+      (d0 == brute.getOrElse(0L, 0L) && d1 == brute.getOrElse(1L, 0L)) :|
+        s"closed d0=$d0 d1=$d1 brute=$brute n=${sigs.size}"
+    }
 }
