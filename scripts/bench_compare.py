@@ -41,11 +41,21 @@ def fmt_probes(d):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    top = 5
-    for a in sys.argv[1:]:
-        if a.startswith("--top"):
-            top = int(a.split("=", 1)[1]) if "=" in a else top
+    argv = sys.argv[1:]
+    args, top, i = [], 5, 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--top":
+            if i + 1 >= len(argv):
+                sys.exit("--top needs a value")
+            top, i = int(argv[i + 1]), i + 2
+        elif a.startswith("--top="):
+            top, i = int(a.split("=", 1)[1]), i + 1
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a}\n{__doc__}")
+        else:
+            args.append(a)
+            i += 1
     if len(args) != 2:
         sys.exit(__doc__)
     old, new = load(args[0]), load(args[1])
@@ -63,6 +73,10 @@ def main():
     shared = sorted(set(old["per_query"]) & set(new["per_query"]))
     only_old = sorted(set(old["per_query"]) - set(new["per_query"]))
     only_new = sorted(set(new["per_query"]) - set(old["per_query"]))
+    if not shared:
+        sys.exit("no shared gates between the two artifacts — one of them "
+                 "is likely a filtered SPARK_GRAFT_ONLY probe run "
+                 f"(old has {len(only_old)}, new has {len(only_new)} gates)")
     ratios = sorted(med(new, n) / med(old, n) for n in shared)
     n = len(ratios)
     print(f"\n== per-query median ratios (new/old, {n} shared gates) ==")

@@ -591,7 +591,17 @@ object Bench {
         .getOrElse(Array.empty).toSeq.map(_.getName)
       currentRound(files).foreach { n =>
         val p = Paths.get(f"BENCH_r$n%02d_driver.json")
-        Files.writeString(p, detailJson)
+        // the file name states its PURPOSE (capture the driver's run in a
+        // committed artifact), not the provenance of the bytes currently
+        // in it — any full-suite bench on this checkout (builder snapshots
+        // included) overwrites it, and the driver's end-of-round run is
+        // simply the last writer. The embedded provenance note +
+        // written_utc + run_totals (vs the official line's value) say
+        // which session's data a given copy holds.
+        val note = "\"provenance\":\"written by the most recent full-suite " +
+          "bench on this checkout; attribute via written_utc and " +
+          "run_totals vs the official BENCH artifact's value\","
+        Files.writeString(p, "{" + note + detailJson.substring(1))
         System.err.println(s"[bench] detail snapshot also written to $p")
       }
     }

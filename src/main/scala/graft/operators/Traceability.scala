@@ -60,13 +60,17 @@ object Traceability {
       // truncated probe, never a full collect.
       // clamped (r10, ADVICE r9 #4): a caller-provided bound near
       // Long.MaxValue would overflow `.toInt` into a negative limit;
-      // capping the PROBE at Int.MaxValue keeps it a valid limit, and a
-      // probe that fills the cap without disproving the bound still takes
-      // the small path only when the collected edges actually fit it
-      // (clamp BEFORE the +1 — bound = Long.MaxValue must not wrap)
+      // capping the PROBE at Int.MaxValue keeps it a valid limit (clamp
+      // BEFORE the +1 — bound = Long.MaxValue must not wrap). The small
+      // path is taken only when the probe came back UNDER its own limit
+      // (length < probeN): a full probe proves "at least probeN rows",
+      // which disproves an unclamped bound exactly and leaves a clamped
+      // bound unverifiable — either way the distributed loop is the
+      // correct (and for the clamped case, conservative) choice, never a
+      // driver walk over a silently truncated edge set.
       val probeN = math.min(smallGraphBound, Int.MaxValue.toLong - 1).toInt + 1
       val probe = eSel.limit(probeN).as[(Long, Long)].collect()
-      if (probe.length <= smallGraphBound) {
+      if (probe.length < probeN) {
         val seedIds = seeds.select(col("id")).distinct()
           .limit((SmallSeedBound + 1).toInt).as[Long].collect()
         if (seedIds.length <= SmallSeedBound) {

@@ -468,13 +468,27 @@ object GateOps {
         val tmp = graft.Scratch.fresh(tmpTag)
         frame.coalesce(1).write.mode("overwrite")
           .partitionBy("__b").parquet(tmp.getPath)
+        // A bucket ntile never populated (a micro corpus with fewer slice
+        // rows than buckets) still gets a FILE — an empty parquet with
+        // the batch schema. The memo contract sharedSliceSrc enforces
+        // ("every wanted file exists on a successful build") must hold on
+        // every corpus, or the strict check turns a legitimate tiny
+        // fixture into a permanent hard-fail; an empty batch file streams
+        // as an empty micro-batch, which is the semantics the absent file
+        // used to get implicitly.
+        lazy val emptyPart: java.io.File = {
+          val et = graft.Scratch.fresh(s"${tmpTag}_empty")
+          frame.drop("__b").limit(0).coalesce(1)
+            .write.mode("overwrite").parquet(et.getPath)
+          Option(et.listFiles()).flatMap(_.find(_.getName.endsWith(".parquet")))
+            .getOrElse(sys.error(s"empty-batch parquet write produced no part file in $et"))
+        }
         bs.foreach { b =>
-          Option(new java.io.File(tmp, s"__b=$b").listFiles())
+          val part = Option(new java.io.File(tmp, s"__b=$b").listFiles())
             .flatMap(_.find(_.getName.endsWith(".parquet")))
-            .foreach { part =>
-              java.nio.file.Files.copy(part.toPath,
-                new java.io.File(outF, f"$prefix$b%02d.parquet").toPath): Unit
-            }
+            .getOrElse(emptyPart)
+          java.nio.file.Files.copy(part.toPath,
+            new java.io.File(outF, f"$prefix$b%02d.parquet").toPath): Unit
         }
       }
       emit(staged, "evslice4_tmp", "batch_", 1 to 4)
