@@ -14,6 +14,7 @@ files.
 
 Usage: bench_compare.py OLD.json NEW.json [--top K]
 """
+import argparse
 import json
 import statistics
 import sys
@@ -40,25 +41,24 @@ def fmt_probes(d):
     return f"cpu={cpu} io={io}"
 
 
+def positive_int(s):
+    v = int(s)
+    if v <= 0:
+        raise argparse.ArgumentTypeError("must be a positive integer")
+    return v
+
+
 def main():
-    argv = sys.argv[1:]
-    args, top, i = [], 5, 0
-    while i < len(argv):
-        a = argv[i]
-        if a == "--top":
-            if i + 1 >= len(argv):
-                sys.exit("--top needs a value")
-            top, i = int(argv[i + 1]), i + 2
-        elif a.startswith("--top="):
-            top, i = int(a.split("=", 1)[1]), i + 1
-        elif a.startswith("--"):
-            sys.exit(f"unknown flag {a}\n{__doc__}")
-        else:
-            args.append(a)
-            i += 1
-    if len(args) != 2:
-        sys.exit(__doc__)
-    old, new = load(args[0]), load(args[1])
+    ap = argparse.ArgumentParser(
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("old", help="older bench detail artifact")
+    ap.add_argument("new", help="newer bench detail artifact")
+    ap.add_argument("--top", type=positive_int, default=5,
+                    help="movers to show per direction (default 5)")
+    ns = ap.parse_args()
+    top = ns.top
+    old, new = load(ns.old), load(ns.new)
 
     print(f"== totals ==")
     for label, d in (("old", old), ("new", new)):
@@ -96,10 +96,13 @@ def main():
               f"{[(g, round(med(new, g), 2)) for g in only_new]}")
 
     movers = sorted(shared, key=lambda g: med(new, g) - med(old, g))
-    print(f"\n== biggest movers (absolute seconds) ==")
-    for g in movers[:top]:
+    improved = [g for g in movers if med(new, g) < med(old, g)]
+    regressed = [g for g in movers if med(new, g) > med(old, g)]
+    print(f"\n== biggest movers (absolute seconds; "
+          f"{len(improved)} down, {len(regressed)} up) ==")
+    for g in improved[:top]:
         print(f"  improved  {g}: {med(old, g):.2f} -> {med(new, g):.2f}")
-    for g in movers[-top:]:
+    for g in regressed[-top:]:
         print(f"  regressed {g}: {med(old, g):.2f} -> {med(new, g):.2f}")
 
     so = {k: v["med"] for k, v in old.get("setup", {}).items()}

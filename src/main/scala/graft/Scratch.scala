@@ -58,7 +58,7 @@ object Scratch {
     * to the contended disk that tmpfs SCRATCH deliberately does not cover.
     * Gate-scale shuffle is bounded MBs against a 126 GiB tmpfs, but the
     * guard is stricter than Scratch's own (16 GiB): one bench child keeps
-    * a single SparkSession across 168 gates, so shuffle files accrue until
+    * a single SparkSession across the whole gate suite, so shuffle files accrue until
     * the per-gate GC nudge lets the ContextCleaner drop them. Only Bench
     * routes through this — ScaleStress's ×100 corpora shuffle GBs and
     * stay on disk, and Verify's timing is not a measurement. Returns None

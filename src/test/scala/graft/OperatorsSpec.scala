@@ -444,7 +444,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("traceability leaves no cached RDDs behind on either path") {
-    // r10, VERDICT r9 next-list #6: a 168-gate single-session bench would
+    // r10, VERDICT r9 next-list #6: a whole-suite single-session bench would
     // feel a leaked edge cache. The result's OWN localCheckpoint blocks are
     // legitimate retained state (the caller holds them; the ContextCleaner
     // reclaims them on GC) — what must never linger is a cache()d RDD the

@@ -36,7 +36,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     onlyScalarBnlj(Queries.all(q)(spark, sf).queryExecution)
 
   test("the sweep DETECTS each killer it exists to catch (positive control)") {
-    // the global sweep below proves 168 gates are clean; this proves the
+    // the global sweep below proves every gate in the registry is clean; this proves the
     // detector itself still fires — a broken regex or a Spark plan-text
     // rename would otherwise silently green every future sweep
     import org.apache.spark.sql.functions._
