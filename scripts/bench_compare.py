@@ -62,13 +62,25 @@ def main():
 
     print(f"== totals ==")
     for label, d in (("old", old), ("new", new)):
+        # total_anchor (r11): per-query medians with every sample scaled to
+        # the RECORDED quiet-class reference probe (BASELINE.md) — the one
+        # total comparable across sessions without window attribution;
+        # pre-r11 artifacts don't carry it
+        anchor = (f"anchor {d['total_anchor']:.1f} "
+                  f"(ref cpu {d['anchor_probe_cpu_sec']}s)  "
+                  if "total_anchor" in d else "anchor - (pre-r11)  ")
         print(f"  {label}: total_med {d['total_med']:.1f}  "
               f"norm {d['total_norm']:.1f}  norm_lb {d['total_norm_lb']:.1f}  "
+              f"{anchor}"
               f"gates {len(d['per_query'])}  "
               f"inflated {d['ambient_inflated']}  "
               f"attempts {d.get('runs_attempted', '?')}  "
               f"written {d.get('written_utc', '(pre-r10 artifact)')}")
         print(f"       probes {fmt_probes(d)}")
+    if "total_anchor" in old and "total_anchor" in new:
+        print(f"  anchored ratio (new/old): "
+              f"{new['total_anchor'] / old['total_anchor']:.3f} "
+              f"— window-class-independent; compare THIS across rounds")
 
     shared = sorted(set(old["per_query"]) & set(new["per_query"]))
     only_old = sorted(set(old["per_query"]) - set(new["per_query"]))

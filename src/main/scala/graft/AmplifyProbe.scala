@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev tool (r11, VERDICT r10 next-list #3): attribute the
+  * probe-AMPLIFIED gates. Between two same-code r10 windows whose CPU
+  * probe moved 1.14×, three gates moved 1.36–1.42× — q143_dsir_weights,
+  * q150_selection_pipeline, q162_incremental_index — i.e. they are bound
+  * by a resource neither probe arm brackets. Hypothesis: memory
+  * bandwidth (all three stream wide exploded intermediates through
+  * hash aggregations), not ALU or scratch I/O.
+  *
+  * The A/B: run the trio plus two compute controls under three induced
+  * conditions in ONE session —
+  *   - `quiet`  — no induced load;
+  *   - `cpu`    — N ALU-bound xorshift threads (registers only, ~zero
+  *                memory traffic): what the CPU probe arm senses;
+  *   - `membw`  — N streaming-sum threads over 64 MiB arrays at
+  *                cache-line stride (pure memory-bandwidth pressure,
+  *                near-zero ALU occupancy per byte).
+  * Each condition also measures the CPU probe and a MEMORY-BANDWIDTH
+  * probe inside the window. If the trio inflates under `membw` well past
+  * the CPU probe's own factor while the controls track the probe, the
+  * amplification class is memory bandwidth — recorded in BASELINE.md so
+  * future cross-window reads stop flagging these gates as code movers.
+  *
+  * Emits `target/amplify.json` (committed per-round as
+  * `AMPLIFY_r{N}.json`). Run it ALONE on the host — its whole point is
+  * controlled induced load. */
+object AmplifyProbe {
+
+  @volatile private var halt = false
+  private val sink = new java.util.concurrent.atomic.AtomicLong()
+
+  private def startStressor(kind: String, threads: Int): Seq[Thread] = {
+    halt = false
+    (0 until threads).map { t =>
+      val th = new Thread(() => {
+        kind match {
+          case "cpu" =>
+            var x = 0x9E3779B97F4A7C15L + t
+            while (!halt) {
+              var i = 0
+              while (i < (1 << 20)) {
+                x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+                x *= 0x2545F4914F6CDD1DL
+                i += 1
+              }
+            }
+            sink.addAndGet(x): Unit
+          case "membw" =>
+            val arr = new Array[Long](1 << 23) // 64 MiB of longs
+            java.util.Arrays.fill(arr, 0x5EEDL + t)
+            var s = 0L
+            while (!halt) {
+              var i = 0
+              while (i < arr.length) { s += arr(i); i += 8 } // 64 B stride
+            }
+            sink.addAndGet(s): Unit
+        }
+      })
+      th.setDaemon(true); th.start(); th
+    }
+  }
+
+  private def stopStressor(ts: Seq[Thread]): Unit = {
+    halt = true; ts.foreach(_.join(10000))
+  }
+
+  /** One xorshift thread per vCPU — the same shape as the bench's CPU
+    * arm, smaller iteration count (probe, not benchmark). */
+  private def cpuProbe(): Double = {
+    val threads = math.min(32, Runtime.getRuntime.availableProcessors())
+    val iters = 100000000L
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t; var i = 0L
+        while (i < iters) {
+          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+          x *= 0x2545F4914F6CDD1DL; i += 1
+        }
+        sink.addAndGet(x): Unit
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 8 threads × 4 cache-line-stride passes over private 64 MiB arrays
+    * (2 GiB of DRAM traffic): wall seconds scale inversely with the
+    * bandwidth the window leaves available. */
+  private def membwProbe(): Double = {
+    val threads = 8
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        val arr = new Array[Long](1 << 23)
+        java.util.Arrays.fill(arr, 0x5EEDL + t)
+        var s = 0L; var pass = 0
+        while (pass < 4) {
+          var i = 0
+          while (i < arr.length) { s += arr(i); i += 8 }
+          pass += 1
+        }
+        sink.addAndGet(s): Unit
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4") // the bench-child width
+    val stressorThreads =
+      sys.env.getOrElse("SPARK_GRAFT_STRESS_THREADS", "16").toInt
+    val samples = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY_RUNS", "3").toInt
+    val trio = Seq("q143_dsir_weights", "q150_selection_pipeline",
+      "q162_incremental_index")
+    val controls = Seq("q84_tfidf", "q75_sessionize")
+    val gates = trio ++ controls
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    Scratch.benchLocalDir().foreach(d => b.config("spark.local.dir", d))
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm codegen/scan init once so per-condition numbers compare gates,
+    // not cold start; the SAME warm session serves all three conditions
+    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+    gates.foreach { g =>
+      SparkEntry.queries(g)(spark, sfDir).count()
+      spark.catalog.clearCache(); System.gc()
+    }
+    val out = new StringBuilder
+    out.append("{\"sf\":\"").append(sfDir)
+      .append("\",\"written_utc\":\"").append(java.time.Instant.now())
+      .append("\",\"stressor_threads\":").append(stressorThreads)
+      .append(",\"spark_cpus\":").append(cpus)
+      .append(",\"samples_per_gate\":").append(samples)
+      .append(",\"conditions\":{")
+    val conds = Seq("quiet", "cpu", "membw")
+    conds.zipWithIndex.foreach { case (cond, ci) =>
+      val ts = if (cond == "quiet") Nil else startStressor(cond, stressorThreads)
+      try {
+        val pc = cpuProbe(); val pm = membwProbe()
+        val rows = gates.map { g =>
+          val xs = (1 to samples).map { _ =>
+            val t0 = System.nanoTime()
+            SparkEntry.queries(g)(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache(); System.gc()
+            dt
+          }
+          s""""$g":[${xs.map(x => f"$x%.3f").mkString(",")}]"""
+        }
+        // probes re-read AFTER the gates: min-bracket, same as the bench
+        val pc2 = cpuProbe(); val pm2 = membwProbe()
+        if (ci > 0) out.append(",")
+        out.append(s""""$cond":{"probe_cpu_sec":${f"${math.min(pc, pc2)}%.3f"},"probe_membw_sec":${f"${math.min(pm, pm2)}%.3f"},"gates":{${rows.mkString(",")}}}""")
+        System.err.println(s"[amplify] $cond done (cpu ${math.min(pc, pc2)}, membw ${math.min(pm, pm2)})")
+      } finally stopStressor(ts)
+    }
+    out.append("}}")
+    spark.stop()
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/amplify.json"), out.toString)
+    println(out.toString)
+  }
+}

@@ -147,6 +147,39 @@ object Bench {
       }
     }
 
+  /** Quiet-class reference CPU probe for CROSS-SESSION anchoring (r11,
+    * VERDICT r10 next-list #1). `total_norm` corrects spread WITHIN a run
+    * set — each child against its own session's quietest probe — so a
+    * uniformly-slow-but-quiet window normalizes to itself: r10's official
+    * driver run read 174.4 s where the same code on a quiet builder
+    * window half an hour earlier read 151.3 s (per-query median ratio
+    * 1.159 ≈ CPU probe ratio 1.144 — window class, not code). This
+    * constant pins the quiet CLASS itself: the minimum CPU-arm probe
+    * across every committed quiet (`ambient_inflated: false`) builder
+    * artifact, 1.175 s in `BENCH_r10_builder4.json` (the r9/r10 builder
+    * range is 1.175–1.333; the same artifacts bound the tmpfs-I/O arm at
+    * 0.205 s — recorded in BASELINE.md for attribution). `total_anchor`
+    * scales every sample by (reference / run probe) before the per-query
+    * medians, so totals from DIFFERENT sessions land in the same
+    * quiet-class currency and round-over-round official ratios stop
+    * needing manual window attribution. CPU arm only, deliberately — the
+    * I/O probe's absolute class depends on the probed MEDIUM
+    * (tmpfs ≈ 0.205 s vs NVMe ≈ 0.6 s), so an absolute I/O anchor would
+    * mis-scale any run whose scratch routing differed; I/O-loud windows
+    * still surface via `ambient_inflated` / `total_norm_lb` exactly as
+    * before. If the host class ever genuinely changes (new hardware),
+    * re-derive the constant from that class's quiet artifacts and note
+    * the break in BASELINE.md — anchoring across hardware generations is
+    * attribution, not comparison. */
+  private[graft] val AnchorProbeCpuSec: Double = 1.175
+
+  /** Per-run anchor factors: run probe over the quiet-class reference. A
+    * zero probe (pre-field child / parse failure) anchors at 1.0 — an
+    * unmeasured window must pass through unscaled, never be deflated by a
+    * reference it was never compared against. */
+  private[graft] def anchorFactors(probes: Seq[Double]): Seq[Double] =
+    probes.map(p => if (p > 0) p / AnchorProbeCpuSec else 1.0)
+
   /** Wall seconds for one xorshift64* thread per host vCPU (≤32) ×
     * 4·10⁸ steps each (~1.6 s quiet on the 32-vCPU test host — record the
     * quiet reference when it moves; the ABSOLUTE value anchors
@@ -553,10 +586,15 @@ object Bench {
     val total = med.map(_._2).sum + setupMed.map(_._2).sum
     val totalNorm = normTotal(cpuFactors)
     val totalNormLb = normTotal(combined)
+    // cross-session anchored total (r11): same median-of-scaled-samples
+    // aggregation, but each run scales against the RECORDED quiet-class
+    // reference probe instead of this session's own quietest run — the
+    // number that is comparable across rounds without window attribution
+    val totalAnchor = normTotal(anchorFactors(cpuProbes))
     val minTotal = byName.map(_._2.min).sum + bySetup.map(_._2.min).sum
     val maxTotal = byName.map(_._2.max).sum + bySetup.map(_._2.max).sum
     def fmtJ(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians_incl_setup","queries":${qJson(med)},"setup":${qJson(setupMed)},"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians_incl_setup","queries":${qJson(med)},"setup":${qJson(setupMed)},"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
     // full spread snapshot (per-query min/med/max + raw samples) — the
     // driver's BENCH tail truncates at 2000 chars, this file never does
     val detail = byName.map { case (n, vs) =>
@@ -573,7 +611,7 @@ object Bench {
       .mkString("[", ",", "]")
     Files.createDirectories(Paths.get("target"))
     val detailJson =
-      s"""{"sf":"$sfDir","written_utc":"${java.time.Instant.now()}","runs":${samples.size},"runs_attempted":$attempts,"parsed_attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"setup":$setupDetail,"per_query":$detail}"""
+      s"""{"sf":"$sfDir","written_utc":"${java.time.Instant.now()}","runs":${samples.size},"runs_attempted":$attempts,"parsed_attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"setup":$setupDetail,"per_query":$detail}"""
     Files.writeString(Paths.get("target/bench_runs_latest.json"), detailJson)
     // ROUND-STAMPED COMMITTED COPY (r10, VERDICT r9 #1): the driver's
     // official BENCH_r{N}.json keeps only a 2000-char stdout `tail` and a
@@ -615,6 +653,6 @@ object Bench {
         System.err.println(s"[bench] detail snapshot also written to $p")
       }
     }
-    System.err.println(s"[bench] ${samples.size} runs, median total $total s (norm $totalNorm, inflated=$inflated, n_failed=$nFailed); full spread in target/bench_runs_latest.json")
+    System.err.println(s"[bench] ${samples.size} runs, median total $total s (norm $totalNorm, anchor $totalAnchor, inflated=$inflated, n_failed=$nFailed); full spread in target/bench_runs_latest.json")
   }
 }

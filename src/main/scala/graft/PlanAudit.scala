@@ -94,12 +94,19 @@ object PlanAudit {
   /** Plans every named gate at `dir` and returns "name: offense, …" lines
     * (empty = all clean). Construction-time side effects (memo builds,
     * bounded fixture writes — Queries.scala contract) run for real, so
-    * callers at scaled dirs should sweep AFTER the heavy memos exist. */
+    * callers at scaled dirs should sweep AFTER the heavy memos exist.
+    *
+    * Audits the gate's own plan AND every [[FramePin]]-pinned upstream
+    * plan its construction created (r11): a frame-scoped pin truncates the
+    * visible plan at a `Scan ExistingRDD` leaf, so without the collection
+    * a cartesian (or any killer) upstream of a pin would vanish from the
+    * sweep — the pin must never be a place to hide a bad plan. */
   def sweep(spark: SparkSession, dir: String,
       names: Iterable[String] = Queries.all.keys): Seq[String] =
     names.toSeq.sorted.flatMap { name =>
-      val qe = Queries.all(name)(spark, dir).queryExecution
-      val bad = offenses(name, qe)
+      val (df, pinned) = FramePin.collecting(Queries.all(name)(spark, dir))
+      val bad = (df.queryExecution +: pinned)
+        .flatMap(qe => offenses(name, qe)).distinct
       if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
     }
 }

@@ -48,10 +48,15 @@ object DupClusters {
     val sym = (if (uniquePairs) sym0 else sym0.distinct()).cache()
     // Small-graph fast path: one cached count decides. Long-typed ids only
     // (every house pair generator emits Long doc/vec ids); any other type
-    // falls through to the type-generic iterative loop.
+    // falls through to the type-generic iterative loop. The collect is
+    // capped at [[Traceability.DriverProbeEdgeCap]] regardless of the
+    // caller's bound (r11, same class as ADVICE r10 #2's Traceability
+    // probe): a pathological smallGraphBound must degrade to the
+    // distributed loop, never license a multi-gigabyte driver collect.
     val longIds = sym.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && smallGraphBound > 0 && sym.count() <= smallGraphBound) {
+    val driverBound = math.min(smallGraphBound, Traceability.DriverProbeEdgeCap)
+    if (longIds && smallGraphBound > 0 && sym.count() <= driverBound) {
       val s = edges.sparkSession
       import s.implicits._
       val es = sym.as[(Long, Long)].collect()

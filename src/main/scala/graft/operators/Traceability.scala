@@ -40,6 +40,17 @@ object Traceability {
     * runs instead — the gate is on OBSERVED output, not a prediction. */
   val SmallResultBound: Long = 1L << 20
 
+  /** Hard cap on the driver-path PROBE, regardless of how large a
+    * `smallGraphBound` the caller passes (r11, ADVICE r10 #2): the r10
+    * Int.MaxValue clamp fixed the negative-limit overflow but left a
+    * pathological bound able to pull ~2³¹ edge tuples onto the driver
+    * before the distributed fallback was chosen. 2²² edges ≈ 64 MB of
+    * (Long, Long) is already 16× the default [[SmallGraphEdgeBound]] — no
+    * legitimate driver walk wants more, so a larger bound degrades to
+    * "driver path iff the graph fits under this cap" and a graph past it
+    * takes the distributed loop after a truncated probe. */
+  val DriverProbeEdgeCap: Long = 1L << 22
+
   /** `edges`: directed (`src`, `dst`). `seeds`: (`id`). Returns
     * (`root`, `node`, `depth`): every node reachable from each seed within
     * `maxHops`, with the shortest hop distance; seeds appear at depth 0.
@@ -58,17 +69,17 @@ object Traceability {
       // overhead IS most of the gate at trace scale). limit(bound+1) stops
       // scanning once the bound is disproven, so a fact-scale graph pays a
       // truncated probe, never a full collect.
-      // clamped (r10, ADVICE r9 #4): a caller-provided bound near
-      // Long.MaxValue would overflow `.toInt` into a negative limit;
-      // capping the PROBE at Int.MaxValue keeps it a valid limit (clamp
-      // BEFORE the +1 — bound = Long.MaxValue must not wrap). The small
-      // path is taken only when the probe came back UNDER its own limit
-      // (length < probeN): a full probe proves "at least probeN rows",
-      // which disproves an unclamped bound exactly and leaves a clamped
-      // bound unverifiable — either way the distributed loop is the
-      // correct (and for the clamped case, conservative) choice, never a
-      // driver walk over a silently truncated edge set.
-      val probeN = math.min(smallGraphBound, Int.MaxValue.toLong - 1).toInt + 1
+      // clamped to [[DriverProbeEdgeCap]] (r11, ADVICE r10 #2 — the r10
+      // Int.MaxValue clamp only fixed the negative-limit overflow; the
+      // probe itself must stay driver-sized, clamp BEFORE the +1 so
+      // bound = Long.MaxValue cannot wrap). The small path is taken only
+      // when the probe came back UNDER its own limit (length < probeN): a
+      // full probe proves "at least probeN rows", which disproves an
+      // unclamped bound exactly and leaves a clamped bound unverifiable —
+      // either way the distributed loop is the correct (and for the
+      // clamped case, conservative) choice, never a driver walk over a
+      // silently truncated edge set or a ~2³¹-row driver collect.
+      val probeN = math.min(smallGraphBound, DriverProbeEdgeCap).toInt + 1
       val probe = eSel.limit(probeN).as[(Long, Long)].collect()
       if (probe.length < probeN) {
         val seedIds = seeds.select(col("id")).distinct()

@@ -23,8 +23,11 @@ object TrainingDataPipeline {
 
   /** How [[curate]] persists the exact-dedup survivors for its three
     * downstream consumers:
-    *   - [[Cache]] (default) — executor storage, right when the survivor
-    *     set fits the cluster's memory+disk (gate/test scale);
+    *   - [[Cache]] (default) — executor storage via a lazy localCheckpoint
+    *     (memory+disk blocks held by the returned plan, GC-reclaimed with
+    *     it — r11 CacheHygieneSpec house rule; the pre-r11 `cache()` pinned
+    *     CacheManager storage for the session's lifetime), right when the
+    *     survivor set fits the cluster's memory+disk (gate/test scale);
     *   - [[Checkpoint]] — a REAL checkpoint to the session's checkpoint
     *     dir (cheap storage at 100 TB: survivors are written once and
     *     re-read per consumer, nothing pins executor memory, and lineage
@@ -60,7 +63,7 @@ object TrainingDataPipeline {
       .filter(col("doc_id") === col("__keep"))
       .drop("__h", "__keep")
     val exactSurvivors = cacheMode match {
-      case Cache => persisted.cache()
+      case Cache => persisted.transform(graft.FramePin.pin)
       case Checkpoint =>
         // persist → EAGER checkpoint → unpersist: a bare checkpoint()
         // recomputes the whole quality-scan + dedup-window lineage in the
@@ -112,14 +115,15 @@ object TrainingDataPipeline {
     * windows, no global sort, no driver state. */
   def curateV2(documents: DataFrame, pattern: String, blockWords: Long,
                minRetained: Long, maxRepRatio: Double): DataFrame = {
-    // cached: three consumers (block explosion, the repetition signal, and
+    // pinned: three consumers (block explosion, the repetition signal, and
     // the final doc_id/lang projection) — without it the regexp scrub +
-    // tokenize scan runs once per branch
+    // tokenize scan runs once per branch; localCheckpoint so the blocks
+    // are frame-scoped (r11 house rule)
     val withW = documents
       .select(col("doc_id"), col("lang"),
         split(regexp_replace(col("text"), pattern, "<ENTITY>"), " ").as("__w"))
       .withColumn("nw", size(col("__w")).cast("long"))
-      .cache()
+      .transform(graft.FramePin.pin)
     val blocks = withW
       .select(col("doc_id"), col("__w"), col("nw"),
         explode(sequence(lit(0L),
@@ -128,7 +132,8 @@ object TrainingDataPipeline {
         md5(concat_ws(" ", slice(col("__w"),
           (col("k") * blockWords + 1).cast("int"), lit(blockWords.toInt)))).as("bh"),
         least(lit(blockWords), col("nw") - col("k") * blockWords).as("btok"))
-      .cache() // consumed by the block-df aggregation AND the join probe
+      // consumed by the block-df aggregation AND the join probe
+      .transform(graft.FramePin.pin)
     val dfc = blocks.groupBy(col("bh")).agg(countDistinct(col("doc_id")).as("df"))
     val retained = blocks.join(dfc, Seq("bh"))
       .groupBy(col("doc_id"))

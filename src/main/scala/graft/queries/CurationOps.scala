@@ -446,9 +446,10 @@ object CurationOps {
         md5(concat_ws(" ",
           slice(col("__w"), (col("k") * B + 1).cast("int"), lit(B.toInt)))).as("bh"),
         least(lit(B), col("nw") - col("k") * B).as("btok"))
-      // two consumers (the df aggregation and the join probe) — cached so
-      // the scan + split + md5 work runs once, not per branch
-      .cache()
+      // two consumers (the df aggregation and the join probe) — pinned so
+      // the scan + split + md5 work runs once, not per branch; via
+      // localCheckpoint so the blocks die with the frame (r11 house rule)
+      .transform(graft.FramePin.pin)
     val df_ = blocks.groupBy(col("bh"))
       .agg(countDistinct(col("doc_id")).as("df"))
     blocks.join(df_, Seq("bh"))

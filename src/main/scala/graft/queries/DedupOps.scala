@@ -117,27 +117,33 @@ object DedupOps {
     * key; the cap scalar is a 1-row broadcast, so the whole cap costs one
     * extra shuffle-free sort within the existing shingle partitioning. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame =
-    jaccardPairsBuild(docs, threshold)._1
+    // the LAZY path pins via localCheckpoint (r11, the CacheHygieneSpec
+    // house rule): the lazy API cannot unpersist — its pins materialize
+    // only under the consumer's action — so the r4-era cache() here pinned
+    // CacheManager storage for the session's lifetime (the sweep's q62
+    // finding); localCheckpoint blocks are instead held by the plan and
+    // GC-reclaimed once the consumer's frame goes unreachable
+    jaccardPairsBuild(docs, threshold, graft.FramePin.pin)._1
 
   /** [[jaccardPairs]] computed once and written to `out` as parquet, then
-    * the decorated-index caches RELEASED (ADVICE r4: the lazy API cannot
-    * unpersist — its caches materialize only under the consumer's action —
-    * so a long session running many dedup gates accumulated pinned
-    * executor storage; the materialized path has a natural release
-    * point). [[PairMemo]] is the suite-level consumer. */
+    * the decorated-index caches RELEASED (ADVICE r4: the materialized path
+    * has a natural release point). [[PairMemo]] is the suite-level
+    * consumer. This path keeps the A/B-proven cache()+release pair
+    * (BASELINE.md dedup-index floor: both caches pay for themselves) —
+    * nothing lingers because release() runs before returning. */
   def materializePairs(docs: DataFrame, threshold: Double, out: String): Unit = {
-    val (pairs, release) = jaccardPairsBuild(docs, threshold)
+    val (pairs, release) = jaccardPairsBuild(docs, threshold, _.cache())
     pairs.write.mode("overwrite").parquet(out)
     release()
   }
 
-  private def jaccardPairsBuild(docs: DataFrame,
-      threshold: Double): (DataFrame, () => Unit) = {
-    // cached: sh0 feeds the hot-set aggregation AND the anti-join probe;
-    // without the cache the scan+explode would run once per branch. (At
+  private def jaccardPairsBuild(docs: DataFrame, threshold: Double,
+      pin: DataFrame => DataFrame): (DataFrame, () => Unit) = {
+    // pinned: sh0 feeds the hot-set aggregation AND the anti-join probe;
+    // without the pin the scan+explode would run once per branch. (At
     // 100 TB the hot set is a per-corpus-version artifact — compute it
     // once with the index build and persist it, exactly this shape.)
-    val sh0 = shingleHashes(docs).cache()
+    val sh0 = pin(shingleHashes(docs))
     val cap = docs.agg(greatest(lit(MinDfCap.toLong),
       floor(count(lit(1)) / lit(DfCapDivisor)).cast("long")).as("cap"))
     // df via an aggregate (map-side-combinable narrow shuffle of (s, cnt)
@@ -175,10 +181,10 @@ object DedupOps {
     // the post-aggregation size lookups free (n1/n2 ride the group key).
     // NO broadcast hint on sizes: it is one row PER DOCUMENT (billions at
     // 100 TB — never driver-collectable); AQE broadcasts it at gate scale
-    // and shuffle-joins it at corpus scale, both correct. Cached: the
-    // self-join consumes the decorated index twice — without the cache
+    // and shuffle-joins it at corpus scale, both correct. Pinned: the
+    // self-join consumes the decorated index twice — without the pin
     // each side re-runs the hot-set and size aggregations.
-    val shN = sh.join(sizes, Seq("doc_id")).cache()
+    val shN = pin(sh.join(sizes, Seq("doc_id")))
     val lt = lit(math.max(threshold - 1e-4, 0.0))
     val pairs = shN.as("a").join(shN.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
@@ -413,11 +419,14 @@ object DedupOps {
   /** q34's pair-emission body: signature build + pigeonhole half-probe,
     * returning (`d1`, `d2`, `dist`) unsorted. */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint, not cache() (r11 CacheHygieneSpec house rule): both
+    // pigeonhole probes consume the signatures; the pin must be released
+    // with the caller's frame, not held by the CacheManager for the session
     val sig = simhashSignatures(s, d)
       .select(col("doc_id"), col("sh"),
         (col("sh") % 256).as("h0"),
         floor(col("sh") / 256).cast("long").as("h1"))
-      .cache()
+      .transform(graft.FramePin.pin)
     def probeHalf(c: String): DataFrame =
       sig.as("x").join(sig.as("y"),
           col(s"x.$c") === col(s"y.$c") && col("x.doc_id") < col("y.doc_id"))
@@ -450,9 +459,17 @@ object DedupOps {
     * at ×30, quadratic in the synthetic corpus's copy overlap) cannot
     * be. */
   def q169(s: SparkSession, d: String): DataFrame = {
+    // ≤ 65536 rows; read by both distance branches. localCheckpoint, NOT
+    // cache() (r11, ADVICE r10 #1): a cache()d plan is retained by the
+    // CacheManager for the session's lifetime even after the caller drops
+    // the result, so every ScaleStress factor/dir invocation would leave
+    // one behind; a lazy localCheckpoint's blocks are held only by the
+    // returned plan's RDD — the ContextCleaner reclaims them when the
+    // caller's frame becomes unreachable (the house rule the registry-wide
+    // CacheHygieneSpec sweep now enforces).
     val hist = simhashSignatures(s, d)
       .groupBy(col("sh")).agg(count(lit(1)).as("n"))
-      .cache() // ≤ 65536 rows; read by both distance branches
+      .transform(graft.FramePin.pin)
     val d0 = hist
       .agg(coalesce(sum(shiftright(col("n") * (col("n") - 1), 1)), lit(0L))
         .as("n_pairs"))
@@ -736,12 +753,12 @@ object DedupOps {
       // per-doc distinct by the kernel, so df below counts DOCUMENTS
       .select(col("doc_id"),
         explode(graft.functions.Winnow.of(col("text"))).as("wm"))
-      // two consumers: the df aggregation and the join probe. Retention
-      // trade-off (ADVICE r4): this stays a session cache, not a memo
-      // artifact — it is private to q135, fingerprint-rows-sized (8-byte
-      // wm per row), and Verify/Bench clearCache() it after the gate;
-      // MEMORY_AND_DISK eviction bounds the worst case in a long session.
-      .cache()
+      // two consumers: the df aggregation and the join probe. Pinned via
+      // localCheckpoint, not the r4-era session cache (r11 CacheHygieneSpec
+      // house rule): still fingerprint-rows-sized and private to q135, but
+      // the blocks now die with the caller's frame instead of depending on
+      // Verify/Bench clearCache() discipline to be released.
+      .transform(graft.FramePin.pin)
     val fdf = fp.groupBy(col("wm")).agg(count(lit(1)).as("df"))
     fp.join(fdf, Seq("wm"))
       .groupBy(col("doc_id"))
@@ -797,7 +814,9 @@ object DedupOps {
       .select(col("doc_id"),
         splitOf(col("doc_id")).as("by_doc"),
         splitOf(coalesce(col("cluster"), col("doc_id"))).as("by_cluster"))
-      .cache()
+      // two consumers (leak join ×2 sides + the size scan); localCheckpoint
+      // so the pin is frame-scoped, not session-scoped (r11 house rule)
+      .transform(graft.FramePin.pin)
     // BOTH strategies in one pass: a single pair join carrying both split
     // labels and a single size scan, reshaped to two rows at the end —
     // the previous per-strategy helper ran the pair join and the assigned
@@ -918,7 +937,9 @@ object DedupOps {
         coalesce(sum((col("df") * (col("df") - 1) / 2).cast("long")),
           lit(0L)).as("uncapped_mass")).head()
     sh0.unpersist()
-    val (pairs, release) = jaccardPairsBuild(skewed, 0.5)
+    // cache()+release is fine here: the pairs are fully counted at
+    // construction and the thunk releases both pins before returning
+    val (pairs, release) = jaccardPairsBuild(skewed, 0.5, _.cache())
     val nPairs = pairs.count()
     release()
     Seq((nDocs, cap, dfRow.getLong(0), dfRow.getLong(1), dfRow.getLong(2),

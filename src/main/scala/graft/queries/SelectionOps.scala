@@ -158,7 +158,10 @@ object SelectionOps {
           slice(col("__w"), (col("k") * B + 1).cast("int"), lit(B.toInt))).as("bs"))
       .select(col("doc_id"), md5(col("bs")).as("mh"),
         Parity.strHash(col("bs")).as("h"))
-      .cache()
+      // frame-scoped pin (r11 house rule): the corpus fold collects at
+      // construction and the probe rides the returned plan — a cache()
+      // here outlived both in the CacheManager
+      .transform(graft.FramePin.pin)
     // the ONE column-side source of the double-hash bit positions, shared
     // with the q161 streaming twin (strHash is non-negative, so % and the
     // row-side floor-mod agree)
@@ -246,13 +249,14 @@ object SelectionOps {
     val assign = graft.operators.KMeansQuantizer.assignTo(
       Tables.embeddings(s, d), SimilarityOps.coarseCentroids(s, d))
     // decorated vectors feed BOTH sides of the pair join and the final
-    // per-cell rollup — cache so bucket/norm compute runs once
+    // per-cell rollup — pinned so bucket/norm compute runs once, via
+    // localCheckpoint so the pin is frame-scoped (r11 house rule)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("bucket", SimilarityOps.planeBucket(col("v")))
       .withColumn("n2", fdot(col("v"), col("v")))
       .join(assign.select(col("vec_id"), col("cid")), Seq("vec_id"))
-      .cache()
+      .transform(graft.FramePin.pin)
     val x = e.select(col("vec_id").as("v1"), col("v").as("va"),
       col("cid").as("cid1"), col("bucket").as("b1"), col("n2").as("na"))
     val y = e.select(col("vec_id").as("v2"), col("v").as("vb"),

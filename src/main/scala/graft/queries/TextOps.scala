@@ -258,7 +258,9 @@ object TextOps {
         slice(col("ws"), lit(2), size(col("ws")) - 1),
         (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
-      .cache() // consumers: the bigram model counts and the scoring probe
+      // consumers: the bigram model counts and the scoring probe;
+      // frame-scoped pin (r11 house rule), not a session cache
+      .transform(graft.FramePin.pin)
     val bc = bg.groupBy(col("w1"), col("bg")).agg(count(lit(1)).as("cb"))
     val pc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cw"))
     val model = bc.join(pc, Seq("w1"))

@@ -120,6 +120,30 @@ class HarnessContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Bench.windowInflated(Seq(run(4.8, 2.1), run(4.85, 2.12), run(4.82, 2.08))))
   }
 
+  test("anchor factors scale to the recorded quiet-class reference and " +
+      "collapse same-code spread across unequal windows") {
+    // r11 (VERDICT r10 next-list #1): total_anchor exists so two sessions
+    // running IDENTICAL code on different-class windows report the same
+    // number. The factor contract: reference probe → 1.0, a k×-slower
+    // window → k, an UNMEASURED probe (0.0, pre-field child or parse
+    // failure) → 1.0 — pass-through, never deflated against a reference
+    // it was not compared to.
+    val ref = Bench.AnchorProbeCpuSec
+    assert(Bench.anchorFactors(Seq(ref)) == Seq(1.0))
+    assert(Bench.anchorFactors(Seq(2 * ref, 0.0)) == Seq(2.0, 1.0))
+    // same-code collapse: a run whose window is k× the reference class has
+    // samples ~k× the quiet-class time; dividing by its anchor factor
+    // recovers the quiet-class number for BOTH windows, so the anchored
+    // totals of a 1.0× and a 1.2× window agree where raw totals differ 20%
+    val quietSamples = Seq(2.0, 5.0, 0.5)
+    for (k <- Seq(1.0, 1.2, 1.5)) {
+      val f = Bench.anchorFactors(Seq(k * ref)).head
+      val anchored = quietSamples.map(t => k * t / f).sum
+      assert(math.abs(anchored - quietSamples.sum) < 1e-9,
+        s"window k=$k did not collapse: $anchored vs ${quietSamples.sum}")
+    }
+  }
+
   test("Verify writes a red-row marker for a query that throws") {
     val out = Files.createTempDirectory(Paths.get("target"), "vfail").toString
     val boom: (SparkSession, String) => DataFrame =

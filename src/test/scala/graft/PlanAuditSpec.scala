@@ -25,6 +25,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def plan(q: String): String =
     Queries.all(q)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Gate plan PLUS every [[FramePin]]-pinned upstream plan its
+    * construction created (r11): a pin truncates the visible plan at a
+    * `Scan ExistingRDD` leaf, so operator-shape assertions about work that
+    * happens upstream of a pin must read the collected upstream plans. */
+  private def planWithPins(build: => org.apache.spark.sql.DataFrame): String = {
+    val (df, pinned) = FramePin.collecting(build)
+    (df.queryExecution.executedPlan.toString +:
+      pinned.map(_.executedPlan.toString)).mkString("\n")
+  }
+
   /** The only tolerated nested loop is the 1-row scalar broadcast — the
     * tree-walking check lives in [[PlanAudit.onlyScalarBnlj]] (main
     * source, r8) so [[ScaleStress]] re-runs the SAME audit against its
@@ -165,6 +175,36 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Scan parquet .*events".r.findAllIn(p).size <= 3, p)
   }
 
+  test("a killer hidden behind a FramePin boundary is still detected " +
+      "(positive control for the pin-collecting sweep)") {
+    // r11: frame-scoped pins truncate the visible plan at a Scan
+    // ExistingRDD leaf. This proves both halves of the collection design:
+    // the child plan alone IS blind to an upstream cartesian (so a
+    // non-collecting sweep would green it), and the collected pinned
+    // upstream plan flags it.
+    import org.apache.spark.sql.functions._
+    val n = Tables.nation(spark, sf)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (child, pinned) = FramePin.collecting {
+        val bad = n.as("a")
+          .join(n.as("b"), col("a.n_nationkey") < col("b.n_nationkey"))
+          .select(col("a.n_nationkey").as("k"))
+        FramePin.pin(bad).groupBy(col("k")).agg(count(lit(1)).as("c"))
+      }
+      assert(pinned.size == 1)
+      val childOff = PlanAudit.offenses("syn_pinned_cart", child.queryExecution)
+      val pinnedOff = pinned.flatMap(qe =>
+        PlanAudit.offenses("syn_pinned_cart", qe))
+      assert(childOff.isEmpty,
+        s"the child plan was expected to be blind to the pinned cartesian: $childOff")
+      assert(pinnedOff.contains("cartesian"),
+        s"the pinned upstream plan must carry the cartesian: $pinnedOff")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("jaccard pairs dedup shingles at the scan, not via a distinct shuffle") {
     // the per-document set semantics live in the shingle_hashes_distinct
     // kernel; a revert to explode+distinct() would re-add a cluster-wide
@@ -172,11 +212,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     // dedup pipeline at scale). Pinned on the BUILDER, not the q32 gate:
     // the gate now reads the PairMemo parquet artifact, so the operator
     // shape only exists in the builder's plan.
-    val p = queries.DedupOps
-      .jaccardPairs(Tables.documents(spark, sf), 0.5)
-      .queryExecution.executedPlan.toString
+    // the kernel runs upstream of the index pin — read the pinned plans
+    // (the df-cap's crossJoin(broadcast(cap)) is the tolerated 1-row
+    // scalar BNLJ, so the loop check is onlyScalarBnlj, not plan text)
+    val (df, pinned) = FramePin.collecting(
+      queries.DedupOps.jaccardPairs(Tables.documents(spark, sf), 0.5))
+    val p = (df.queryExecution +: pinned)
+      .map(_.executedPlan.toString).mkString("\n")
     assert(p.contains("shingle_hashes_distinct"),
       "jaccardPairs must use the kernel-level distinct shingle hasher")
+    assert(!p.contains("CartesianProduct"))
+    (df.queryExecution +: pinned).foreach(qe => assert(onlyScalarBnlj(qe)))
   }
 
   test("df-cap bounds the pair join under a pathological hot key (q166)") {
@@ -215,10 +261,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(maxKept * 3 < maxUncapped,
       s"cap failed to defuse the hot partition: kept $maxKept vs uncapped $maxUncapped")
     // (c) the REAL pair join over the skewed corpus stays a shuffled
-    // equi-join on the shingle key — no cartesian/BNLJ fallback
-    val qe = queries.DedupOps.jaccardPairs(skewed, 0.5).queryExecution
-    assert(onlyScalarBnlj(qe))
-    assert(qe.sparkPlan.toString.contains("shingle_hashes_distinct"))
+    // equi-join on the shingle key — no cartesian/BNLJ fallback; the
+    // kernel shape sits upstream of the index pin (r11)
+    val (df2, pinned) = FramePin.collecting(
+      queries.DedupOps.jaccardPairs(skewed, 0.5))
+    (df2.queryExecution +: pinned).foreach(qe => assert(onlyScalarBnlj(qe)))
+    assert(pinned.map(_.sparkPlan.toString)
+      .exists(_.contains("shingle_hashes_distinct")))
   }
 
   test("langid explodes native trigram hashes, not per-trigram substrings") {
@@ -243,7 +292,8 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("span overlap fingerprints in the kernel: no windows, no loop joins") {
     // the ORACLE needs windows to replicate winnowing; the Spark side must
     // not — the kernel does the per-doc window-min in one pass
-    val p = plan("q135_span_overlap")
+    // the kernel explode runs upstream of the fingerprint pin (r11)
+    val p = planWithPins(Queries.all("q135_span_overlap")(spark, sf))
     assert(p.contains("winnow_fingerprints"),
       "q135 must fingerprint via the native winnow kernel")
     assert(!p.contains("Window ["), "q135 must not window")
