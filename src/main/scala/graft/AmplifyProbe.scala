@@ -58,6 +58,19 @@ object AmplifyProbe {
               while (i < arr.length) { s += arr(i); i += 8 } // 64 B stride
             }
             sink.addAndGet(s): Unit
+          case "gcchurn" =>
+            // allocation churn in the SAME JVM as the Spark session: the
+            // stressor arm for the shared-GC hypothesis. Short-lived 64 KiB
+            // arrays at full speed press young-gen collection frequency —
+            // near-zero steady ALU and DRAM footprint, pure allocator/GC
+            // pressure, which neither of the other arms exerts.
+            var s = 0L
+            while (!halt) {
+              val a = new Array[Long](8192)
+              a(s.toInt & 8191) = s
+              s += a.length
+            }
+            sink.addAndGet(s): Unit
         }
       })
       th.setDaemon(true); th.start(); th
@@ -89,8 +102,8 @@ object AmplifyProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** 8 threads × 4 cache-line-stride passes over private 64 MiB arrays
-    * (2 GiB of DRAM traffic): wall seconds scale inversely with the
+  /** 8 threads × 16 cache-line-stride passes over private 64 MiB arrays
+    * (8 GiB of DRAM traffic): wall seconds scale inversely with the
     * bandwidth the window leaves available. */
   private def membwProbe(): Double = {
     val threads = 8
@@ -100,7 +113,7 @@ object AmplifyProbe {
         val arr = new Array[Long](1 << 23)
         java.util.Arrays.fill(arr, 0x5EEDL + t)
         var s = 0L; var pass = 0
-        while (pass < 4) {
+        while (pass < 16) {
           var i = 0
           while (i < arr.length) { s += arr(i); i += 8 }
           pass += 1
@@ -115,13 +128,17 @@ object AmplifyProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4") // the bench-child width
+    // the bench-child width: induced load must compete with the SAME
+    // parallelism the suite runs at, or a narrow session just slides into
+    // the stressor-free cores and measures nothing (the first cut ran
+    // local[4] on the 32-vCPU host and saw zero gate movement)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val stressorThreads =
       sys.env.getOrElse("SPARK_GRAFT_STRESS_THREADS", "16").toInt
-    val samples = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY_RUNS", "3").toInt
+    val samples = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY_RUNS", "5").toInt
     val trio = Seq("q143_dsir_weights", "q150_selection_pipeline",
       "q162_incremental_index")
-    val controls = Seq("q84_tfidf", "q75_sessionize")
+    val controls = Seq("q84_tfidf_topterms", "q75_sessionize")
     val gates = trio ++ controls
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -131,13 +148,19 @@ object AmplifyProbe {
     Scratch.benchLocalDir().foreach(d => b.config("spark.local.dir", d))
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warm codegen/scan init once so per-condition numbers compare gates,
-    // not cold start; the SAME warm session serves all three conditions
+    // warm codegen/scan/JIT fully before ANY condition is timed: the first
+    // cut warmed each gate once and the residual JIT drift (gates still
+    // speeding up run-over-run) swamped the induced-load signal. Two full
+    // passes of every gate plus one exercise of each probe kind, so the
+    // per-condition numbers compare CONDITIONS, not warm-up states.
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
-    gates.foreach { g =>
-      SparkEntry.queries(g)(spark, sfDir).count()
-      spark.catalog.clearCache(); System.gc()
+    (1 to 2).foreach { _ =>
+      gates.foreach { g =>
+        SparkEntry.queries(g)(spark, sfDir).count()
+        spark.catalog.clearCache(); System.gc()
+      }
     }
+    cpuProbe(); membwProbe()
     val out = new StringBuilder
     out.append("{\"sf\":\"").append(sfDir)
       .append("\",\"written_utc\":\"").append(java.time.Instant.now())
@@ -145,9 +168,18 @@ object AmplifyProbe {
       .append(",\"spark_cpus\":").append(cpus)
       .append(",\"samples_per_gate\":").append(samples)
       .append(",\"conditions\":{")
-    val conds = Seq("quiet", "cpu", "membw")
+    // INTERLEAVED quiet brackets (second redesign): the first two cuts
+    // showed monotone same-session JVM warming (quiet→quiet2 drift 8–19 %)
+    // large enough to masquerade as — or cancel — a load response when
+    // conditions run back-to-back. Each loaded condition is therefore
+    // compared to the MEAN of its two bracketing quiets, not to one global
+    // quiet. `gcchurn` is the third arm: same-JVM allocation pressure,
+    // the one shared resource the CPU and DRAM arms don't press.
+    val conds = Seq("quiet1", "cpu", "quiet2", "membw", "quiet3",
+      "gcchurn", "quiet4")
     conds.zipWithIndex.foreach { case (cond, ci) =>
-      val ts = if (cond == "quiet") Nil else startStressor(cond, stressorThreads)
+      val ts = if (cond.startsWith("quiet")) Nil
+        else startStressor(cond, stressorThreads)
       try {
         val pc = cpuProbe(); val pm = membwProbe()
         val rows = gates.map { g =>
