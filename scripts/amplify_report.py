@@ -40,6 +40,13 @@ def main():
         print(f"quiet drift ({quiets[0]}->{quiets[-1]}): " + ", ".join(drift))
 
     for i, c in loaded:
+        if (i == 0 or i == len(names) - 1
+                or not names[i - 1].startswith("quiet")
+                or not names[i + 1].startswith("quiet")):
+            print(f"\n== {c}: not bracketed by quiet conditions "
+                  f"(artifact order: {', '.join(names)}) — skipped; the "
+                  f"bracket comparison needs quiet/<loaded>/quiet ==")
+            continue
         lo, hi = names[i - 1], names[i + 1]
         pb = (conds[lo]["probe_cpu_sec"] + conds[hi]["probe_cpu_sec"]) / 2
         mb = (conds[lo]["probe_membw_sec"] + conds[hi]["probe_membw_sec"]) / 2

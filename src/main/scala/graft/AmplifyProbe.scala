@@ -81,26 +81,10 @@ object AmplifyProbe {
     halt = true; ts.foreach(_.join(10000))
   }
 
-  /** One xorshift thread per vCPU — the same shape as the bench's CPU
-    * arm, smaller iteration count (probe, not benchmark). */
-  private def cpuProbe(): Double = {
-    val threads = math.min(32, Runtime.getRuntime.availableProcessors())
-    val iters = 100000000L
-    val t0 = System.nanoTime()
-    val ts = (0 until threads).map { t =>
-      val th = new Thread(() => {
-        var x = 0x9E3779B97F4A7C15L + t; var i = 0L
-        while (i < iters) {
-          x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
-          x *= 0x2545F4914F6CDD1DL; i += 1
-        }
-        sink.addAndGet(x): Unit
-      })
-      th.setDaemon(true); th.start(); th
-    }
-    ts.foreach(_.join())
-    (System.nanoTime() - t0) / 1e9
-  }
+  /** The bench's own CPU arm at probe weight (¼ of the bench's step
+    * count) — ONE kernel (`Bench.calibrationProbe`), so this arm cannot
+    * drift from the one the bench artifacts cite. */
+  private def cpuProbe(): Double = Bench.calibrationProbe(100000000L)
 
   /** 8 threads × 16 cache-line-stride passes over private 64 MiB arrays
     * (8 GiB of DRAM traffic): wall seconds scale inversely with the

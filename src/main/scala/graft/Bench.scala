@@ -190,9 +190,13 @@ object Bench {
     * vCPUs senses exactly the contention the suite feels. Returns the
     * elapsed time of the slowest thread; callers take the min over two
     * brackets. */
-  private def calibrationProbe(): Double = {
+  private def calibrationProbe(): Double = calibrationProbe(400000000L)
+
+  /** The probe kernel, parameterized by per-thread step count so
+    * [[AmplifyProbe]] can run the SAME arm at probe weight (10⁸) without a
+    * second copy that could drift from the one the artifacts cite. */
+  private[graft] def calibrationProbe(iters: Long): Double = {
     val threads = math.min(32, Runtime.getRuntime.availableProcessors())
-    val iters = 400000000L
     val sink = new java.util.concurrent.atomic.AtomicLong()
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>

@@ -17,6 +17,17 @@ import org.apache.spark.sql.execution.QueryExecution
   * ContextCleaner reclaims them when the caller's frame goes unreachable —
   * the pin's lifetime IS the frame's lifetime.
   *
+  * Known trade (accepted deliberately): localCheckpoint truncates lineage,
+  * so a pinned partition lost with its executor (failure,
+  * dynamic-allocation decommission) cannot be recomputed — the job fails
+  * where a `cache()` would have recovered. Pins guard gate-scale reused
+  * intermediates; at 100 TB the same intermediates are materialized
+  * artifacts (reliable `checkpoint()` / parquet — e.g.
+  * [[graft.pipelines.TrainingDataPipeline]]'s `Checkpoint` mode), which is
+  * also the failure-proof path. In exchange the pin skips the columnar
+  * InMemoryRelation encode `cache()` pays — measured ~7 % off the whole
+  * suite, q62 −37 % (`BENCH_r11_builder.json` vs `BENCH_r10_builder4`).
+  *
   * Why a helper instead of bare `localCheckpoint(false)` at every site:
   * the checkpoint truncates the VISIBLE plan at an `Scan ExistingRDD`
   * leaf, which would blind the three-killer plan audits ([[PlanAudit]],

@@ -34,7 +34,15 @@ object Verify {
           Seq(msg).toDF("_graft_error").coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           Some(name)
-        } finally spark.catalog.clearCache() // per-query caches don't accumulate
+        } finally {
+          // release per-query state between gates: clearCache() drops
+          // CacheManager entries, and the GC nudge lets the ContextCleaner
+          // reclaim FramePin localCheckpoint blocks (r11 — those bypass the
+          // CacheManager; without the nudge, pinned blocks from ~170
+          // dropped frames accumulate until a natural driver GC)
+          spark.catalog.clearCache()
+          System.gc()
+        }
       failed
     }
   }

@@ -27,7 +27,14 @@ object TrainingDataPipeline {
     *     (memory+disk blocks held by the returned plan, GC-reclaimed with
     *     it — r11 CacheHygieneSpec house rule; the pre-r11 `cache()` pinned
     *     CacheManager storage for the session's lifetime), right when the
-    *     survivor set fits the cluster's memory+disk (gate/test scale);
+    *     survivor set fits the cluster's memory+disk (gate/test scale).
+    *     Honest trade vs the old `cache()`: localCheckpoint TRUNCATES
+    *     lineage, so losing an executor that holds blocks (failure,
+    *     dynamic-allocation decommission) fails the job instead of
+    *     recomputing the partition — on long-lived clusters where that
+    *     risk matters, use [[Checkpoint]], whose artifact re-reads are
+    *     failure-proof AND release executor storage; that is the 100 TB
+    *     mode regardless;
     *   - [[Checkpoint]] — a REAL checkpoint to the session's checkpoint
     *     dir (cheap storage at 100 TB: survivors are written once and
     *     re-read per consumer, nothing pins executor memory, and lineage
