@@ -30,17 +30,25 @@ import java.nio.file.{Files, Paths}
   * controlled induced load. */
 object AmplifyProbe {
 
-  @volatile private var halt = false
   private val sink = new java.util.concurrent.atomic.AtomicLong()
 
-  private def startStressor(kind: String, threads: Int): Seq[Thread] = {
-    halt = false
-    (0 until threads).map { t =>
+  /** One arm's running stressor: each start gets its OWN halt flag,
+    * captured by its threads (r11 review: with one shared mutable flag, a
+    * thread that outlived stopStressor's bounded join would be silently
+    * REVIVED by the next arm's `halt = false` and contaminate every
+    * later condition — exactly the oversubscribed regime this tool
+    * induces). */
+  private final case class Stressor(
+      halt: java.util.concurrent.atomic.AtomicBoolean, threads: Seq[Thread])
+
+  private def startStressor(kind: String, threads: Int): Stressor = {
+    val halt = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Stressor(halt, (0 until threads).map { t =>
       val th = new Thread(() => {
         kind match {
           case "cpu" =>
             var x = 0x9E3779B97F4A7C15L + t
-            while (!halt) {
+            while (!halt.get()) {
               var i = 0
               while (i < (1 << 20)) {
                 x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
@@ -53,7 +61,7 @@ object AmplifyProbe {
             val arr = new Array[Long](1 << 23) // 64 MiB of longs
             java.util.Arrays.fill(arr, 0x5EEDL + t)
             var s = 0L
-            while (!halt) {
+            while (!halt.get()) {
               var i = 0
               while (i < arr.length) { s += arr(i); i += 8 } // 64 B stride
             }
@@ -65,7 +73,7 @@ object AmplifyProbe {
             // near-zero steady ALU and DRAM footprint, pure allocator/GC
             // pressure, which neither of the other arms exerts.
             var s = 0L
-            while (!halt) {
+            while (!halt.get()) {
               val a = new Array[Long](8192)
               a(s.toInt & 8191) = s
               s += a.length
@@ -74,11 +82,20 @@ object AmplifyProbe {
         }
       })
       th.setDaemon(true); th.start(); th
-    }
+    })
   }
 
-  private def stopStressor(ts: Seq[Thread]): Unit = {
-    halt = true; ts.foreach(_.join(10000))
+  /** Halts and joins the arm's threads; a thread still alive after the
+    * bounded join can never restart (its flag stays set forever), but it
+    * WOULD contaminate the following conditions — so that run is loudly
+    * invalidated rather than recorded. */
+  private def stopStressor(st: Stressor): Unit = {
+    st.halt.set(true)
+    st.threads.foreach(_.join(10000))
+    val alive = st.threads.count(_.isAlive)
+    if (alive > 0)
+      sys.error(s"[amplify] $alive stressor thread(s) survived the 10 s " +
+        "join — subsequent conditions would be contaminated; aborting")
   }
 
   /** The bench's own CPU arm at probe weight (¼ of the bench's step
@@ -162,8 +179,8 @@ object AmplifyProbe {
     val conds = Seq("quiet1", "cpu", "quiet2", "membw", "quiet3",
       "gcchurn", "quiet4")
     conds.zipWithIndex.foreach { case (cond, ci) =>
-      val ts = if (cond.startsWith("quiet")) Nil
-        else startStressor(cond, stressorThreads)
+      val ts = if (cond.startsWith("quiet")) None
+        else Some(startStressor(cond, stressorThreads))
       try {
         val pc = cpuProbe(); val pm = membwProbe()
         val rows = gates.map { g =>
@@ -181,7 +198,7 @@ object AmplifyProbe {
         if (ci > 0) out.append(",")
         out.append(s""""$cond":{"probe_cpu_sec":${f"${math.min(pc, pc2)}%.3f"},"probe_membw_sec":${f"${math.min(pm, pm2)}%.3f"},"gates":{${rows.mkString(",")}}}""")
         System.err.println(s"[amplify] $cond done (cpu ${math.min(pc, pc2)}, membw ${math.min(pm, pm2)})")
-      } finally stopStressor(ts)
+      } finally ts.foreach(stopStressor)
     }
     out.append("}}")
     spark.stop()

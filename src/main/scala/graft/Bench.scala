@@ -595,10 +595,22 @@ object Bench {
     // reference probe instead of this session's own quietest run — the
     // number that is comparable across rounds without window attribution
     val totalAnchor = normTotal(anchorFactors(cpuProbes))
+    // partial-anchor honesty (r11 review): an unmeasured probe (0.0 —
+    // pre-field child or parse failure) passes through at factor 1.0, so
+    // that run's samples enter total_anchor UNSCALED and the field loses
+    // the cross-session comparability it promises. `anchored_runs` counts
+    // the runs that actually anchored; when it is short, a warning lands
+    // in schema_warnings so no reader has to spot a 0.0 in probe_sec.
+    val anchoredRuns = cpuProbes.count(_ > 0)
+    val anchorWarnings =
+      if (anchoredRuns == samples.size) schemaWarnings
+      else schemaWarnings :+ (s"total_anchor partially anchored: " +
+        s"$anchoredRuns of ${samples.size} kept runs have a measured CPU " +
+        "probe; unmeasured runs pass through unscaled")
     val minTotal = byName.map(_._2.min).sum + bySetup.map(_._2.min).sum
     val maxTotal = byName.map(_._2.max).sum + bySetup.map(_._2.max).sum
     def fmtJ(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians_incl_setup","queries":${qJson(med)},"setup":${qJson(setupMed)},"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians_incl_setup","queries":${qJson(med)},"setup":${qJson(setupMed)},"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"anchored_runs":$anchoredRuns,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"ambient_inflated":$inflated,"schema_warnings":${sJson(anchorWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
     // full spread snapshot (per-query min/med/max + raw samples) — the
     // driver's BENCH tail truncates at 2000 chars, this file never does
     val detail = byName.map { case (n, vs) =>
@@ -615,7 +627,7 @@ object Bench {
       .mkString("[", ",", "]")
     Files.createDirectories(Paths.get("target"))
     val detailJson =
-      s"""{"sf":"$sfDir","written_utc":"${java.time.Instant.now()}","runs":${samples.size},"runs_attempted":$attempts,"parsed_attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(schemaWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"setup":$setupDetail,"per_query":$detail}"""
+      s"""{"sf":"$sfDir","written_utc":"${java.time.Instant.now()}","runs":${samples.size},"runs_attempted":$attempts,"parsed_attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"anchored_runs":$anchoredRuns,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(anchorWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"setup":$setupDetail,"per_query":$detail}"""
     Files.writeString(Paths.get("target/bench_runs_latest.json"), detailJson)
     // ROUND-STAMPED COMMITTED COPY (r10, VERDICT r9 #1): the driver's
     // official BENCH_r{N}.json keeps only a 2000-char stdout `tail` and a

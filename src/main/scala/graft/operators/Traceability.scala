@@ -44,9 +44,12 @@ object Traceability {
     * `smallGraphBound` the caller passes (r11, ADVICE r10 #2): the r10
     * Int.MaxValue clamp fixed the negative-limit overflow but left a
     * pathological bound able to pull ~2³¹ edge tuples onto the driver
-    * before the distributed fallback was chosen. 2²² edges ≈ 64 MB of
-    * (Long, Long) is already 16× the default [[SmallGraphEdgeBound]] — no
-    * legitimate driver walk wants more, so a larger bound degrades to
+    * before the distributed fallback was chosen. 2²² edges collected as an
+    * `Array[(Long, Long)]` cost ~170 MB on the driver (≈ 40 B per boxed
+    * tuple + slot reference, not the 16 B payload alone) — already 16× the
+    * default [[SmallGraphEdgeBound]] and a comfortable fraction of the
+    * smallest plausible driver heap; no legitimate driver walk wants
+    * more, so a larger bound degrades to
     * "driver path iff the graph fits under this cap" and a graph past it
     * takes the distributed loop after a truncated probe. */
   val DriverProbeEdgeCap: Long = 1L << 22
