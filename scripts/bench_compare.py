@@ -35,6 +35,41 @@ def med(d, name):
     return d["per_query"][name]["med"]
 
 
+ANCHOR_REF_CPU = 1.175   # Bench.AnchorProbeCpuSec — see BASELINE.md
+ANCHOR_REF_IO = 0.205    # Bench.AnchorProbeIoSec — tmpfs class ONLY
+
+
+def computed_anchor(d, probe_key, ref):
+    """Recompute an anchored total exactly the way Bench does (per-run,
+    per-sample scaling, then per-gate medians) so pre-field artifacts get
+    the same number a native emission would have produced. Returns None
+    when the probes are absent or, for the I/O arm, not tmpfs-class."""
+    probes = [p for p in d.get(probe_key, [])]
+    if not probes:
+        return None
+    if probe_key == "probe_io_sec" and any(p <= 0 or p >= 0.35 for p in probes):
+        return None  # not the reference medium — anchoring would be nonsense
+    factors = [p / ref if p > 0 else 1.0 for p in probes]
+    total = 0.0
+    for sect in ("per_query", "setup"):
+        for rec in d.get(sect, {}).values():
+            scaled = [s / f for s, f in zip(rec["samples"], factors)]
+            if scaled:
+                total += statistics.median(scaled)
+    return total
+
+
+def anchor_pair(d):
+    """(cpu-anchored, io-anchored-or-None): native fields when present,
+    recomputed from samples+probes otherwise."""
+    cpu = d.get("total_anchor",
+                computed_anchor(d, "probe_sec", ANCHOR_REF_CPU))
+    io = d.get("total_anchor_io")
+    if io is None or io < 0:
+        io = computed_anchor(d, "probe_io_sec", ANCHOR_REF_IO)
+    return cpu, io
+
+
 def fmt_probes(d):
     cpu = d.get("probe_sec", [])
     io = d.get("probe_io_sec", [])
@@ -61,14 +96,16 @@ def main():
     old, new = load(ns.old), load(ns.new)
 
     print(f"== totals ==")
+    # total_anchor pair (r11): per-query medians with every sample scaled
+    # to the RECORDED quiet-class reference probes (BASELINE.md). The CPU
+    # anchor is medium-independent; the IO anchor is valid tmpfs-to-tmpfs
+    # only. Compare rounds on the arm whose probe ratio the per-query
+    # median ratio tracks; recomputed from samples for pre-field artifacts.
     for label, d in (("old", old), ("new", new)):
-        # total_anchor (r11): per-query medians with every sample scaled to
-        # the RECORDED quiet-class reference probe (BASELINE.md) — the one
-        # total comparable across sessions without window attribution;
-        # pre-r11 artifacts don't carry it
-        anchor = (f"anchor {d['total_anchor']:.1f} "
-                  f"(ref cpu {d['anchor_probe_cpu_sec']}s)  "
-                  if "total_anchor" in d else "anchor - (pre-r11)  ")
+        cpu_a, io_a = anchor_pair(d)
+        anchor = (f"anchor {cpu_a:.1f}" if cpu_a is not None else "anchor -")
+        anchor += (f" / io {io_a:.1f}  " if io_a is not None
+                   else " / io - (non-tmpfs or unprobed)  ")
         print(f"  {label}: total_med {d['total_med']:.1f}  "
               f"norm {d['total_norm']:.1f}  norm_lb {d['total_norm_lb']:.1f}  "
               f"{anchor}"
@@ -77,10 +114,13 @@ def main():
               f"attempts {d.get('runs_attempted', '?')}  "
               f"written {d.get('written_utc', '(pre-r10 artifact)')}")
         print(f"       probes {fmt_probes(d)}")
-    if "total_anchor" in old and "total_anchor" in new:
-        print(f"  anchored ratio (new/old): "
-              f"{new['total_anchor'] / old['total_anchor']:.3f} "
-              f"— window-class-independent; compare THIS across rounds")
+    oc, oi = anchor_pair(old)
+    nc, ni = anchor_pair(new)
+    if oc and nc:
+        io_part = (f"  io-anchored {ni / oi:.3f}" if oi and ni else "")
+        print(f"  anchored ratio (new/old): cpu-anchored {nc / oc:.3f}"
+              f"{io_part} — window-class-independent; compare the arm the "
+              f"median ratio tracks")
 
     shared = sorted(set(old["per_query"]) & set(new["per_query"]))
     only_old = sorted(set(old["per_query"]) - set(new["per_query"]))

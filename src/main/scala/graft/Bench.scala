@@ -173,12 +173,35 @@ object Bench {
     * attribution, not comparison. */
   private[graft] val AnchorProbeCpuSec: Double = 1.175
 
+  /** Quiet-class reference for the tmpfs-I/O arm — the SECOND leg of the
+    * anchored PAIR (r11, measured mid-round): the first two r11 snapshots
+    * sat in the same CPU class (probe ratio 0.995) yet read 139.6 vs
+    * 128.5 s raw, and the per-query median ratio (0.922) tracked the I/O
+    * arm's ratio (0.917) almost exactly — the suite was bound by the
+    * memory/tmpfs class that arm senses, which a CPU-arm anchor cannot
+    * remove (anchored spread 8.4 %). Anchoring the same artifacts on THIS
+    * arm collapsed them to 136.6 vs 137.5 (0.7 %). Semantics:
+    * `total_anchor` (CPU arm) is medium-independent and always valid;
+    * `total_anchor_io` is valid ONLY between runs whose scratch probed the
+    * recorded tmpfs class (`anchor_io_valid` — an NVMe-class probe ~0.6 s
+    * against this 0.205 s reference would "anchor" by 3× of nonsense).
+    * Compare rounds on the arm whose probe ratio the per-query median
+    * ratio tracks; the pair brackets quiet-class truth the way
+    * [total_norm_lb, total_norm] brackets within-run truth. */
+  private[graft] val AnchorProbeIoSec: Double = 0.205
+
+  /** A probed medium is the reference tmpfs class iff its probe lands
+    * well under NVMe class (~0.6 s quiet): measured, not configured. */
+  private[graft] def anchorIoValid(probes: Seq[Double]): Boolean =
+    probes.nonEmpty && probes.forall(p => p > 0 && p < 0.35)
+
   /** Per-run anchor factors: run probe over the quiet-class reference. A
     * zero probe (pre-field child / parse failure) anchors at 1.0 — an
     * unmeasured window must pass through unscaled, never be deflated by a
     * reference it was never compared against. */
-  private[graft] def anchorFactors(probes: Seq[Double]): Seq[Double] =
-    probes.map(p => if (p > 0) p / AnchorProbeCpuSec else 1.0)
+  private[graft] def anchorFactors(probes: Seq[Double],
+      ref: Double = AnchorProbeCpuSec): Seq[Double] =
+    probes.map(p => if (p > 0) p / ref else 1.0)
 
   /** Wall seconds for one xorshift64* thread per host vCPU (≤32) ×
     * 4·10⁸ steps each (~1.6 s quiet on the 32-vCPU test host — record the
@@ -595,6 +618,10 @@ object Bench {
     // reference probe instead of this session's own quietest run — the
     // number that is comparable across rounds without window attribution
     val totalAnchor = normTotal(anchorFactors(cpuProbes))
+    val ioAnchorValid = anchorIoValid(ioProbes)
+    val totalAnchorIo =
+      if (ioAnchorValid) normTotal(anchorFactors(ioProbes, AnchorProbeIoSec))
+      else -1.0
     // partial-anchor honesty (r11 review): an unmeasured probe (0.0 —
     // pre-field child or parse failure) passes through at factor 1.0, so
     // that run's samples enter total_anchor UNSCALED and the field loses
@@ -610,7 +637,7 @@ object Bench {
     val minTotal = byName.map(_._2.min).sum + bySetup.map(_._2.min).sum
     val maxTotal = byName.map(_._2.max).sum + bySetup.map(_._2.max).sum
     def fmtJ(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians_incl_setup","queries":${qJson(med)},"setup":${qJson(setupMed)},"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"anchored_runs":$anchoredRuns,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"ambient_inflated":$inflated,"schema_warnings":${sJson(anchorWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians_incl_setup","queries":${qJson(med)},"setup":${qJson(setupMed)},"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"total_anchor_io":$totalAnchorIo,"anchor_io_valid":$ioAnchorValid,"anchored_runs":$anchoredRuns,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"anchor_probe_io_sec":$AnchorProbeIoSec,"ambient_inflated":$inflated,"schema_warnings":${sJson(anchorWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
     // full spread snapshot (per-query min/med/max + raw samples) — the
     // driver's BENCH tail truncates at 2000 chars, this file never does
     val detail = byName.map { case (n, vs) =>
@@ -627,7 +654,7 @@ object Bench {
       .mkString("[", ",", "]")
     Files.createDirectories(Paths.get("target"))
     val detailJson =
-      s"""{"sf":"$sfDir","written_utc":"${java.time.Instant.now()}","runs":${samples.size},"runs_attempted":$attempts,"parsed_attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"anchored_runs":$anchoredRuns,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(anchorWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"setup":$setupDetail,"per_query":$detail}"""
+      s"""{"sf":"$sfDir","written_utc":"${java.time.Instant.now()}","runs":${samples.size},"runs_attempted":$attempts,"parsed_attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"total_anchor_io":$totalAnchorIo,"anchor_io_valid":$ioAnchorValid,"anchored_runs":$anchoredRuns,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"anchor_probe_io_sec":$AnchorProbeIoSec,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(anchorWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"setup":$setupDetail,"per_query":$detail}"""
     Files.writeString(Paths.get("target/bench_runs_latest.json"), detailJson)
     // ROUND-STAMPED COMMITTED COPY (r10, VERDICT r9 #1): the driver's
     // official BENCH_r{N}.json keeps only a 2000-char stdout `tail` and a
@@ -669,6 +696,6 @@ object Bench {
         System.err.println(s"[bench] detail snapshot also written to $p")
       }
     }
-    System.err.println(s"[bench] ${samples.size} runs, median total $total s (norm $totalNorm, anchor $totalAnchor, inflated=$inflated, n_failed=$nFailed); full spread in target/bench_runs_latest.json")
+    System.err.println(s"[bench] ${samples.size} runs, median total $total s (norm $totalNorm, anchor $totalAnchor, anchor_io $totalAnchorIo, inflated=$inflated, n_failed=$nFailed); full spread in target/bench_runs_latest.json")
   }
 }

@@ -131,6 +131,16 @@ class HarnessContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ref = Bench.AnchorProbeCpuSec
     assert(Bench.anchorFactors(Seq(ref)) == Seq(1.0))
     assert(Bench.anchorFactors(Seq(2 * ref, 0.0)) == Seq(2.0, 1.0))
+    // the IO arm shares the factor contract with its own reference, and
+    // its validity gate is the MEDIUM, measured: tmpfs-class probes only
+    // (an NVMe-class ~0.6 s probe against the 0.205 s reference would
+    // "anchor" by 3× of nonsense), any unmeasured probe invalidates
+    val ioRef = Bench.AnchorProbeIoSec
+    assert(Bench.anchorFactors(Seq(2 * ioRef), ioRef) == Seq(2.0))
+    assert(Bench.anchorIoValid(Seq(0.2, 0.21, 0.3)))
+    assert(!Bench.anchorIoValid(Seq(0.2, 0.6)), "NVMe-class probe must invalidate")
+    assert(!Bench.anchorIoValid(Seq(0.2, 0.0)), "unmeasured probe must invalidate")
+    assert(!Bench.anchorIoValid(Nil))
     // same-code collapse: a run whose window is k× the reference class has
     // samples ~k× the quiet-class time; dividing by its anchor factor
     // recovers the quiet-class number for BOTH windows, so the anchored
