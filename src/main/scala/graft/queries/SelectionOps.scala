@@ -67,10 +67,17 @@ object SelectionOps {
         pmod(Parity.strHash(col("bg")), lit(B)).as("b"))
       .groupBy(col("doc_id"), col("lang"), col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
-    val cs = nf.groupBy(col("b")).agg(sum(col("c")).as("cs"))
-    val ct = nf.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(sum(col("c")).as("ct"))
-    val wt = cs.join(ct, Seq("b"), "left")
+    // both marginals in ONE pass over nf (sum + filtered sum share the
+    // aggregation) — the separate cs/ct frames each recomputed the
+    // explode+aggregate upstream; a null filtered sum is the missing-ct
+    // case the old left join produced, so coalesce keeps the same w.
+    // nf stays UNPINNED despite the remaining two consumers: measured
+    // both ways (r9 cache(), r11 FramePin) — materializing the per-doc
+    // feature rows loses to recomputing the codegen'd explode at gate
+    // scale (pin 1.25 s vs recompute 1.06 s warm, ProfileOne sf0.1)
+    val wt = nf.groupBy(col("b"))
+      .agg(sum(col("c")).as("cs"),
+        sum(when(col("lang") === "en", col("c"))).as("ct"))
       .select(col("b"),
         expr("(1000000 * (coalesce(ct, 0) + 1)) div (cs + 1)").as("w"))
     nf.join(broadcast(wt), Seq("b"))
@@ -700,10 +707,16 @@ object SelectionOps {
     * rule (the same reason [[dsirScores]] is shared). */
   private def systematicPicks(df: DataFrame, K: Long): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
-    val t = df.withColumn("cum", sum(col("wt")).over(w))
-    val tot = t.groupBy(col("lang"), col("source"))
-      .agg(max(col("cum")).as("total"))
-    t.join(tot, Seq("lang", "source"))
+    // shard totals as a SECOND window over the same partitioning, not a
+    // groupBy+self-join: the join form duplicated the upstream plan (for
+    // q150 that upstream is dsirScores) across both branches — exchange
+    // reuse recovered most of the recompute, so the measured win is the
+    // residual join itself (ProfileOne sf0.1: q150 warm 1.50 -> 1.43 s,
+    // q149 ~0.45 s both forms), but the single-window plan also cannot
+    // LOSE reuse when an upstream change breaks exchange identity
+    df.withColumn("cum", sum(col("wt")).over(w))
+      .withColumn("total",
+        max(col("cum")).over(Window.partitionBy(col("lang"), col("source"))))
       // a zero-mass shard emits nothing — filter BEFORE the division:
       // this Spark build runs ANSI mode, where `div 0` THROWS (DuckDB's
       // `// 0` returns NULL and the n_slots > 0 filter drops the shard)
