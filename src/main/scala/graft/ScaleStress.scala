@@ -91,6 +91,29 @@ object ScaleStress {
   // variant was measured first and was itself quadratic here (67.9 s at
   // ×100, exponent ~2.0: any pair-emitting form is Ω(pair mass)) — so
   // the OPERATOR stays measured at every factor incl. ×100.
+  /** The sublinearity line every measured family is held to (the same
+    * 0.75 the round verdicts cite as "none above"). */
+  private[graft] val ExpLine = 0.75
+
+  /** Top-decade exponent: log-log slope between the two largest measured
+    * factors. Callers guard lo > 0 and fHi > fLo. */
+  private[graft] def topDecadeExp(lo: Double, hi: Double, fLo: Int, fHi: Int): Double =
+    math.log(hi / lo) / math.log(fHi.toDouble / fLo)
+
+  /** Verdict line for a resampled top-factor point: the exponent is
+    * recomputed on the MIN of the two top-factor samples — ambient
+    * contention and GC pauses only ever ADD time, so the smaller sample
+    * is strictly closer to the quiet cost; a transient first sample
+    * yields exp_min under the line, a genuinely superlinear gate stays
+    * above it on both and is flagged `above_line_both`. Both exponents
+    * are recorded either way so a borderline pair stays visible. */
+  private[graft] def resampleVerdict(g: String, family: String, lo: Double,
+      hi0: Double, hi1: Double, fLo: Int, fHi: Int): String = {
+    val e0 = topDecadeExp(lo, hi0, fLo, fHi)
+    val e1 = topDecadeExp(lo, math.min(hi0, hi1), fLo, fHi)
+    s"""{"resample_gate":"$g","family":"$family","factor_pair":[$fLo,$fHi],"exp_first":$e0,"exp_min":$e1,"above_line_both":${e1 > ExpLine}}"""
+  }
+
   private def gatesFor(factor: Int): Seq[String] =
     (if (factor > 30) docGates.filterNot(_ == "q34_simhash") else docGates) ++
       embGates ++ eventGates ++ textGates ++ controlGates
@@ -296,19 +319,31 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    // structured mirror of the timed rows, for the transient-resample
+    // pass below: (gate, family, factor, sec); meta keeps each
+    // (family, factor)'s corpus-size json fragment so a resampled row
+    // carries the same fields as its first sample
+    val timed = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Double)]
+    val meta = scala.collection.mutable.Map.empty[(String, Int), String]
+    def timeGate(g: String, dir: String): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(g)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      (n, dt)
+    }
     for (f <- factors) {
       val dir = buildDir(spark, base, f)
       val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
       val nEmb = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      meta(("docs", f)) = s""""docs":$nDocs,"embeddings":$nEmb"""
       for (g <- gatesFor(f)) {
-        val t0 = System.nanoTime()
-        val n = SparkEntry.queries(g)(spark, dir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        System.gc()
+        val (n, dt) = timeGate(g, dir)
         val line = s"""{"gate":"$g","factor":$f,"docs":$nDocs,"embeddings":$nEmb,"result_rows":$n,"sec":$dt}"""
         println(line)
         rows += line
+        timed += ((g, "docs", f, dt))
       }
     }
     // Relational/report-engine family over the rel_x{f} dirs (r9): same
@@ -320,17 +355,57 @@ object ScaleStress {
       val dir = buildRelDir(spark, base, f)
       val nOrd = spark.read.parquet(s"$dir/orders.parquet").count()
       val nLi = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      meta(("rel", f)) = s""""family":"rel","orders":$nOrd,"lineitem":$nLi"""
       for (g <- relGates ++ relControlGates) {
-        val t0 = System.nanoTime()
-        val n = SparkEntry.queries(g)(spark, dir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        System.gc()
+        val (n, dt) = timeGate(g, dir)
         val line = s"""{"gate":"$g","factor":$f,"family":"rel","orders":$nOrd,"lineitem":$nLi,"result_rows":$n,"sec":$dt}"""
         println(line)
         rows += line
+        timed += ((g, "rel", f, dt))
       }
     }
+    // Transient self-triage (r11 addendum): this harness's timings are
+    // single-sample by design (read exponents, not seconds), but a
+    // single ambient/GC transient on the TOP-factor point can push a
+    // gate's top-decade exponent over the sublinearity line and
+    // masquerade as a scaling defect — measured, not hypothetical: the
+    // r11 HEAD re-validation's q147 ×100 point read 18.45 s where the
+    // committed round artifact and a same-session re-measure read
+    // 7.08 / 6.21 s on identical code and data (exp 1.41 vs 0.50,
+    // SCALE_STRESS_r11_head.json). Any gate whose top-decade exponent
+    // crosses the line therefore gets ONE re-measure at the top factor:
+    // the extra sample lands in the artifact as its own row
+    // ("resample": true — the first sample is kept, not spliced out)
+    // plus a verdict line with the exponent recomputed on the MIN of
+    // the two top-factor samples. Min is the right combiner here:
+    // ambient contention and GC pauses only ever ADD time, so the
+    // smaller sample is strictly closer to the gate's quiet cost. A
+    // gate that crosses the line on BOTH samples is a real finding —
+    // the resample exists to kill transients, not to launder genuine
+    // superlinearity (the verdict line records both exponents either
+    // way, so a borderline pair stays visible).
+    def resampleTopDecade(family: String, fs: Seq[Int], dirOf: Int => String): Unit = {
+      val sorted = fs.distinct.sorted
+      if (sorted.size < 2) return
+      val (fLo, fHi) = (sorted(sorted.size - 2), sorted.last)
+      val fam = timed.filter(_._2 == family)
+      val atHi = fam.filter(_._3 == fHi).map(t => t._1 -> t._4).toMap
+      val atLo = fam.filter(_._3 == fLo).map(t => t._1 -> t._4).toMap
+      for ((g, hi0) <- atHi.toSeq.sortBy(_._1); lo <- atLo.get(g) if lo > 0) {
+        if (topDecadeExp(lo, hi0, fLo, fHi) > ExpLine) {
+          val dir = dirOf(fHi)
+          val (n, dt) = timeGate(g, dir)
+          val row = s"""{"gate":"$g","factor":$fHi,${meta((family, fHi))},"result_rows":$n,"sec":$dt,"resample":true}"""
+          println(row)
+          rows += row
+          val v = resampleVerdict(g, family, lo, hi0, dt, fLo, fHi)
+          println(v)
+          rows += v
+        }
+      }
+    }
+    resampleTopDecade("docs", factors, f => buildDir(spark, base, f))
+    resampleTopDecade("rel", relFactors, f => buildRelDir(spark, base, f))
     // Plan-audit sweep at the LARGEST synthetic factor (r8, VERDICT r7
     // next-list #5): the sf0.001 PlanAuditSpec pins shapes at gate scale;
     // AQE/size-based planning could legitimately switch strategies on

@@ -247,4 +247,23 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sh.nonEmpty)
     assert(sh.forall(_.contains("·c2")))
   }
+
+  test("resample verdict kills a transient top-factor sample but not genuine superlinearity") {
+    // the r11 incident shape: lo=3.39 s at ×30, first ×100 sample 18.45 s
+    // (transient, exp 1.41), re-measure 6.21 s — min-combined exponent
+    // falls back under the line
+    val transient = ScaleStress.resampleVerdict(
+      "q147_pq_codes", "docs", 3.39, 18.45, 6.21, 30, 100)
+    assert(transient.contains(""""above_line_both":false"""))
+    assert(ScaleStress.topDecadeExp(3.39, 18.45, 30, 100) > ScaleStress.ExpLine)
+    assert(ScaleStress.topDecadeExp(3.39, 6.21, 30, 100) < ScaleStress.ExpLine)
+    // a genuinely quadratic gate stays above the line on BOTH samples —
+    // the resample must not launder it (sec ∝ factor²: 9 s at ×30 → 100 s
+    // at ×100, with the re-measure agreeing)
+    val real = ScaleStress.resampleVerdict(
+      "qX", "docs", 9.0, 100.0, 98.0, 30, 100)
+    assert(real.contains(""""above_line_both":true"""))
+    // both exponents are recorded either way (borderline pairs stay visible)
+    assert(transient.contains(""""exp_first":""") && transient.contains(""""exp_min":"""))
+  }
 }
