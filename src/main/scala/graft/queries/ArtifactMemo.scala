@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * READ, not recompute; the scratch dir stands in for that store at
   * test scale. Standalone correctness is untouched — the first consumer
   * triggers exactly the computation the gate used to run inline. */
-private[queries] object ArtifactMemo {
+private[graft] object ArtifactMemo {
 
   /** (applicationId, canonical dir, kind) → the single builder's promise.
     * putIfAbsent elects exactly one builder per key; losers block on the
@@ -52,5 +52,29 @@ private[queries] object ArtifactMemo {
             mine.failure(e); paths.remove(key, mine); throw e
         }
     }
+  }
+
+  /** Drop every COMPLETED memo entry for `dir` (all kinds, all
+    * applications), so the next consumer rebuilds from scratch — the
+    * rebuild reuses the same deterministic scratch path (`Scratch.fresh`
+    * deletes the stale target first), so nothing leaks. Returns the
+    * number of entries dropped.
+    *
+    * Exists for measurement harnesses that re-time a gate within one JVM
+    * ([[graft.ScaleStress]]'s transient resample): without it the
+    * re-measure of a memo-consuming gate times a parquet scan of the
+    * already-built artifact instead of the work the first sample paid —
+    * measured on q32 at ×100: 21.3 s build-inclusive first sample,
+    * 0.23 s memo-hit "re-measure". In-flight (uncompleted) builds are
+    * left untouched: removing one would elect a second builder racing
+    * the first on the same scratch target, the exact corruption the
+    * promise map exists to prevent. */
+  def invalidate(dir: String): Int = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    val done = paths.toSeq.collect {
+      case (k @ (_, `canon`, _), p) if p.isCompleted => (k, p)
+    }
+    done.foreach { case (k, p) => paths.remove(k, p) }
+    done.size
   }
 }

@@ -266,4 +266,27 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // both exponents are recorded either way (borderline pairs stay visible)
     assert(transient.contains(""""exp_first":""") && transient.contains(""""exp_min":"""))
   }
+
+  test("memo invalidation forces the resample's re-measure to rebuild") {
+    // the resample pass drops the target dir's ArtifactMemo entries
+    // before re-timing — otherwise a memo-consuming gate's "re-measure"
+    // times a parquet scan of the already-built artifact (measured:
+    // q32 ×100 first sample 21.3 s build-inclusive, naive re-measure
+    // 0.23 s) and the min-combiner would launder genuine superlinearity
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory(Paths.get("target"), "memoinval").toString
+    var builds = 0
+    def consume() = graft.queries.ArtifactMemo.path(spark, dir, "svdtest") { _ => builds += 1 }
+    val p1 = consume(); val p2 = consume()
+    assert(builds == 1 && p1 == p2) // memoized: one build, stable path
+    // invalidating a DIFFERENT dir must not touch this entry
+    val other = Files.createTempDirectory(Paths.get("target"), "memoinval2").toString
+    assert(graft.queries.ArtifactMemo.invalidate(other) == 0)
+    assert({ consume(); builds } == 1)
+    // invalidating the dir drops exactly the completed entry; the next
+    // consumer rebuilds onto the same deterministic scratch path
+    assert(graft.queries.ArtifactMemo.invalidate(dir) == 1)
+    val p3 = consume()
+    assert(builds == 2 && p3 == p1)
+  }
 }
