@@ -100,18 +100,57 @@ object ScaleStress {
   private[graft] def topDecadeExp(lo: Double, hi: Double, fLo: Int, fHi: Int): Double =
     math.log(hi / lo) / math.log(fHi.toDouble / fLo)
 
+  /** Borderline half-width around [[ExpLine]]. Drives two triage rules
+    * (ADVICE r11 #1/#2): a min-combined hi-resample exponent within this
+    * band of the line takes a THIRD sample (verdict on the median), and
+    * a first-pass exponent just UNDER the line by at most this much gets
+    * its LO point re-measured instead of no resample at all. */
+  private[graft] val ExpBand = 0.1
+
   /** Verdict line for a resampled top-factor point: the exponent is
-    * recomputed on the MIN of the two top-factor samples — ambient
+    * recomputed on the MIN of the top-factor samples — ambient
     * contention and GC pauses only ever ADD time, so the smaller sample
-    * is strictly closer to the quiet cost; a transient first sample
-    * yields exp_min under the line, a genuinely superlinear gate stays
-    * above it on both and is flagged `above_line_both`. Both exponents
-    * are recorded either way so a borderline pair stays visible. */
+    * is closer to the quiet cost. Min has a known bias the other way,
+    * though: the re-measure is systematically ADVANTAGED (warm OS page
+    * cache from the first sample's reads, warm JIT/codegen and allocator
+    * state), so min-of-two drags BORDERLINE pairs downward. When the
+    * min-combined exponent lands within [[ExpBand]] of [[ExpLine]], the
+    * harness takes a third sample and the verdict exponent becomes the
+    * MEDIAN of the three (`exp_med`) — one warm-state-flattered sample
+    * cannot pull a median under the line. A genuinely superlinear gate
+    * stays above on every sample and is flagged `above_line` (computed
+    * from the verdict exponent: median when present, else min). Every
+    * exponent is recorded either way so a borderline pair stays
+    * visible. */
   private[graft] def resampleVerdict(g: String, family: String, lo: Double,
-      hi0: Double, hi1: Double, fLo: Int, fHi: Int): String = {
-    val e0 = topDecadeExp(lo, hi0, fLo, fHi)
-    val e1 = topDecadeExp(lo, math.min(hi0, hi1), fLo, fHi)
-    s"""{"resample_gate":"$g","family":"$family","factor_pair":[$fLo,$fHi],"exp_first":$e0,"exp_min":$e1,"above_line_both":${e1 > ExpLine}}"""
+      hiSamples: Seq[Double], fLo: Int, fHi: Int): String = {
+    require(hiSamples.size >= 2, "resample verdict needs the first sample plus >=1 re-measure")
+    val e0 = topDecadeExp(lo, hiSamples.head, fLo, fHi)
+    val eMin = topDecadeExp(lo, hiSamples.min, fLo, fHi)
+    val eMed = if (hiSamples.size >= 3)
+      Some(topDecadeExp(lo, hiSamples.sorted.apply(hiSamples.size / 2), fLo, fHi))
+    else None
+    val eVerdict = eMed.getOrElse(eMin)
+    val medJson = eMed.map(e => s""""exp_med":$e,""").getOrElse("")
+    s"""{"resample_gate":"$g","family":"$family","factor_pair":[$fLo,$fHi],"hi_samples":${
+      hiSamples.mkString("[", ",", "]")},"exp_first":$e0,"exp_min":$eMin,$medJson"above_line":${eVerdict > ExpLine}}"""
+  }
+
+  /** Verdict line for a resampled SECOND-largest-factor point. The
+    * hi-point triage is one-directional — it fires only when the pair
+    * crosses ABOVE the line — so a transient that inflated the LO sample
+    * DEFLATES the exponent and would mask genuine superlinearity with no
+    * resample at all (ADVICE r11 #2). Pairs landing just UNDER the line
+    * (within [[ExpBand]]) therefore get the LO point re-measured: min is
+    * again the right combiner (noise only ever adds time), and on the lo
+    * point min RAISES the exponent — the conservative direction for a
+    * superlinearity detector, so warm-state advantage on the re-measure
+    * can only make the detector stricter, never launder a finding. */
+  private[graft] def resampleLoVerdict(g: String, family: String,
+      lo0: Double, lo1: Double, hi: Double, fLo: Int, fHi: Int): String = {
+    val e0 = topDecadeExp(lo0, hi, fLo, fHi)
+    val eMin = topDecadeExp(math.min(lo0, lo1), hi, fLo, fHi)
+    s"""{"resample_lo_gate":"$g","family":"$family","factor_pair":[$fLo,$fHi],"lo_samples":[$lo0,$lo1],"exp_first":$e0,"exp_lo_min":$eMin,"above_line_lo_min":${eMin > ExpLine}}"""
   }
 
   private def gatesFor(factor: Int): Seq[String] =
@@ -377,13 +416,29 @@ object ScaleStress {
     // the extra sample lands in the artifact as its own row
     // ("resample": true — the first sample is kept, not spliced out)
     // plus a verdict line with the exponent recomputed on the MIN of
-    // the two top-factor samples. Min is the right combiner here:
-    // ambient contention and GC pauses only ever ADD time, so the
-    // smaller sample is strictly closer to the gate's quiet cost. A
-    // gate that crosses the line on BOTH samples is a real finding —
-    // the resample exists to kill transients, not to launder genuine
-    // superlinearity (the verdict line records both exponents either
-    // way, so a borderline pair stays visible).
+    // the top-factor samples. Min is the right combiner for a transient
+    // killer — ambient contention and GC pauses only ever ADD time, so
+    // the smaller sample is strictly closer to the gate's quiet cost —
+    // but it is BIASED on borderline pairs: the re-measure runs
+    // systematically advantaged (warm OS page cache from the first
+    // sample's reads, warm JIT/codegen state), so min-of-two leans
+    // downward exactly where the call is closest (ADVICE r11 #1). Two
+    // band rules close both directions of that one-sidedness:
+    //   * hi borderline — if the min-combined exponent lands within
+    //     ExpBand of the line, a THIRD top-factor sample is taken and
+    //     the verdict exponent is the MEDIAN of the three (one
+    //     warm-flattered sample cannot drag a median under the line);
+    //   * lo borderline — a pair just UNDER the line (within ExpBand)
+    //     gets its SECOND-largest-factor point re-measured instead of no
+    //     resample at all (ADVICE r11 #2: a transient inflating fLo
+    //     deflates the exponent and would mask genuine superlinearity);
+    //     min on the lo point RAISES the exponent — conservative — and
+    //     if the min-combined pair then crosses the line it is confirmed
+    //     through the standard hi-point path.
+    // A gate that stays above the line through all of that is a real
+    // finding — the resample exists to kill transients, not to launder
+    // genuine superlinearity (every exponent is recorded either way, so
+    // a borderline pair stays visible).
     //
     // Memo invalidation (found by this pass's own first firing): a
     // memo-consuming gate's first sample at a factor pays the
@@ -405,17 +460,40 @@ object ScaleStress {
       val fam = timed.filter(_._2 == family)
       val atHi = fam.filter(_._3 == fHi).map(t => t._1 -> t._4).toMap
       val atLo = fam.filter(_._3 == fLo).map(t => t._1 -> t._4).toMap
+      // one re-measure at `factor`, kept as its own artifact row. The
+      // row also carries the memo ledger (ADVICE r11 #3): invalidate
+      // drops ALL of the dir's completed memo entries but the gate
+      // rebuilds only the ones it consumes, so memos_dropped minus
+      // memos_rebuilt is the residual a later consumer — in practice
+      // the plan-audit sweep below — pays to rebuild inside its own
+      // recorded sec.
+      def remeasure(g: String, factor: Int, dir: String): Double = {
+        val dropped = graft.queries.ArtifactMemo.invalidate(dir)
+        val (n, dt) = timeGate(g, dir)
+        val rebuilt = graft.queries.ArtifactMemo.entryCount(dir)
+        val row = s"""{"gate":"$g","factor":$factor,${meta((family, factor))},"result_rows":$n,"sec":$dt,"resample":true,"memos_dropped":$dropped,"memos_rebuilt":$rebuilt}"""
+        println(row)
+        rows += row
+        dt
+      }
+      def emit(v: String): Unit = { println(v); rows += v }
+      def resampleHi(g: String, lo: Double, hi0: Double): Unit = {
+        val hi1 = remeasure(g, fHi, dirOf(fHi))
+        val eMin = topDecadeExp(lo, math.min(hi0, hi1), fLo, fHi)
+        val samples =
+          if (math.abs(eMin - ExpLine) <= ExpBand)
+            Seq(hi0, hi1, remeasure(g, fHi, dirOf(fHi)))
+          else Seq(hi0, hi1)
+        emit(resampleVerdict(g, family, lo, samples, fLo, fHi))
+      }
       for ((g, hi0) <- atHi.toSeq.sortBy(_._1); lo <- atLo.get(g) if lo > 0) {
-        if (topDecadeExp(lo, hi0, fLo, fHi) > ExpLine) {
-          val dir = dirOf(fHi)
-          val dropped = graft.queries.ArtifactMemo.invalidate(dir)
-          val (n, dt) = timeGate(g, dir)
-          val row = s"""{"gate":"$g","factor":$fHi,${meta((family, fHi))},"result_rows":$n,"sec":$dt,"resample":true,"memos_dropped":$dropped}"""
-          println(row)
-          rows += row
-          val v = resampleVerdict(g, family, lo, hi0, dt, fLo, fHi)
-          println(v)
-          rows += v
+        val e0 = topDecadeExp(lo, hi0, fLo, fHi)
+        if (e0 > ExpLine) resampleHi(g, lo, hi0)
+        else if (e0 > ExpLine - ExpBand) {
+          val lo1 = remeasure(g, fLo, dirOf(fLo))
+          emit(resampleLoVerdict(g, family, lo, lo1, hi0, fLo, fHi))
+          val loMin = math.min(lo, lo1)
+          if (topDecadeExp(loMin, hi0, fLo, fHi) > ExpLine) resampleHi(g, loMin, hi0)
         }
       }
     }
@@ -433,7 +511,12 @@ object ScaleStress {
     // writes — Queries.scala contract) inside the sweep, so the
     // recorded "sec" is sweep + first-construction cost at this factor,
     // not pure planning time (the r8 run: 96.8 s at ×100, mostly those
-    // builds). Streaming gates are excluded because planning them
+    // builds). A transient resample above adds to that: its invalidate
+    // drops ALL of the dir's memo entries but the re-measured gate
+    // rebuilds only its own, so the residual (the resample rows'
+    // memos_dropped − memos_rebuilt ledger) is rebuilt HERE — a
+    // resample-bearing run's sweep sec is inflated vs a resample-free
+    // run's by exactly those builds (ADVICE r11 #3). Streaming gates are excluded because planning them
     // executes them; their batch twins are in the sweep. Disable with
     // SPARK_GRAFT_SCALE_PLAN_AUDIT=0.
     if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PLAN_AUDIT", "1") != "0") {

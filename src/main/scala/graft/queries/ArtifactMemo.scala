@@ -68,7 +68,18 @@ private[graft] object ArtifactMemo {
     * 0.23 s memo-hit "re-measure". In-flight (uncompleted) builds are
     * left untouched: removing one would elect a second builder racing
     * the first on the same scratch target, the exact corruption the
-    * promise map exists to prevent. */
+    * promise map exists to prevent.
+    *
+    * Caller contract — single-threaded over the dir. Invalidate followed
+    * by a rebuild is safe only with NO concurrent consumers of `dir`'s
+    * artifacts: the rebuild's `Scratch.fresh` DELETES the old artifact
+    * dir first, so a concurrent `path()` caller that obtained the old
+    * path just before the invalidate may still be mid-read of files the
+    * rebuild removes. The promise map serializes BUILDERS, not readers —
+    * it cannot protect a reader holding an already-returned path. The
+    * harnesses that call this ([[graft.ScaleStress]]'s transient
+    * resample) run gates strictly sequentially over the dir, which is
+    * the only supported use. */
   def invalidate(dir: String): Int = {
     val canon = new java.io.File(dir).getCanonicalPath
     val done = paths.toSeq.collect {
@@ -76,5 +87,16 @@ private[graft] object ArtifactMemo {
     }
     done.foreach { case (k, p) => paths.remove(k, p) }
     done.size
+  }
+
+  /** Number of COMPLETED memo entries currently registered for `dir`
+    * (all kinds, all applications) — the "rebuilt" side of the resample
+    * ledger: [[graft.ScaleStress]] logs `memos_dropped` (from
+    * [[invalidate]]) against this count after the re-measure, so the
+    * residual (dropped − rebuilt) the later plan-audit sweep silently
+    * pays to rebuild is attributable in the artifact. */
+  def entryCount(dir: String): Int = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    paths.count { case ((_, d, _), p) => d == canon && p.isCompleted }
   }
 }

@@ -253,18 +253,50 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (transient, exp 1.41), re-measure 6.21 s — min-combined exponent
     // falls back under the line
     val transient = ScaleStress.resampleVerdict(
-      "q147_pq_codes", "docs", 3.39, 18.45, 6.21, 30, 100)
-    assert(transient.contains(""""above_line_both":false"""))
+      "q147_pq_codes", "docs", 3.39, Seq(18.45, 6.21), 30, 100)
+    assert(transient.contains(""""above_line":false"""))
     assert(ScaleStress.topDecadeExp(3.39, 18.45, 30, 100) > ScaleStress.ExpLine)
     assert(ScaleStress.topDecadeExp(3.39, 6.21, 30, 100) < ScaleStress.ExpLine)
     // a genuinely quadratic gate stays above the line on BOTH samples —
     // the resample must not launder it (sec ∝ factor²: 9 s at ×30 → 100 s
     // at ×100, with the re-measure agreeing)
     val real = ScaleStress.resampleVerdict(
-      "qX", "docs", 9.0, 100.0, 98.0, 30, 100)
-    assert(real.contains(""""above_line_both":true"""))
+      "qX", "docs", 9.0, Seq(100.0, 98.0), 30, 100)
+    assert(real.contains(""""above_line":true"""))
     // both exponents are recorded either way (borderline pairs stay visible)
     assert(transient.contains(""""exp_first":""") && transient.contains(""""exp_min":"""))
+  }
+
+  test("borderline hi pair verdict uses the median of three, not the min") {
+    // ADVICE r11 #1 shape: the re-measure is warm-state advantaged, so
+    // one flattered low sample must not decide a borderline pair. With
+    // lo=1.0 over [30,100]: first sample 4.0 (exp 1.15), re-measure 2.3
+    // (exp 0.69 — inside the ±0.1 band of the 0.75 line, so the harness
+    // takes a third), third 3.0 (exp 0.91). Median 3.0 → above the line.
+    val eMin = ScaleStress.topDecadeExp(1.0, 2.3, 30, 100)
+    assert(math.abs(eMin - ScaleStress.ExpLine) <= ScaleStress.ExpBand)
+    val v = ScaleStress.resampleVerdict("qB", "docs", 1.0, Seq(4.0, 2.3, 3.0), 30, 100)
+    assert(v.contains(""""exp_med":"""))
+    assert(v.contains(""""above_line":true"""))
+    // min alone would have called it under the line — the bias the
+    // median rule exists to remove
+    assert(eMin < ScaleStress.ExpLine)
+  }
+
+  test("lo-point resample raises the exponent conservatively on just-under-line pairs") {
+    // ADVICE r11 #2 shape: a transient inflating the fLo sample deflates
+    // the exponent below the line with no resample. lo0=2.0 (inflated),
+    // hi=4.6 → exp 0.69, just under; quiet re-measure lo1=1.0 → min(lo)
+    // RAISES the exponent to 1.27 — superlinearity unmasked.
+    val e0 = ScaleStress.topDecadeExp(2.0, 4.6, 30, 100)
+    assert(e0 < ScaleStress.ExpLine && e0 > ScaleStress.ExpLine - ScaleStress.ExpBand)
+    val unmasked = ScaleStress.resampleLoVerdict("qL", "docs", 2.0, 1.0, 4.6, 30, 100)
+    assert(unmasked.contains(""""above_line_lo_min":true"""))
+    // a re-measure that AGREES with the first lo sample leaves the pair
+    // under the line — no false finding from the band rule
+    val confirmed = ScaleStress.resampleLoVerdict("qL", "docs", 2.0, 1.95, 4.6, 30, 100)
+    assert(confirmed.contains(""""above_line_lo_min":false"""))
+    assert(confirmed.contains(""""exp_lo_min":""") && confirmed.contains(""""exp_first":"""))
   }
 
   test("memo invalidation forces the resample's re-measure to rebuild") {
@@ -284,9 +316,14 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.queries.ArtifactMemo.invalidate(other) == 0)
     assert({ consume(); builds } == 1)
     // invalidating the dir drops exactly the completed entry; the next
-    // consumer rebuilds onto the same deterministic scratch path
+    // consumer rebuilds onto the same deterministic scratch path.
+    // entryCount is the ledger's "rebuilt" side: 0 right after the
+    // invalidate, back to 1 once the consumer rebuilds.
+    assert(graft.queries.ArtifactMemo.entryCount(dir) == 1)
     assert(graft.queries.ArtifactMemo.invalidate(dir) == 1)
+    assert(graft.queries.ArtifactMemo.entryCount(dir) == 0)
     val p3 = consume()
     assert(builds == 2 && p3 == p1)
+    assert(graft.queries.ArtifactMemo.entryCount(dir) == 1)
   }
 }
