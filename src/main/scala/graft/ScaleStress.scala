@@ -516,7 +516,8 @@ object ScaleStress {
     // rebuilds only its own, so the residual (the resample rows'
     // memos_dropped − memos_rebuilt ledger) is rebuilt HERE — a
     // resample-bearing run's sweep sec is inflated vs a resample-free
-    // run's by exactly those builds (ADVICE r11 #3). Streaming gates are excluded because planning them
+    // run's by exactly those builds (ADVICE r11 #3). Streaming gates
+    // are excluded because planning them
     // executes them; their batch twins are in the sweep. Disable with
     // SPARK_GRAFT_SCALE_PLAN_AUDIT=0.
     if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PLAN_AUDIT", "1") != "0") {
