@@ -65,19 +65,15 @@ def report(path: str) -> int:
                 verdicts[key] = (exp, "hi-med" if "exp_med" in r else "hi-min")
             elif "resample_lo_gate" in r:
                 key = (fam, r["resample_lo_gate"])
-                # a later hi verdict (confirm path) overrides this one
+                # a hi verdict (confirm path) overrides this one: the hi
+                # branch above assigns unconditionally, this one only
+                # fills an absent key — correct in either row order
                 if key not in verdicts:
                     verdicts[key] = (r["exp_lo_min"], "lo-min")
             elif "gate" in r and r.get("resample"):
                 ledger.append(r)
             elif "gate" in r:
                 firsts.setdefault((fam, r["gate"]), {})[r["factor"]] = r["sec"]
-        # hi verdicts must override lo verdicts regardless of row order
-        for r in rows:
-            if isinstance(r, dict) and "resample_gate" in r:
-                key = (r.get("family", "docs"), r["resample_gate"])
-                exp = r.get("exp_med", r.get("exp_min"))
-                verdicts[key] = (exp, "hi-med" if "exp_med" in r else "hi-min")
         if not firsts:
             continue
         print(f"== {path}: {len(firsts)} gates with timed rows ==")

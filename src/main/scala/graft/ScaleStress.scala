@@ -453,13 +453,12 @@ object ScaleStress {
     // not the memo's first consumer, the re-measure now pays a build the
     // first sample did not; that only inflates the second sample, and
     // min() falls back to the first — the conservative direction.)
-    def resampleTopDecade(family: String, fs: Seq[Int], dirOf: Int => String): Unit = {
-      val sorted = fs.distinct.sorted
-      if (sorted.size < 2) return
-      val (fLo, fHi) = (sorted(sorted.size - 2), sorted.last)
-      val fam = timed.filter(_._2 == family)
-      val atHi = fam.filter(_._3 == fHi).map(t => t._1 -> t._4).toMap
-      val atLo = fam.filter(_._3 == fLo).map(t => t._1 -> t._4).toMap
+    // Triage is per-GATE: each gate's top decade is the last two factors
+    // IT was timed at, not the family's — a gate measured on a subset
+    // (q34 stops at ×30 by the corpus-construction skip) is held to the
+    // same band rules on its own largest pair instead of escaping
+    // triage entirely.
+    def resampleTopDecade(family: String, dirOf: Int => String): Unit = {
       // one re-measure at `factor`, kept as its own artifact row. The
       // row also carries the memo ledger (ADVICE r11 #3): invalidate
       // drops ALL of the dir's completed memo entries but the gate
@@ -477,7 +476,7 @@ object ScaleStress {
         dt
       }
       def emit(v: String): Unit = { println(v); rows += v }
-      def resampleHi(g: String, lo: Double, hi0: Double): Unit = {
+      def resampleHi(g: String, lo: Double, hi0: Double, fLo: Int, fHi: Int): Unit = {
         val hi1 = remeasure(g, fHi, dirOf(fHi))
         val eMin = topDecadeExp(lo, math.min(hi0, hi1), fLo, fHi)
         val samples =
@@ -486,19 +485,29 @@ object ScaleStress {
           else Seq(hi0, hi1)
         emit(resampleVerdict(g, family, lo, samples, fLo, fHi))
       }
-      for ((g, hi0) <- atHi.toSeq.sortBy(_._1); lo <- atLo.get(g) if lo > 0) {
-        val e0 = topDecadeExp(lo, hi0, fLo, fHi)
-        if (e0 > ExpLine) resampleHi(g, lo, hi0)
-        else if (e0 > ExpLine - ExpBand) {
-          val lo1 = remeasure(g, fLo, dirOf(fLo))
-          emit(resampleLoVerdict(g, family, lo, lo1, hi0, fLo, fHi))
-          val loMin = math.min(lo, lo1)
-          if (topDecadeExp(loMin, hi0, fLo, fHi) > ExpLine) resampleHi(g, loMin, hi0)
+      val byGate = timed.filter(_._2 == family).groupBy(_._1)
+      for (g <- byGate.keys.toSeq.sorted) {
+        val byF = byGate(g).map(t => t._3 -> t._4).toMap
+        val ks = byF.keys.toSeq.sorted
+        if (ks.size >= 2) {
+          val (fLo, fHi) = (ks(ks.size - 2), ks.last)
+          val (lo, hi0) = (byF(fLo), byF(fHi))
+          if (lo > 0) {
+            val e0 = topDecadeExp(lo, hi0, fLo, fHi)
+            if (e0 > ExpLine) resampleHi(g, lo, hi0, fLo, fHi)
+            else if (e0 > ExpLine - ExpBand) {
+              val lo1 = remeasure(g, fLo, dirOf(fLo))
+              emit(resampleLoVerdict(g, family, lo, lo1, hi0, fLo, fHi))
+              val loMin = math.min(lo, lo1)
+              if (topDecadeExp(loMin, hi0, fLo, fHi) > ExpLine)
+                resampleHi(g, loMin, hi0, fLo, fHi)
+            }
+          }
         }
       }
     }
-    resampleTopDecade("docs", factors, f => buildDir(spark, base, f))
-    resampleTopDecade("rel", relFactors, f => buildRelDir(spark, base, f))
+    resampleTopDecade("docs", f => buildDir(spark, base, f))
+    resampleTopDecade("rel", f => buildRelDir(spark, base, f))
     // Plan-audit sweep at the LARGEST synthetic factor (r8, VERDICT r7
     // next-list #5): the sf0.001 PlanAuditSpec pins shapes at gate scale;
     // AQE/size-based planning could legitimately switch strategies on
