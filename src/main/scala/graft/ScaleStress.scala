@@ -153,6 +153,26 @@ object ScaleStress {
     s"""{"resample_lo_gate":"$g","family":"$family","factor_pair":[$fLo,$fHi],"lo_samples":[$lo0,$lo1],"exp_first":$e0,"exp_lo_min":$eMin,"above_line_lo_min":${eMin > ExpLine}}"""
   }
 
+  /** Per-gate top-decade pairs for `family` from the timed rows
+    * (gate, family, factor, sec): each gate's two largest measured
+    * factors with their seconds — the unit the triage holds to the band
+    * rules. Per-GATE, not family-wide: a gate timed on a subset of the
+    * factors (q34 stops at ×30 by the corpus-construction skip) is
+    * judged on its own largest pair instead of escaping triage. Gates
+    * with fewer than two factors or a non-positive lo sample are
+    * dropped. */
+  private[graft] def topDecadePairs(
+      timed: Seq[(String, String, Int, Double)],
+      family: String): Seq[(String, Int, Int, Double, Double)] =
+    timed.filter(_._2 == family).groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (g, rs) =>
+        val byF = rs.map(t => t._3 -> t._4).toMap
+        val ks = byF.keys.toSeq.sorted
+        if (ks.size >= 2 && byF(ks(ks.size - 2)) > 0)
+          Some((g, ks(ks.size - 2), ks.last, byF(ks(ks.size - 2)), byF(ks.last)))
+        else None
+    }
+
   private def gatesFor(factor: Int): Seq[String] =
     (if (factor > 30) docGates.filterNot(_ == "q34_simhash") else docGates) ++
       embGates ++ eventGates ++ textGates ++ controlGates
@@ -485,24 +505,15 @@ object ScaleStress {
           else Seq(hi0, hi1)
         emit(resampleVerdict(g, family, lo, samples, fLo, fHi))
       }
-      val byGate = timed.filter(_._2 == family).groupBy(_._1)
-      for (g <- byGate.keys.toSeq.sorted) {
-        val byF = byGate(g).map(t => t._3 -> t._4).toMap
-        val ks = byF.keys.toSeq.sorted
-        if (ks.size >= 2) {
-          val (fLo, fHi) = (ks(ks.size - 2), ks.last)
-          val (lo, hi0) = (byF(fLo), byF(fHi))
-          if (lo > 0) {
-            val e0 = topDecadeExp(lo, hi0, fLo, fHi)
-            if (e0 > ExpLine) resampleHi(g, lo, hi0, fLo, fHi)
-            else if (e0 > ExpLine - ExpBand) {
-              val lo1 = remeasure(g, fLo, dirOf(fLo))
-              emit(resampleLoVerdict(g, family, lo, lo1, hi0, fLo, fHi))
-              val loMin = math.min(lo, lo1)
-              if (topDecadeExp(loMin, hi0, fLo, fHi) > ExpLine)
-                resampleHi(g, loMin, hi0, fLo, fHi)
-            }
-          }
+      for ((g, fLo, fHi, lo, hi0) <- topDecadePairs(timed.toSeq, family)) {
+        val e0 = topDecadeExp(lo, hi0, fLo, fHi)
+        if (e0 > ExpLine) resampleHi(g, lo, hi0, fLo, fHi)
+        else if (e0 > ExpLine - ExpBand) {
+          val lo1 = remeasure(g, fLo, dirOf(fLo))
+          emit(resampleLoVerdict(g, family, lo, lo1, hi0, fLo, fHi))
+          val loMin = math.min(lo, lo1)
+          if (topDecadeExp(loMin, hi0, fLo, fHi) > ExpLine)
+            resampleHi(g, loMin, hi0, fLo, fHi)
         }
       }
     }

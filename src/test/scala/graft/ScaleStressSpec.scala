@@ -299,6 +299,22 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(confirmed.contains(""""exp_lo_min":""") && confirmed.contains(""""exp_first":"""))
   }
 
+  test("triage pairs are per-gate top decades, not the family's") {
+    // q34's shape: timed only through x30 while the family runs to x100 —
+    // its pair must be its OWN (10,30), not the family's (30,100);
+    // single-factor gates and zero-lo gates are dropped
+    val timed = Seq(
+      ("qA", "docs", 1, 1.0), ("qA", "docs", 10, 2.0),
+      ("qA", "docs", 30, 5.0), ("qA", "docs", 100, 9.0),
+      ("q34", "docs", 1, 3.0), ("q34", "docs", 10, 9.9), ("q34", "docs", 30, 21.4),
+      ("qSingle", "docs", 100, 4.0),
+      ("qZeroLo", "docs", 30, 0.0), ("qZeroLo", "docs", 100, 2.0),
+      ("qRel", "rel", 30, 1.0), ("qRel", "rel", 100, 2.0))
+    val docs = ScaleStress.topDecadePairs(timed, "docs")
+    assert(docs == Seq(("q34", 10, 30, 9.9, 21.4), ("qA", 30, 100, 5.0, 9.0)))
+    assert(ScaleStress.topDecadePairs(timed, "rel") == Seq(("qRel", 30, 100, 1.0, 2.0)))
+  }
+
   test("memo invalidation forces the resample's re-measure to rebuild") {
     // the resample pass drops the target dir's ArtifactMemo entries
     // before re-timing — otherwise a memo-consuming gate's "re-measure"
