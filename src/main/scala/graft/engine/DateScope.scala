@@ -29,8 +29,28 @@ object DateScope {
   case object FromFiscalyear extends Scope
   /** date < fiscal-year start of `to`. */
   case object ToBeginningOfFiscalyear extends Scope
+  /** The tax period immediately before the one starting at `from`
+    * (account_report.py:650-653: the period containing `from - 1 day`,
+    * res_company.py:217-227 `_get_tax_closing_period_boundaries`), for a
+    * company tax periodicity of `periodicityMonths` (res_company.py:229-240:
+    * year=12, semester=6, trimester=3, monthly=1...). Carries the applied-
+    * carryover external values of the previous VAT period. */
+  final case class PreviousTaxPeriod(periodicityMonths: Int = 12) extends Scope
 
   final case class FiscalConfig(lastMonth: Int = 12, lastDay: Int = 31)
+
+  /** Boundaries of the tax period containing `d` for a periodicity of
+    * `months` (res_company.py:217-227): month-aligned windows of `months`
+    * months counted from January. */
+  def taxPeriodBoundaries(d: LocalDate, months: Int): (LocalDate, LocalDate) = {
+    require(months >= 1 && 12 % months == 0, s"bad periodicity: $months")
+    val periodNumber = d.getMonthValue / months +
+      (if (d.getMonthValue % months != 0) 1 else 0)
+    val end = LocalDate.of(d.getYear, periodNumber * months, 1)
+      .plusMonths(1).minusDays(1)
+    val start = end.withDayOfMonth(1).minusMonths(months - 1)
+    (start, end)
+  }
 
   /** Start of the fiscal year containing `d` (reference `compute_fiscalyear_dates`). */
   def fiscalYearStart(d: LocalDate, fc: FiscalConfig): LocalDate = {
@@ -55,6 +75,28 @@ object DateScope {
         val fy = fiscalYearStart(to, fc)
         dateCol >= d(fy) && dateCol <= d(to)
       case ToBeginningOfFiscalyear => dateCol < d(fiscalYearStart(to, fc))
+      case PreviousTaxPeriod(m) =>
+        val (pf, pt) = taxPeriodBoundaries(from.minusDays(1), m)
+        dateCol >= d(pf) && dateCol <= d(pt)
     }
   }
+
+  /** The scope as a closed [from?, to] date window (account_report.py:
+    * 622-654 `_get_date_bounds_info`) — the form the external-values engine
+    * consumes, filtering its value table by date bounds rather than a fact
+    * predicate. `Normal`'s include-initial-balance leg is per-account and
+    * has no closed window; for value tables it degrades to the strict
+    * range, as the reference's bounds do. */
+  def bounds(scope: Scope, from: LocalDate, to: LocalDate,
+             fc: FiscalConfig = FiscalConfig()): (Option[LocalDate], LocalDate) =
+    scope match {
+      case StrictRange | Normal => (Some(from), to)
+      case FromBeginning => (None, to)
+      case ToBeginningOfPeriod => (None, from.minusDays(1))
+      case FromFiscalyear => (Some(fiscalYearStart(to, fc)), to)
+      case ToBeginningOfFiscalyear => (None, fiscalYearStart(to, fc).minusDays(1))
+      case PreviousTaxPeriod(m) =>
+        val (pf, pt) = taxPeriodBoundaries(from.minusDays(1), m)
+        (Some(pf), pt)
+    }
 }

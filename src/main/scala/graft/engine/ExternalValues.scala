@@ -20,12 +20,15 @@ object ExternalValues {
       .groupBy(col("expression_id"))
       .agg(sum(col("value")).as("value"))
 
-  /** `most_recent` mode: latest value per expression within the period
-    * (W3 — row_number over date desc, id desc tiebreak). */
+  /** `most_recent` mode: the SUM of all values at the latest date per
+    * expression within the period (account_report.py:2907-2912 —
+    * `GROUP BY date ORDER BY date DESC LIMIT 1` around SUM(value); several
+    * same-dated values, e.g. a tax unit's per-company carryovers, net). */
   def mostRecent(ext: DataFrame, from: String, to: String): DataFrame = {
-    val w = Window.partitionBy(col("expression_id"))
-      .orderBy(col("date").desc, col("value_id").desc)
+    val w = Window.partitionBy(col("expression_id")).orderBy(col("date").desc)
     ext.filter(col("date") >= from && col("date") <= to)
+      .groupBy(col("expression_id"), col("date"))
+      .agg(sum(col("value")).as("value"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("expression_id"), col("value"))

@@ -130,27 +130,36 @@ object ReportRunner {
       }
 
     // ---- batch 3: every (external expr × group) in ONE scan ------------
-    // sum mode is a conditional sum; most_recent is max_by over the
-    // (date, value_id) struct — all of them aggregation buffers of a single
-    // job over the external-values table (same pattern as batches 1-2),
-    // instead of one job + collect per (group × expression).
+    // The value table first collapses to one row per (expression, date):
+    // the reference's most_recent is the SUM of all values at the latest
+    // date in the window (account_report.py:2907-2912 `GROUP BY date ORDER
+    // BY date DESC LIMIT 1` around SUM(value)) — a tax unit writes several
+    // same-dated carryover values per company and they must net. Sum mode
+    // is unchanged by the pre-aggregation. Each expression's date window
+    // honors its date scope (account_report.py:2883 feeds the expression's
+    // date_scope through `_get_date_bounds_info` — e.g. the
+    // `_applied_carryover_balance` expressions read `previous_tax_period`).
+    // Everything is still aggregation buffers of ONE job over the (tiny)
+    // external-values table.
     val extTotals: Map[(String, String), Double] =
       if (extExprs.isEmpty) Map.empty
       else {
         val ext = ctx.external.getOrElse(
           throw new IllegalStateException("external exprs need ctx.external"))
+        val extByDate = ext.groupBy(col("expression_id"), col("date"))
+          .agg(sum(col("value")).as("value"))
         val cols = for (g <- groups; e <- extExprs) yield {
           val eng = e.engine.asInstanceOf[External]
-          val inRange = col("date") >= lit(g.from.toString) &&
-            col("date") <= lit(g.to.toString) &&
+          val (fOpt, t) = DateScope.bounds(e.scope, g.from, g.to, ctx.fc)
+          val inRange = col("date") <= lit(t.toString) &&
+            fOpt.map(f => col("date") >= lit(f.toString)).getOrElse(lit(true)) &&
             col("expression_id") === lit(eng.exprId)
           val agg =
-            if (eng.mostRecent)
-              max_by(col("value"), when(inRange, struct(col("date"), col("value_id"))))
+            if (eng.mostRecent) max_by(when(inRange, col("value")), when(inRange, col("date")))
             else sum(when(inRange, col("value")))
           coalesce(agg, lit(0.0)).as(s"${g.key}||${e.code}")
         }
-        val row = ext.agg(cols.head, cols.tail: _*).head()
+        val row = extByDate.agg(cols.head, cols.tail: _*).head()
         (for ((g, i) <- groups.zipWithIndex; (e, j) <- extExprs.zipWithIndex)
           yield (g.key, e.code) -> row.getDouble(i * extExprs.size + j)).toMap
       }

@@ -30,7 +30,9 @@ object GateOps {
     * value = total price, date = order date); evaluate H1-1995, persist
     * H1's sum as a carryover value dated at H2's first day via the real
     * parquet append path, then evaluate both halves over the unioned
-    * external table. The oracle recomputes the whole chain in SQL. */
+    * external table. most_recent is the SUM at the latest in-window date
+    * (account_report.py:2907-2912 GROUP BY date ORDER BY date DESC LIMIT 1
+    * around SUM). The oracle recomputes the whole chain in SQL. */
   def q65(s: SparkSession, d: String): DataFrame = {
     val ext0 = Tables.orders(s, d).select(
       col("o_orderpriority").as("expression_id"),
@@ -71,12 +73,12 @@ object GateOps {
       |        WHERE eid = '1-URGENT' AND dt BETWEEN '1995-01-01' AND '1995-06-30'),
       |h2u AS (SELECT coalesce(sum(v), 0) t FROM ext
       |        WHERE eid = '1-URGENT' AND dt BETWEEN '1995-07-01' AND '1995-12-31'),
-      |l1 AS (SELECT coalesce((SELECT v FROM ext
+      |l1 AS (SELECT coalesce((SELECT sum(v) FROM ext
       |        WHERE eid = '2-HIGH' AND dt BETWEEN '1995-01-01' AND '1995-06-30'
-      |        ORDER BY dt DESC, vid DESC LIMIT 1), 0) t),
-      |l2 AS (SELECT coalesce((SELECT v FROM ext
+      |        GROUP BY dt ORDER BY dt DESC LIMIT 1), 0) t),
+      |l2 AS (SELECT coalesce((SELECT sum(v) FROM ext
       |        WHERE eid = '2-HIGH' AND dt BETWEEN '1995-07-01' AND '1995-12-31'
-      |        ORDER BY dt DESC, vid DESC LIMIT 1), 0) t)
+      |        GROUP BY dt ORDER BY dt DESC LIMIT 1), 0) t)
       |SELECT 'h1' grp, 'SUM.val' code, floor((SELECT t FROM h1u)*100+0.5)/100 val
       |UNION ALL SELECT 'h1', 'LAST.val', floor((SELECT t FROM l1)*100+0.5)/100
       |UNION ALL SELECT 'h1', 'CARRY.val', 0.0

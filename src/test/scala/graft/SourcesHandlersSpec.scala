@@ -66,13 +66,18 @@ class SourcesHandlersSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = Files.createTempDirectory("graft_ext").toFile.getPath + "/ext"
     ExternalValues.carryover(spark, Map("T1.bal" -> 5.0, "T2.bal" -> 7.0), "2024-01-31", dir)
     ExternalValues.carryover(spark, Map("T1.bal" -> 9.0), "2024-02-28", dir)
+    // two same-dated values for one expression (a tax unit writes one
+    // carryover per member company): most_recent must NET them, not pick
+    // one row (account_report.py:2907-2912 sums within the latest date)
+    ExternalValues.carryover(spark, Map("T3.bal" -> -100.0), "2024-03-31", dir)
+    ExternalValues.carryover(spark, Map("T3.bal" -> 40.0), "2024-03-31", dir)
     val ext = ExternalValues.load(spark, dir)
     val summed = ExternalValues.sumMode(ext, "2024-01-01", "2024-12-31")
       .as[(String, Double)].collect().toMap
-    assert(summed == Map("T1.bal" -> 14.0, "T2.bal" -> 7.0))
+    assert(summed == Map("T1.bal" -> 14.0, "T2.bal" -> 7.0, "T3.bal" -> -60.0))
     val latest = ExternalValues.mostRecent(ext, "2024-01-01", "2024-12-31")
       .as[(String, Double)].collect().toMap
-    assert(latest == Map("T1.bal" -> 9.0, "T2.bal" -> 7.0))
+    assert(latest == Map("T1.bal" -> 9.0, "T2.bal" -> 7.0, "T3.bal" -> -60.0))
   }
 
   test("xlsx sink writes a valid OOXML package; html render escapes") {
