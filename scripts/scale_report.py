@@ -48,17 +48,24 @@ def report(path: str) -> int:
     with open(path) as f:
         doc = json.load(f)
     failures = 0
+    # accumulate across ALL top-level row lists before judging (ADVICE r12
+    # #3): a dict-wrapped artifact may store timed rows and triage verdicts
+    # in different lists — per-list scoping would silently drop the
+    # verdicts and false-flag a triaged transient as ABOVE LINE
+    firsts = {}   # (family, gate) -> {factor: sec}
+    verdicts = {} # (family, gate) -> final exponent + provenance
+    ledger = []
+    sweeps = []
+    dropped_rows = []
     for rows in row_lists(doc):
-        firsts = {}   # (family, gate) -> {factor: sec}
-        verdicts = {} # (family, gate) -> final exponent + provenance
-        ledger = []
-        sweeps = []
         for r in rows:
             if not isinstance(r, dict):
                 continue
             fam = r.get("family", "docs")
             if "plan_audit_factor" in r:
                 sweeps.append(r)
+            elif "triage_dropped" in r:
+                dropped_rows.append(r)
             elif "resample_gate" in r:
                 key = (fam, r["resample_gate"])
                 exp = r.get("exp_med", r.get("exp_min"))
@@ -74,8 +81,7 @@ def report(path: str) -> int:
                 ledger.append(r)
             elif "gate" in r:
                 firsts.setdefault((fam, r["gate"]), {})[r["factor"]] = r["sec"]
-        if not firsts:
-            continue
+    if firsts:
         print(f"== {path}: {len(firsts)} gates with timed rows ==")
         n_pairs = 0
         for (fam, g), by_f in sorted(firsts.items()):
@@ -83,7 +89,9 @@ def report(path: str) -> int:
             if len(fs) < 2:
                 continue
             f_lo, f_hi = fs[-2], fs[-1]
-            if by_f[f_lo] <= 0:
+            # guard BOTH samples: a zero hi would crash math.log where the
+            # Scala side tolerates it as -Infinity (ADVICE r12 #4)
+            if by_f[f_lo] <= 0 or by_f[f_hi] <= 0:
                 continue
             n_pairs += 1
             raw = math.log(by_f[f_hi] / by_f[f_lo]) / math.log(f_hi / f_lo)
@@ -94,6 +102,10 @@ def report(path: str) -> int:
             mark = "" if how == "raw" else f"  (raw {raw:5.2f}, triaged {how})"
             print(f"  {final:5.2f}  {g} [{fam}] x{f_lo}->x{f_hi}{mark}{flag}")
         print(f"  -- {n_pairs} top-decade pairs, line {EXP_LINE}")
+        for r in dropped_rows:
+            gates = r.get("triage_dropped", [])
+            desc = ", ".join(f"{d['gate']} ({d['reason']})" for d in gates) or "none"
+            print(f"  triage dropped [{r.get('family','?')}]: {desc}")
         for r in ledger:
             dropped, rebuilt = r.get("memos_dropped", 0), r.get("memos_rebuilt", 0)
             print(f"  resample {r['gate']} x{r['factor']}: {r['sec']:.2f}s, "

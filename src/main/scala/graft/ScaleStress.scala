@@ -116,15 +116,29 @@ object ScaleStress {
     * state), so min-of-two drags BORDERLINE pairs downward. When the
     * min-combined exponent lands within [[ExpBand]] of [[ExpLine]], the
     * harness takes a third sample and the verdict exponent becomes the
-    * MEDIAN of the three (`exp_med`) — one warm-state-flattered sample
-    * cannot pull a median under the line. A genuinely superlinear gate
-    * stays above on every sample and is flagged `above_line` (computed
-    * from the verdict exponent: median when present, else min). Every
-    * exponent is recorded either way so a borderline pair stays
-    * visible. */
+    * MEDIAN of the three (`exp_med`). Residual bias the median rule does
+    * NOT remove (ADVICE r12 #2): the two re-measures run warm
+    * back-to-back, so the median of {cold-first, warm, warm} is typically
+    * a warm sample and CORRELATED warm advantage can still sink a
+    * borderline pair; the cold first sample stays in the row for readers
+    * weighing that. A genuinely superlinear gate stays above on every
+    * sample and is flagged `above_line` (computed from the verdict
+    * exponent: median when present, else min). Every exponent is recorded
+    * either way so a borderline pair stays visible.
+    *
+    * `exp_base` (ADVICE r12 #1 — formerly misnamed `exp_first`) is the
+    * exponent of the lo value THIS resample was invoked with against the
+    * first hi sample: on the direct hi path that is the gate's first-pass
+    * exponent; on the lo-confirm path it is the lo-min-combined one (the
+    * true first-pass exponent lives in the adjacent `resample_lo_gate`
+    * row's `exp_first`). */
   private[graft] def resampleVerdict(g: String, family: String, lo: Double,
       hiSamples: Seq[Double], fLo: Int, fHi: Int): String = {
     require(hiSamples.size >= 2, "resample verdict needs the first sample plus >=1 re-measure")
+    // the harness takes at most one extra sample (median-of-three rule);
+    // for even sizes >= 4 the sorted(size/2) index would be the UPPER
+    // median, so refuse sizes this API never produces (ADVICE r12 #5)
+    require(hiSamples.size <= 3, s"at most 3 hi samples, got ${hiSamples.size}")
     val e0 = topDecadeExp(lo, hiSamples.head, fLo, fHi)
     val eMin = topDecadeExp(lo, hiSamples.min, fLo, fHi)
     val eMed = if (hiSamples.size >= 3)
@@ -133,7 +147,7 @@ object ScaleStress {
     val eVerdict = eMed.getOrElse(eMin)
     val medJson = eMed.map(e => s""""exp_med":$e,""").getOrElse("")
     s"""{"resample_gate":"$g","family":"$family","factor_pair":[$fLo,$fHi],"hi_samples":${
-      hiSamples.mkString("[", ",", "]")},"exp_first":$e0,"exp_min":$eMin,$medJson"above_line":${eVerdict > ExpLine}}"""
+      hiSamples.mkString("[", ",", "]")},"exp_base":$e0,"exp_min":$eMin,$medJson"above_line":${eVerdict > ExpLine}}"""
   }
 
   /** Verdict line for a resampled SECOND-largest-factor point. The
@@ -172,6 +186,25 @@ object ScaleStress {
           Some((g, ks(ks.size - 2), ks.last, byF(ks(ks.size - 2)), byF(ks.last)))
         else None
     }
+
+  /** The gates [[topDecadePairs]] dropped, with reasons — the "no silent
+    * caps" ledger twin (VERDICT r12 minor #1): the drop itself is
+    * spec-pinned but must also be visible in the artifact, as one
+    * `triage_dropped` row per family (emitted even when empty, so a clean
+    * run still shows the rule was applied). */
+  private[graft] def topDecadeDroppedRow(
+      timed: Seq[(String, String, Int, Double)], family: String): String = {
+    val dropped = timed.filter(_._2 == family).groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (g, rs) =>
+        val byF = rs.map(t => t._3 -> t._4).toMap
+        val ks = byF.keys.toSeq.sorted
+        if (ks.size < 2) Some(s"""{"gate":"$g","reason":"single_factor"}""")
+        else if (byF(ks(ks.size - 2)) <= 0)
+          Some(s"""{"gate":"$g","reason":"nonpositive_lo"}""")
+        else None
+      }
+    s"""{"triage_dropped":${dropped.mkString("[", ",", "]")},"family":"$family"}"""
+  }
 
   private def gatesFor(factor: Int): Seq[String] =
     (if (factor > 30) docGates.filterNot(_ == "q34_simhash") else docGates) ++
@@ -505,6 +538,7 @@ object ScaleStress {
           else Seq(hi0, hi1)
         emit(resampleVerdict(g, family, lo, samples, fLo, fHi))
       }
+      emit(topDecadeDroppedRow(timed.toSeq, family))
       for ((g, fLo, fHi, lo, hi0) <- topDecadePairs(timed.toSeq, family)) {
         val e0 = topDecadeExp(lo, hi0, fLo, fHi)
         if (e0 > ExpLine) resampleHi(g, lo, hi0, fLo, fHi)

@@ -264,7 +264,12 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       "qX", "docs", 9.0, Seq(100.0, 98.0), 30, 100)
     assert(real.contains(""""above_line":true"""))
     // both exponents are recorded either way (borderline pairs stay visible)
-    assert(transient.contains(""""exp_first":""") && transient.contains(""""exp_min":"""))
+    assert(transient.contains(""""exp_base":""") && transient.contains(""""exp_min":"""))
+    // the API never takes more than the median-of-three's samples; an
+    // even size >= 4 would silently use the upper median (ADVICE r12 #5)
+    intercept[IllegalArgumentException] {
+      ScaleStress.resampleVerdict("qE", "docs", 1.0, Seq(4.0, 2.3, 3.0, 2.9), 30, 100)
+    }
   }
 
   test("borderline hi pair verdict uses the median of three, not the min") {
@@ -313,6 +318,14 @@ class ScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = ScaleStress.topDecadePairs(timed, "docs")
     assert(docs == Seq(("q34", 10, 30, 9.9, 21.4), ("qA", 30, 100, 5.0, 9.0)))
     assert(ScaleStress.topDecadePairs(timed, "rel") == Seq(("qRel", 30, 100, 1.0, 2.0)))
+    // the drops are no longer silent: one ledger row per family names
+    // each dropped gate with its reason (VERDICT r12 minor #1), and a
+    // clean family still emits the (empty) row
+    assert(ScaleStress.topDecadeDroppedRow(timed, "docs") ==
+      """{"triage_dropped":[{"gate":"qSingle","reason":"single_factor"},""" +
+        """{"gate":"qZeroLo","reason":"nonpositive_lo"}],"family":"docs"}""")
+    assert(ScaleStress.topDecadeDroppedRow(timed, "rel") ==
+      """{"triage_dropped":[],"family":"rel"}""")
   }
 
   test("memo invalidation forces the resample's re-measure to rebuild") {
