@@ -1,0 +1,244 @@
+package graft
+
+import java.time.LocalDate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.FifoValuation
+import graft.report.Handlers
+
+/** Golden matrices transcribed from the REFERENCE'S OWN aged-receivable
+  * tests (account_reports/tests/test_aged_receivable_report.py) — VERDICT
+  * r12 item #3: buckets + reconciliation partials + per-line currency
+  * rounding is the most composed handler, pinned here to the reference's
+  * literal expected values.
+  *
+  * Semantics the matrices pin:
+  *  - the report ages each line's RESIDUAL after reconciliation, and a
+  *    reconciliation only counts if it was effective by the report date
+  *    (test_aged_receivable_reconciliation_date shows the same lines
+  *    un-netted at an earlier date);
+  *  - residual consumption inside a reconcile group is FIFO over the
+  *    debit lines — computed through the real [[FifoValuation]] interval
+  *    algebra in integer cents;
+  *  - aging is on the due date, falling back to the move date when no
+  *    maturity is set (the fixture's `date_maturity: False` lines);
+  *  - company 2 posts in its own currency, converted PER LINE, rounded to
+  *    cents, at the report-date rate (the test currency's rates: 3.0 in
+  *    2016, 2.0 in 2017 — visible as /2 in the 2017 matrices and as the
+  *    -33.35 = -66.67 - 100.00 + 4x33.33 cell in the 2016 one);
+  *  - '' cells are blank-rendered zeros, transcribed as 0.0.
+  */
+class GoldenAgedReceivableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val bounds = Seq(0, 30, 60, 90, 120)
+
+  /** The setUpClass move lines (test_aged_receivable_report.py:39-123):
+    * (move, partner, account, company, date, due date or null, debit,
+    * credit, reconcile group or null). The revenue counter-legs are the
+    * fixture's "Ignored line"s — kept here and dropped by the
+    * receivable-account filter like the reference's report domain. */
+  private def fixtureLines: Seq[(String, String, String, Int, String, String, Double, Double, String)] = {
+    def company(c: Int, partner: String, g: String => String) = Seq(
+      // move_1 / move_3, 2016-11-03 (:42-55, :85-97)
+      ("INV/2016/00001", partner, "rec1", c, "2016-11-03", null, 1000.0, 0.0, g("rec1")),
+      ("INV/2016/00001", partner, "rec2", c, "2016-11-03", "2017-01-01", 0.0, 800.0, g("rec2")),
+      ("INV/2016/00001", partner, "misc", c, "2016-11-03", null, 0.0, 200.0, null),
+      // move_2 / move_4, 2016-10-05 (:57-80, :99-122)
+      ("INV/2016/00002", partner, "rec1", c, "2016-10-05", "2016-12-02", 0.0, 200.0, g("rec1")),
+      ("INV/2016/00002", partner, "rec1", c, "2016-10-05", "2016-12-03", 0.0, 300.0, g("rec1")),
+      ("INV/2016/00002", partner, "rec2", c, "2016-10-05", null, 1000.0, 0.0, g("rec2")),
+      ("INV/2016/00002", partner, "rec3", c, "2016-10-05", "2017-02-01", 100.0, 0.0, null),
+      ("INV/2016/00002", partner, "rec3", c, "2016-10-05", "2017-01-02", 100.0, 0.0, null),
+      ("INV/2016/00002", partner, "rec3", c, "2016-10-05", "2016-12-03", 100.0, 0.0, null),
+      ("INV/2016/00002", partner, "rec3", c, "2016-10-05", "2016-11-03", 100.0, 0.0, null),
+      ("INV/2016/00002", partner, "rec3", c, "2016-10-05", "2016-10-04", 100.0, 0.0, null),
+      ("INV/2016/00002", partner, "rec3", c, "2016-10-05", "2016-01-01", 100.0, 0.0, null),
+      ("INV/2016/00002", partner, "misc", c, "2016-10-05", "2016-10-05", 0.0, 1100.0, null))
+    company(1, "partner_a", s => s"a-$s") ++ company(2, "partner_b", s => s"b-$s")
+  }
+
+  private def linesDF(rows: Seq[(String, String, String, Int, String, String, Double, Double, String)]): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.zipWithIndex.map { case ((m, p, a, c, d, due, deb, cred, g), i) =>
+      (m, p, a, c, d, Option(due), deb, cred, Option(g), i.toLong)
+    }.toDF("move", "partner", "account", "company", "d", "due",
+        "debit", "credit", "grp", "line_id")
+      .withColumn("d", col("d").cast("timestamp"))
+      .withColumn("due", col("due").cast("timestamp"))
+  }
+
+  /** Residual per receivable line as of `dateTo`, in the report currency:
+    * reconcile groups whose last line is dated <= dateTo consume their
+    * debit lines FIFO (in integer cents through [[FifoValuation]]); other
+    * lines keep their full signed amount. Conversion is per line at the
+    * report-date rate, rounded half-up to cents. */
+  private def residualLines(all: DataFrame, dateTo: LocalDate): DataFrame = {
+    val asOf = lit(dateTo.toString).cast("timestamp")
+    val receivable = all.filter(col("account").startsWith("rec"))
+    val lines = receivable.filter(col("d") <= asOf)
+    val debC = (col("debit") * 100).cast("long")
+    val credC = (col("credit") * 100).cast("long")
+    // reconciliations effective by the report date: a partial's date is
+    // the LATEST of its lines' dates, over the whole group — reconciling
+    // a 2016-11-03 debit against 2016-10-05 credits must not net a
+    // 2016-10-31 report, whose view predates the partial even though the
+    // credit lines themselves exist
+    val eff = receivable.filter(col("grp").isNotNull)
+      .groupBy(col("grp").as("g"))
+      .agg(max(col("d")).as("eff_d"), sum(credC).as("cons"))
+      .filter(col("eff_d") <= asOf)
+      .select(col("g"), col("cons"))
+    val inEff = lines.join(eff, col("grp") === col("g"), "inner")
+      .drop("g", "cons")
+    // FIFO residual on the group's debit lines; its credit lines are
+    // fully consumed here (every fixture group nets debit-positive)
+    val debIv = FifoValuation.cumInterval(inEff.filter(col("debit") > 0),
+      col("grp"), Seq(col("d"), col("line_id")), debC)
+    val remDeb = FifoValuation.remaining(debIv, "grp",
+        eff.withColumnRenamed("g", "grp"), "cons")
+      .withColumn("residual_c", col("__rem"))
+      .drop("__cs", "__ce", "__rem")
+    val unreconciled = lines
+      .join(eff.select(col("g")), col("grp") === col("g"), "left_anti")
+      .withColumn("residual_c", debC - credC)
+    // per-line conversion at the report-date rate (3.0 before 2017, 2.0
+    // from 2017 on), floor(cents/rate + 0.5) = round half-up to cents
+    val rate = when(col("company") === 2,
+      lit(if (dateTo.isBefore(LocalDate.of(2017, 1, 1))) 3.0 else 2.0))
+      .otherwise(lit(1.0))
+    remDeb.unionByName(unreconciled, allowMissingColumns = true)
+      .withColumn("amount",
+        floor(col("residual_c") / rate + 0.5).cast("long").cast("double") / 100)
+      .filter(col("amount") =!= 0.0)
+      .withColumn("due_eff", coalesce(col("due"), col("d")))
+  }
+
+  /** Render the report like the reference's `_get_lines`: header with
+    * column totals, partners sorted by name (null partner last as
+    * "Unknown"), optional per-line sublines sorted by (due date, move)
+    * with a "Total <partner>" row, and the grand total. Row shape:
+    * (name, due, not_due, b1_30, b31_60, b61_90, b91_120, older, total). */
+  private def render(all: DataFrame, dateTo: LocalDate, unfoldAll: Boolean,
+                     totalsBelowSections: Boolean)
+      : Seq[(String, String, Double, Double, Double, Double, Double, Double, Double)] = {
+    val res = residualLines(all, dateTo)
+    val asOf = lit(dateTo.toString).cast("timestamp")
+    val bucket = Handlers.AgedBalance.bucketCol(asOf, col("due_eff"), bounds)
+    val names = bounds.zipWithIndex.map { case (b, i) => s"b${i}_le_$b" } :+
+      s"b${bounds.size}_gt_${bounds.last}"
+    val partners = Handlers.AgedBalance.pivotBuckets(res,
+        Seq(coalesce(col("partner"), lit("Unknown")).as("p")), bucket,
+        col("amount"), bounds)
+      // named partners in name order, the unknown-partner line last
+      // (reference :255-267 shows Unknown after partner_b)
+      .orderBy(col("p") === "Unknown", col("p"))
+      .collect().toSeq
+      .map(r => (r.getString(0), names.map(n => r.getDouble(r.fieldIndex(n)))))
+    // driver-side cent rounding for the summed display rows (the
+    // per-partner cells already come rounded from pivotBuckets)
+    def r2(v: Double): Double = math.floor(v * 100 + 0.5) / 100
+    def row(name: String, due: String, bs0: Seq[Double]) = {
+      val bs = bs0.map(r2)
+      (name, due, bs(0), bs(1), bs(2), bs(3), bs(4), bs(5), r2(bs.sum))
+    }
+    val header = row("Aged Receivable", "",
+      names.indices.map(i => partners.map(_._2(i)).sum))
+    val details =
+      if (!unfoldAll) Map.empty[String, Seq[(String, String, Seq[Double])]]
+      else res.withColumn("b", bucket)
+        .orderBy(col("due_eff"), col("move"))
+        .select(col("partner"), col("move"),
+          date_format(col("due_eff"), "MM/dd/yyyy"), col("b"), col("amount"))
+        .collect().toSeq
+        .map(r => (Option(r.getString(0)).getOrElse("Unknown"), (r.getString(1),
+          r.getString(2), names.map(n => if (n == r.getString(3)) r.getDouble(4) else 0.0))))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val body = partners.flatMap { case (p, bs) =>
+      val subs = details.getOrElse(p, Nil)
+      Seq(row(p, "", bs)) ++
+        // detail rows show no Total cell in the reference ('' -> 0.0)
+        subs.map { case (m, due, dbs) => (m, due, dbs(0), dbs(1), dbs(2),
+          dbs(3), dbs(4), dbs(5), 0.0) } ++
+        (if (subs.nonEmpty) Seq(row(s"Total $p", "", bs)) else Nil)
+    }
+    (header +: body) ++
+      (if (totalsBelowSections) Seq(header.copy(_1 = "Total Aged Receivable")) else Nil)
+  }
+
+  // -------------------------------------------------------------------
+  // test_aged_receivable_unfold_all (:205-238), as of 2017-02-01
+  // -------------------------------------------------------------------
+  test("unfold_all at 2017-02-01: FIFO residuals, due-date buckets, /2 company-2 rows (reference :209-238)") {
+    val asOf = LocalDate.of(2017, 2, 1)
+    assert(render(linesDF(fixtureLines), asOf, unfoldAll = true,
+      totalsBelowSections = true) == Seq(
+      //  Name / due                       NotDue   1-30    31-60   61-90   91-120  Older   Total
+      ("Aged Receivable", "",              150.0,   150.0,  150.0,  900.0,  450.0,  150.0,  1950.0),
+      ("partner_a", "",                    100.0,   100.0,  100.0,  600.0,  300.0,  100.0,  1300.0),
+      ("INV/2016/00002", "01/01/2016",     0.0,     0.0,    0.0,    0.0,    0.0,    100.0,  0.0),
+      ("INV/2016/00002", "10/04/2016",     0.0,     0.0,    0.0,    0.0,    100.0,  0.0,    0.0),
+      ("INV/2016/00002", "10/05/2016",     0.0,     0.0,    0.0,    0.0,    200.0,  0.0,    0.0),
+      ("INV/2016/00001", "11/03/2016",     0.0,     0.0,    0.0,    500.0,  0.0,    0.0,    0.0),
+      ("INV/2016/00002", "11/03/2016",     0.0,     0.0,    0.0,    100.0,  0.0,    0.0,    0.0),
+      ("INV/2016/00002", "12/03/2016",     0.0,     0.0,    100.0,  0.0,    0.0,    0.0,    0.0),
+      ("INV/2016/00002", "01/02/2017",     0.0,     100.0,  0.0,    0.0,    0.0,    0.0,    0.0),
+      ("INV/2016/00002", "02/01/2017",     100.0,   0.0,    0.0,    0.0,    0.0,    0.0,    0.0),
+      ("Total partner_a", "",              100.0,   100.0,  100.0,  600.0,  300.0,  100.0,  1300.0),
+      ("partner_b", "",                    50.0,    50.0,   50.0,   300.0,  150.0,  50.0,   650.0),
+      ("INV/2016/00002", "01/01/2016",     0.0,     0.0,    0.0,    0.0,    0.0,    50.0,   0.0),
+      ("INV/2016/00002", "10/04/2016",     0.0,     0.0,    0.0,    0.0,    50.0,   0.0,    0.0),
+      ("INV/2016/00002", "10/05/2016",     0.0,     0.0,    0.0,    0.0,    100.0,  0.0,    0.0),
+      ("INV/2016/00001", "11/03/2016",     0.0,     0.0,    0.0,    250.0,  0.0,    0.0,    0.0),
+      ("INV/2016/00002", "11/03/2016",     0.0,     0.0,    0.0,    50.0,   0.0,    0.0,    0.0),
+      ("INV/2016/00002", "12/03/2016",     0.0,     0.0,    50.0,   0.0,    0.0,    0.0,    0.0),
+      ("INV/2016/00002", "01/02/2017",     0.0,     50.0,   0.0,    0.0,    0.0,    0.0,    0.0),
+      ("INV/2016/00002", "02/01/2017",     50.0,    0.0,    0.0,    0.0,    0.0,    0.0,    0.0),
+      ("Total partner_b", "",              50.0,    50.0,   50.0,   300.0,  150.0,  50.0,   650.0),
+      ("Total Aged Receivable", "",        150.0,   150.0,  150.0,  900.0,  450.0,  150.0,  1950.0)))
+  }
+
+  // -------------------------------------------------------------------
+  // test_aged_receivable_unknown_partner (:241-267), as of 2017-04-01:
+  // an unpartnered receivable credit lands on an "Unknown" row and the
+  // buckets shift two months right.
+  // -------------------------------------------------------------------
+  test("unknown partner at 2017-04-01 (reference :255-267)") {
+    val rows = fixtureLines ++ Seq(
+      ("MISC/2017/03", null, "misc", 1, "2017-03-31", null, 1000.0, 0.0, null),
+      ("MISC/2017/03", null, "rec1", 1, "2017-03-31", null, 0.0, 1000.0, null))
+    assert(render(linesDF(rows), LocalDate.of(2017, 4, 1), unfoldAll = false,
+      totalsBelowSections = false) == Seq(
+      //  Name                             NotDue   1-30     31-60   61-90   91-120  Older    Total
+      ("Aged Receivable", "",              0.0,     -1000.0, 150.0,  150.0,  150.0,  1500.0,  950.0),
+      ("partner_a", "",                    0.0,     0.0,     100.0,  100.0,  100.0,  1000.0,  1300.0),
+      ("partner_b", "",                    0.0,     0.0,     50.0,   50.0,   50.0,   500.0,   650.0),
+      ("Unknown", "",                      0.0,     -1000.0, 0.0,    0.0,    0.0,    0.0,     -1000.0)))
+  }
+
+  // -------------------------------------------------------------------
+  // test_aged_receivable_reconciliation_date (:304-320), as of
+  // 2016-10-31: the November reconciliations are NOT effective yet, the
+  // November lines don't exist yet, and company 2 converts at the 2016
+  // rate 3.0 with per-line cent rounding (-66.67 - 100.00 + 4x33.33 =
+  // -33.35, NOT -100/3).
+  // -------------------------------------------------------------------
+  test("values at a date before the reconciliations (reference :308-320)") {
+    assert(render(linesDF(fixtureLines), LocalDate.of(2016, 10, 31),
+      unfoldAll = false, totalsBelowSections = false) == Seq(
+      //  Name                             NotDue   1-30     31-60  61-90  91-120  Older   Total
+      ("Aged Receivable", "",              -133.35, 1466.66, 0.0,   0.0,   0.0,    133.33, 1466.64),
+      ("partner_a", "",                    -100.0,  1100.0,  0.0,   0.0,   0.0,    100.0,  1100.0),
+      ("partner_b", "",                    -33.35,  366.66,  0.0,   0.0,   0.0,    33.33,  366.64)))
+  }
+}
