@@ -25,15 +25,27 @@ object AccountCodes {
   final case class Term(prefix: String, sign: Int, balanceChar: Option[Char],
                         excluded: Seq[String])
 
-  /** Parse the DSL. Terms separated by +/-; each term is
-    * `PREFIX[D|C][\(EXCL1,EXCL2,...)]`. */
+  /** Parse the DSL — the reference's exact token grammar
+    * (account_report.py:31-38 ACCOUNT_CODES_ENGINE_SPLIT_REGEX /
+    * ACCOUNT_CODES_ENGINE_TERM_REGEX): terms split BEFORE each +/-; a
+    * term is `PREFIX[\(EXCL1,EXCL2,...)][D|C]`. Prefixes may contain
+    * letters and dots; a trailing D/C binds to the prefix when an
+    * exclusion group follows (so `345D\()D` is account prefix "345D"
+    * gated on debit balance, and a D-gated 123 excluding 1234 is written
+    * `123\(1234)D`). Invalid tokens raise, like the reference's
+    * UserError (account_report.py:2747). */
   def parse(formula: String): Seq[Term] = {
-    val termRe = """([+-]?)\s*(\d+)([DC])?(?:\\\(([^)]*)\))?\s*""".r
-    termRe.findAllMatchIn(formula).filter(_.group(2) != null).map { m =>
-      val sign = if (m.group(1) == "-") -1 else 1
-      val excl = Option(m.group(4)).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-      Term(m.group(2), sign, Option(m.group(3)).map(_.head), excl)
-    }.toSeq
+    val termRe = ("""^(?<sign>[+-]?)(?<prefix>[A-Za-z\d.]*((?=\\)|(?<=[^CD])))""" +
+      """(?:\\\((?<excl>(?:[A-Za-z\d.]+,)*[A-Za-z\d.]*)\))?(?<bal>[DC]?)$""").r
+    formula.replace(" ", "").split("(?=[+-])").toSeq.filter(_.nonEmpty).map { token =>
+      termRe.findFirstMatchIn(token).map { m =>
+        val excl = Option(m.group("excl"))
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+        Term(m.group("prefix"), if (m.group("sign") == "-") -1 else 1,
+          Option(m.group("bal")).filter(_.nonEmpty).map(_.head), excl)
+      }.getOrElse(throw new IllegalArgumentException(
+        s"invalid account_codes token '$token' in formula '$formula'"))
+    }
   }
 
   /** Evaluate a formula over per-account balances.

@@ -43,19 +43,25 @@ object AggregationEvaluator {
   }
 
   /** Parse a subformula string like "if_above(USD(1000))" / "round(2)" /
-    * "if_other_expr_above(LINE.bal, USD(3))". */
-  def parseBound(s: String): Bound = {
+    * "if_other_expr_above(LINE.bal, USD(3))". A threshold written in a
+    * currency present in `rates` (units of that currency per company
+    * currency unit, e.g. GOL -> 2.0) is converted into company currency —
+    * the reference resolves CUR(...) through the currency table at the
+    * report date (account_report.py:2421-2498); unknown codes rate 1.0
+    * (the company currency itself). */
+  def parseBound(s: String, rates: Map[String, Double] = Map.empty): Bound = {
+    def conv(cur: String, v: String): Double = v.toDouble / rates.getOrElse(cur, 1.0)
     val cur = """(\w+)\((\w{3})\(([-\d.]+)\)\)""".r
     val rnd = """round\((\d+)\)""".r
-    val btw = """if_between\(\w{3}\(([-\d.]+)\),\w{3}\(([-\d.]+)\)\)""".r
-    val oth = """(if_other_expr_above|if_other_expr_below)\(([\w.]+),\w{3}\(([-\d.]+)\)\)""".r
+    val btw = """if_between\((\w{3})\(([-\d.]+)\),(\w{3})\(([-\d.]+)\)\)""".r
+    val oth = """(if_other_expr_above|if_other_expr_below)\(([\w.]+),(\w{3})\(([-\d.]+)\)\)""".r
     s.replaceAll("\\s", "") match {
       case rnd(n) => RoundTo(n.toInt)
-      case btw(lo, hi) => IfBetween(lo.toDouble, hi.toDouble)
-      case cur("if_above", _, v) => IfAbove(v.toDouble)
-      case cur("if_below", _, v) => IfBelow(v.toDouble)
-      case oth("if_other_expr_above", code, v) => IfOtherAbove(code, v.toDouble)
-      case oth("if_other_expr_below", code, v) => IfOtherBelow(code, v.toDouble)
+      case btw(cLo, lo, cHi, hi) => IfBetween(conv(cLo, lo), conv(cHi, hi))
+      case cur("if_above", c, v) => IfAbove(conv(c, v))
+      case cur("if_below", c, v) => IfBelow(conv(c, v))
+      case oth("if_other_expr_above", code, c, v) => IfOtherAbove(code, conv(c, v))
+      case oth("if_other_expr_below", code, c, v) => IfOtherBelow(code, conv(c, v))
       case other => throw new IllegalArgumentException(s"bad subformula: $other")
     }
   }
@@ -68,8 +74,14 @@ object AggregationEvaluator {
   private case class Bin(op: Char, l: Ast, r: Ast) extends Ast
   private case class Neg(x: Ast) extends Ast
 
+  /** Token order matters: exponent literals first (`1.752e-17` must not
+    * split into `1.752`, term `e`, `-17`), then plain floats, then terms —
+    * which may be DIGIT-LED, like the reference's line code `9999` in
+    * `9999.account_codes` (test_report_engines.py test5) — then integers
+    * and operators. A token is a term iff it contains a letter or
+    * underscore. */
   private def tokenize(s: String): List[String] = {
-    val re = """\d+\.\d+|\d+|[A-Za-z_][\w.]*|[()+\-*/]""".r
+    val re = """\d+(?:\.\d+)?[eE][+-]?\d+|\d+\.\d+|[A-Za-z_\d.]*[A-Za-z_][A-Za-z_\d.]*|\d+|[()+\-*/]""".r
     re.findAllIn(s).toList
   }
 
@@ -81,8 +93,9 @@ object AggregationEvaluator {
       case "(" => val e = expr(); require(eat() == ")", "unbalanced parens"); e
       case "-" => Neg(atom())
       case "+" => atom()
-      case t if t.headOption.exists(c => c.isDigit) => Num(t.toDouble)
-      case t => Term(t)
+      // digit-led tokens can be TERMS ("9999.account_codes"), so classify
+      // by parseability, not the first character
+      case t => t.toDoubleOption.map(Num.apply).getOrElse(Term(t))
     }
     def term(): Ast = {
       var l = atom()
@@ -111,14 +124,21 @@ object AggregationEvaluator {
     val visiting = scala.collection.mutable.Set[String]()
     val visitingBounds = scala.collection.mutable.Set[String]()
 
+    // bound comparisons are at CURRENCY precision (the reference compares
+    // via currency.compare_amounts, which rounds both sides to the
+    // currency's 2 decimals first — if_above(USD(1999.9999999)) does NOT
+    // pass a value of 2000.0, test_report_engines.py test2_2)
+    def cmp(a: Double, b: Double): Int =
+      BigDecimal(a).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .compare(BigDecimal(b).setScale(2, BigDecimal.RoundingMode.HALF_UP))
     def applyBounds(v: Double, bounds: Seq[Bound]): Double =
       bounds.foldLeft(v) { (x, b) =>
         b match {
-          case IfAbove(t) => if (x > t) x else 0.0
-          case IfBelow(t) => if (x < t) x else 0.0
-          case IfBetween(lo, hi) => if (x >= lo && x <= hi) x else 0.0
-          case IfOtherAbove(o, t) => if (valueOf(o) > t) x else 0.0
-          case IfOtherBelow(o, t) => if (valueOf(o) < t) x else 0.0
+          case IfAbove(t) => if (cmp(x, t) > 0) x else 0.0
+          case IfBelow(t) => if (cmp(x, t) < 0) x else 0.0
+          case IfBetween(lo, hi) => if (cmp(x, lo) >= 0 && cmp(x, hi) <= 0) x else 0.0
+          case IfOtherAbove(o, t) => if (cmp(valueOf(o), t) > 0) x else 0.0
+          case IfOtherBelow(o, t) => if (cmp(valueOf(o), t) < 0) x else 0.0
           case RoundTo(n) =>
             // Python round() is banker's rounding (half-to-even): the
             // reference's round(2.5) subformula yields 2, not 3. (Python

@@ -30,8 +30,16 @@ import org.apache.spark.sql.functions._
 object ReportRunner {
 
   sealed trait Engine
-  /** Sum `measure` over rows matching the domain (P1) within the scope. */
-  final case class DomainSum(domain: Seq[Any], negate: Boolean = false) extends Engine
+  /** Sum `measure` over rows matching the domain (P1) within the scope.
+    * `mode` is the reference's domain-engine subformula
+    * (account_report.py:2604-2710): "sum" (default), "sum_if_pos" /
+    * "sum_if_neg" (keep the sum only when the UN-negated total's sign
+    * matches, at currency precision, with >= 0 counting as positive —
+    * :2692 "0 is considered positive"), or "count_rows" (row count).
+    * `negate` is the '-' subformula prefix, applied AFTER the sign
+    * gate. */
+  final case class DomainSum(domain: Seq[Any], negate: Boolean = false,
+                             mode: String = "sum") extends Engine
   /** account_codes DSL over per-code balances (§2.5). */
   final case class CodesFormula(formula: String) extends Engine
   /** external-values engine, `sum` or `most_recent` mode (§2.5). */
@@ -56,9 +64,12 @@ object ReportRunner {
                                forced: Seq[Any] = Nil)
 
   /** `crossExprs`: the OTHER report's expression set for cross_report
-    * aggregations (domain engines only — the reference's referenced-report
-    * leaves); evaluated inside the same batch-1 scan under each forced
-    * scope actually used. */
+    * aggregations — domain leaves ride the batch-1 scan, account_codes
+    * leaves the batch-2 scan, and the other report's own aggregation
+    * formulas resolve over those leaves per forced scope (the reference
+    * expands the referenced expressions with `_expand_aggregations`, so a
+    * cross term may name any engine's expression,
+    * test_report_engines.py:865-960). */
   final case class Ctx(journal: DataFrame, dateCol: Column, codeCol: Column,
                        measure: Column, external: Option[DataFrame] = None,
                        fc: DateScope.FiscalConfig = DateScope.FiscalConfig(),
@@ -80,14 +91,34 @@ object ReportRunner {
     val crossScopes: Seq[DateScope.Scope] = aggExprs
       .map(_.engine.asInstanceOf[Aggregation]).flatMap(_.crossScope).distinct
     val crossDomainExprs = ctx.crossExprs.collect { case e @ Expr(_, _: DomainSum, _) => e }
+    val crossCodesExprs = ctx.crossExprs.collect { case e @ Expr(_, _: CodesFormula, _) => e }
+    val crossAggExprs = ctx.crossExprs.collect { case e @ Expr(_, _: Aggregation, _) => e }
+
+    // currency-precision sign compare (reference compare_amounts; the
+    // sum_if_pos/neg gates round to the currency's 2 decimals first)
+    def cmp0(v: Double): Int =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).signum
 
     def domainCol(e: Expr, g: ColumnGroup, scope: DateScope.Scope, name: String): Column = {
       val ds = e.engine.asInstanceOf[DomainSum]
-      val sign = if (ds.negate) -1.0 else 1.0
+      val m = if (ds.mode == "count_rows") lit(1.0) else ctx.measure
       coalesce(sum(when(
         DateScope.predicate(scope, ctx.dateCol, g.from, g.to, ctx.fc) &&
           Domain.compile(g.forced) && Domain.compile(ds.domain),
-        ctx.measure * sign).otherwise(lit(0.0))), lit(0.0)).as(name)
+        m).otherwise(lit(0.0))), lit(0.0)).as(name)
+    }
+
+    // the sign gate reads the UN-negated total, then '-' applies
+    // (reference strips the '-' prefix before classifying the policy,
+    // account_report.py:2683-2688)
+    def domainFinish(e: Expr, raw: Double): Double = {
+      val ds = e.engine.asInstanceOf[DomainSum]
+      val gated = ds.mode match {
+        case "sum_if_pos" => if (cmp0(raw) >= 0) raw else 0.0
+        case "sum_if_neg" => if (cmp0(raw) < 0) raw else 0.0
+        case _ => raw
+      }
+      if (ds.negate) -gated else gated
     }
 
     val ownCols = for (g <- groups; e <- domainExprs)
@@ -101,33 +132,49 @@ object ReportRunner {
 
     val domainTotals: Map[(String, String), Double] =
       (for (g <- groups; e <- domainExprs) yield (g.key, e.code) ->
-        batch1Row.getDouble(batch1Row.fieldIndex(s"${g.key}||${e.code}"))).toMap
-    // (group key, forced scope) -> other-report code -> value
-    val crossTotals: Map[(String, DateScope.Scope), Map[String, Double]] =
-      (for (g <- groups; sc <- crossScopes) yield (g.key, sc) ->
-        crossDomainExprs.map(e => e.code ->
-          batch1Row.getDouble(batch1Row.fieldIndex(s"${g.key}||cross|$sc||${e.code}"))).toMap).toMap
+        domainFinish(e, batch1Row.getDouble(batch1Row.fieldIndex(s"${g.key}||${e.code}")))).toMap
 
     // ---- batch 2: per-code balances for all codes formulas, ONE scan ---
-    val codesTotals: Map[(String, String), Double] =
-      if (codesExprs.isEmpty) Map.empty
+    // Cross-report account_codes leaves share the scan: their forced
+    // scopes just add buffer columns.
+    val codesScopes = (codesExprs.map(_.scope) ++
+      (if (crossCodesExprs.nonEmpty) crossScopes else Nil)).distinct
+    val perCodeBalances: Map[(String, DateScope.Scope), Seq[(String, Double)]] =
+      if (codesScopes.isEmpty) Map.empty
       else {
-        val scopes = codesExprs.map(_.scope).distinct
-        val cols = for (g <- groups; sc <- scopes) yield
+        val cols = for (g <- groups; sc <- codesScopes) yield
           sum(when(DateScope.predicate(sc, ctx.dateCol, g.from, g.to, ctx.fc) &&
               Domain.compile(g.forced),
             ctx.measure).otherwise(lit(0.0))).as(s"${g.key}||$sc")
         val perCode = ctx.journal.groupBy(ctx.codeCol.cast("string").as("code"))
           .agg(cols.head, cols.tail: _*)
           .collect() // bounded by the chart of accounts, not the fact table
-        (for (g <- groups; e <- codesExprs) yield {
-          val colName = s"${g.key}||${e.scope}"
-          val balances = perCode.map(r =>
-            r.getString(0) -> r.getDouble(r.fieldIndex(colName)))
-          (g.key, e.code) -> evalCodes(
-            e.engine.asInstanceOf[CodesFormula].formula, balances)
-        }).toMap
+        (for (g <- groups; sc <- codesScopes) yield (g.key, sc) ->
+          perCode.toSeq.map(r =>
+            r.getString(0) -> r.getDouble(r.fieldIndex(s"${g.key}||$sc")))).toMap
       }
+    val codesTotals: Map[(String, String), Double] =
+      (for (g <- groups; e <- codesExprs) yield (g.key, e.code) ->
+        evalCodes(e.engine.asInstanceOf[CodesFormula].formula,
+          perCodeBalances((g.key, e.scope)))).toMap
+
+    // (group key, forced scope) -> other-report code -> value: domain +
+    // codes leaves, then the other report's own aggregation formulas
+    // resolved over them under that scope
+    val crossTotals: Map[(String, DateScope.Scope), Map[String, Double]] =
+      (for (g <- groups; sc <- crossScopes) yield {
+        val leaves =
+          crossDomainExprs.map(e => e.code -> domainFinish(e,
+            batch1Row.getDouble(batch1Row.fieldIndex(s"${g.key}||cross|$sc||${e.code}")))).toMap ++
+          crossCodesExprs.map(e => e.code ->
+            evalCodes(e.engine.asInstanceOf[CodesFormula].formula,
+              perCodeBalances((g.key, sc)))).toMap
+        val aggs = crossAggExprs.map { e =>
+          val a = e.engine.asInstanceOf[Aggregation]
+          e.code -> AggregationEvaluator.Expr(a.formula, a.bounds)
+        }.toMap
+        (g.key, sc) -> (leaves ++ AggregationEvaluator.evaluate(aggs, leaves))
+      }).toMap
 
     // ---- batch 3: every (external expr × group) in ONE scan ------------
     // The value table first collapses to one row per (expression, date):

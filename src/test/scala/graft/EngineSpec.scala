@@ -100,12 +100,28 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
-  test("account_codes: DSL parse of '123D\\(1234,1236) + 56 - 416C'") {
-    val terms = AccountCodes.parse("123D\\(1234,1236) + 56 - 416C")
-    assert(terms == Seq(
+  test("account_codes: DSL parse follows the reference term regex") {
+    // the reference grammar (account_report.py:31-38): the char before
+    // '\(' belongs to the PREFIX; a balance gate goes after the exclusion
+    // group — so a D-gated 123 excluding subprefixes is written
+    // '123\(1234,1236)D', while '123D\(...)' targets accounts literally
+    // prefixed "123D"
+    assert(AccountCodes.parse("123\\(1234,1236)D + 56 - 416C") == Seq(
       AccountCodes.Term("123", 1, Some('D'), Seq("1234", "1236")),
       AccountCodes.Term("56", 1, None, Nil),
       AccountCodes.Term("416", -1, Some('C'), Nil)))
+    assert(AccountCodes.parse("123D\\(1234)") == Seq(
+      AccountCodes.Term("123D", 1, None, Seq("1234"))))
+    // the empty-exclusion disambiguator for codes ending in C/D
+    // (test_report_engines.py:417-424 '345D\()D' / '345D\()C')
+    assert(AccountCodes.parse("345D\\()D") == Seq(
+      AccountCodes.Term("345D", 1, Some('D'), Nil)))
+    // dotted prefixes ('10.' / '10.20', test_report_engines.py:404-411)
+    assert(AccountCodes.parse("10.20 - 101 + 101002") == Seq(
+      AccountCodes.Term("10.20", 1, None, Nil),
+      AccountCodes.Term("101", -1, None, Nil),
+      AccountCodes.Term("101002", 1, None, Nil)))
+    intercept[IllegalArgumentException](AccountCodes.parse("1*2"))
   }
 
   test("date scopes: fiscal-year boundaries (June-30 year end)") {
