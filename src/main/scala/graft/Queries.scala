@@ -18,6 +18,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     after 2 batches, resume from the checkpoint) to gate recovery;
   *   - q166 runs bounded scalar aggregates plus one capped pair join over
   *     the skewed fixture (caches released via the builder's thunk);
+  *   - q170 collects the cash-flow statement's 17 section totals
+  *     driver-side (the layout roll-up contract of
+  *     [[graft.report.CashFlowStatement]]);
   *   - gates that consume the suite-level dedup-index memos — exact
   *     pairs, CC clusters, MinHash candidates ([[graft.queries.PairMemo]])
   *     — materialize the shared artifact on FIRST construction per

@@ -299,15 +299,210 @@ object ReportOps {
       |  count(*) AS n, round(sum(amount), 2) AS total
       |FROM u GROUP BY ROLLUP (category) ORDER BY category""".stripMargin
 
+  /** q170 — the cash-flow statement's reconciliation-based attribution
+    * ([[graft.report.CashFlowStatement]], account_cash_flow_report.py:
+    * 36-581) end-to-end: journal lines derived from `lineitem`
+    * (move := orderkey, account := partkey%8 with a0 the liquidity
+    * account, signed integral balances), reconciliation partials built by
+    * the SAME per-account FIFO interval algebra as q79, then the full
+    * three-stage algorithm — liquidity counterpart netting, reconciled
+    * moves at the signed move-level paid percentage with the zero-total
+    * special case, tag/sign dispatch and layout roll-up. The oracle
+    * replays every stage in SQL. Bounded Spark work runs at construction
+    * (the statement's section totals collect driver-side — 17 rows). */
+  def q170(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.FifoValuation
+    import graft.report.CashFlowStatement
+    // the synthetic lineitem does NOT key on (orderkey, linenumber) —
+    // dedupe to one row per pair (deterministic: lowest partkey/suppkey)
+    // so the derived line ids are unique; (okey, ln, partkey, suppkey)
+    // is unique in the testdata
+    val dedupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_partkey"), col("l_suppkey"))
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") <= 600)
+      .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1)
+    val qty = col("l_quantity").cast("long")
+    val lines = li.select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("line_id"),
+        col("l_orderkey").cast("long").as("move_id"),
+        concat(lit("a"), (col("l_partkey") % 8).cast("string")).as("account"),
+        (col("l_partkey") % 8).as("b"),
+        when(col("l_linenumber") % 2 === 1, qty).otherwise(-qty)
+          .cast("double").as("balance"),
+        col("l_shipdate").cast("timestamp").as("d"))
+      .withColumn("atype",
+        when(col("b") === 0, "asset_cash")
+          .when(col("b").isin(1, 2), "asset_receivable")
+          .when(col("b") === 3, "liability_payable")
+          .otherwise("asset_current"))
+      .withColumn("tag",
+        when(col("b") === 4, "operating").when(col("b") === 5, "investing")
+          .when(col("b") === 6, "financing"))
+    def side(pred: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column,
+             idName: String, dName: String) =
+      FifoValuation.cumInterval(
+        lines.filter(pred).select(col("line_id").as(idName),
+          col("account"), col("d").as(dName), q.cast("long").as("q")),
+        col("account"), Seq(col(dName), col(idName)), col("q")).drop("q")
+    val deb = side(col("balance") > 0, col("balance"), "debit_id", "dd")
+    val cred = side(col("balance") < 0, -col("balance"), "credit_id", "cd")
+    val partials = FifoValuation.allocate(deb, cred, "account", bucketWidth = 64)
+      .select(col("debit_id"), col("credit_id"),
+        col("__matched").cast("double").as("amount"),
+        greatest(col("dd"), col("cd")).as("max_d"))
+    val r = CashFlowStatement.compute(
+      lines.select("line_id", "move_id", "account", "atype", "tag", "d", "balance"),
+      partials, Seq("a0"), LocalDate.of(1995, 1, 1), LocalDate.of(1995, 12, 31))
+    import s.implicits._
+    CashFlowStatement.Layout.zipWithIndex
+      .map { case ((id, _, _), i) => (i.toLong, id, r.sections(id)) }
+      .toDF("ord", "section", "val").orderBy("ord")
+  }
+
+  val q170Sql: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT l_orderkey * 8 + l_linenumber AS lid, l_orderkey AS mv,
+      |         'a' || CAST(l_partkey % 8 AS VARCHAR) AS account,
+      |         l_partkey % 8 AS b,
+      |         CASE WHEN l_linenumber % 2 = 1 THEN CAST(l_quantity AS BIGINT)
+      |              ELSE -CAST(l_quantity AS BIGINT) END AS bal,
+      |         l_shipdate AS d
+      |  FROM lineitem WHERE l_orderkey <= 600
+      |  QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+      |    ORDER BY l_partkey, l_suppkey) = 1),
+      |deb AS MATERIALIZED (SELECT lid, account, d, bal AS q,
+      |          sum(bal) OVER (PARTITION BY account ORDER BY d, lid
+      |            ROWS UNBOUNDED PRECEDING) AS ce
+      |        FROM base WHERE bal > 0),
+      |cred AS MATERIALIZED (SELECT lid, account, d, -bal AS q,
+      |          sum(-bal) OVER (PARTITION BY account ORDER BY d, lid
+      |            ROWS UNBOUNDED PRECEDING) AS ce
+      |        FROM base WHERE bal < 0),
+      |partials AS MATERIALIZED (
+      |  SELECT dd.lid AS debit_id, cc.lid AS credit_id,
+      |         CAST(least(dd.ce, cc.ce)
+      |           - greatest(dd.ce - dd.q, cc.ce - cc.q) AS DOUBLE) AS amount,
+      |         greatest(dd.d, cc.d) AS max_d
+      |  FROM deb dd JOIN cred cc ON dd.account = cc.account
+      |   AND dd.ce - dd.q < cc.ce AND cc.ce - cc.q < dd.ce),
+      |pmoves AS MATERIALIZED (SELECT DISTINCT mv FROM base
+      |           WHERE b = 0 AND d BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+      |opening AS MATERIALIZED (SELECT coalesce(sum(bal), 0) AS v FROM base
+      |            WHERE b = 0 AND d < DATE '1995-01-01'),
+      |periodliq AS MATERIALIZED (SELECT coalesce(sum(bal), 0) AS v FROM base
+      |              WHERE b = 0 AND d BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+      |                AND mv IN (SELECT mv FROM pmoves)),
+      |nonliq AS MATERIALIZED (SELECT * FROM base
+      |           WHERE mv IN (SELECT mv FROM pmoves) AND b <> 0),
+      |effp AS MATERIALIZED (SELECT * FROM partials
+      |         WHERE max_d BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+      |cp AS MATERIALIZED (SELECT n.account, sum(p.amount) AS v FROM nonliq n
+      |       JOIN effp p ON p.credit_id = n.lid GROUP BY 1),
+      |dp AS MATERIALIZED (SELECT n.account, sum(p.amount) AS v FROM nonliq n
+      |       JOIN effp p ON p.debit_id = n.lid GROUP BY 1),
+      |liqvals AS MATERIALIZED (
+      |  SELECT t.account, t.b,
+      |         coalesce(dp.v, 0) - coalesce(cp.v, 0) - t.bal AS v
+      |  FROM (SELECT account, any_value(b) AS b, CAST(sum(bal) AS DOUBLE) AS bal
+      |        FROM nonliq GROUP BY 1) t
+      |  LEFT JOIN cp ON cp.account = t.account
+      |  LEFT JOIN dp ON dp.account = t.account),
+      |r1 AS MATERIALIZED (SELECT l.mv AS omv, l.account AS oacct, sum(p.amount) AS rec
+      |       FROM effp p
+      |       JOIN nonliq n ON p.credit_id = n.lid AND n.bal < 0
+      |       JOIN base l ON p.debit_id = l.lid
+      |       WHERE l.mv NOT IN (SELECT mv FROM pmoves) GROUP BY 1, 2),
+      |r2 AS MATERIALIZED (SELECT l.mv AS omv, l.account AS oacct, -sum(p.amount) AS rec
+      |       FROM effp p
+      |       JOIN nonliq n ON p.debit_id = n.lid AND n.bal > 0
+      |       JOIN base l ON p.credit_id = l.lid
+      |       WHERE l.mv NOT IN (SELECT mv FROM pmoves) GROUP BY 1, 2),
+      |recon AS MATERIALIZED (SELECT omv, oacct, sum(rec) AS rec
+      |          FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) GROUP BY 1, 2),
+      |reconamt AS MATERIALIZED (SELECT bb.mv AS omv, bb.account AS oacct, sum(bb.bal) AS amt
+      |             FROM base bb
+      |             JOIN (SELECT DISTINCT omv, oacct FROM recon) rr
+      |               ON bb.mv = rr.omv AND bb.account = rr.oacct GROUP BY 1, 2),
+      |permove AS MATERIALIZED (SELECT r.omv, sum(r.rec) AS trec,
+      |              CAST(sum(coalesce(a.amt, 0)) AS DOUBLE) AS tamt
+      |            FROM recon r LEFT JOIN reconamt a
+      |              ON a.omv = r.omv AND a.oacct = r.oacct GROUP BY 1),
+      |mvlines AS MATERIALIZED (SELECT bb.mv AS omv, bb.account AS oacct, any_value(bb.b) AS b,
+      |              CAST(sum(bb.bal) AS DOUBLE) AS bal
+      |            FROM base bb
+      |            WHERE bb.mv IN (SELECT DISTINCT omv FROM recon) GROUP BY 1, 2),
+      |contrib AS MATERIALIZED (
+      |  SELECT m.oacct AS account, m.b,
+      |    floor((CASE
+      |      WHEN r.rec IS NULL AND abs(p.tamt) >= 0.005
+      |        THEN ((-m.bal) * p.trec) / p.tamt
+      |      WHEN r.rec IS NOT NULL AND abs(p.tamt) < 0.005 THEN r.rec END) * 100
+      |      + 0.5) / 100 AS v
+      |  FROM mvlines m
+      |  JOIN permove p ON p.omv = m.omv
+      |  LEFT JOIN recon r ON r.omv = m.omv AND r.oacct = m.oacct),
+      |reconvals AS MATERIALIZED (SELECT account, any_value(b) AS b, sum(v) AS v
+      |              FROM contrib WHERE v IS NOT NULL GROUP BY 1),
+      |leaf AS MATERIALIZED (
+      |  SELECT CASE
+      |      WHEN b IN (1, 2) THEN 'advance_payments_customer'
+      |      WHEN b = 3 THEN 'advance_payments_suppliers'
+      |      WHEN b = 4 AND v < 0 THEN 'paid_operating_activities'
+      |      WHEN b = 4 THEN 'received_operating_activities'
+      |      WHEN b = 5 AND v < 0 THEN 'investing_activities_cash_out'
+      |      WHEN b = 5 THEN 'investing_activities_cash_in'
+      |      WHEN b = 6 AND v < 0 THEN 'financing_activities_cash_out'
+      |      WHEN b = 6 THEN 'financing_activities_cash_in'
+      |      WHEN v < 0 THEN 'unclassified_activities_cash_out'
+      |      ELSE 'unclassified_activities_cash_in' END AS sect, v
+      |  FROM (SELECT account, b, v FROM liqvals WHERE abs(v) >= 0.005
+      |        UNION ALL
+      |        SELECT account, b, v FROM reconvals WHERE abs(v) >= 0.005)),
+      |s AS MATERIALIZED (SELECT sect, coalesce(sum(v), 0) AS v FROM leaf GROUP BY 1),
+      |g AS MATERIALIZED (SELECT coalesce((SELECT v FROM s WHERE sect = 'advance_payments_customer'), 0) AS apc,
+      |             coalesce((SELECT v FROM s WHERE sect = 'received_operating_activities'), 0) AS roa,
+      |             coalesce((SELECT v FROM s WHERE sect = 'advance_payments_suppliers'), 0) AS aps,
+      |             coalesce((SELECT v FROM s WHERE sect = 'paid_operating_activities'), 0) AS poa,
+      |             coalesce((SELECT v FROM s WHERE sect = 'investing_activities_cash_in'), 0) AS ici,
+      |             coalesce((SELECT v FROM s WHERE sect = 'investing_activities_cash_out'), 0) AS ico,
+      |             coalesce((SELECT v FROM s WHERE sect = 'financing_activities_cash_in'), 0) AS fci,
+      |             coalesce((SELECT v FROM s WHERE sect = 'financing_activities_cash_out'), 0) AS fco,
+      |             coalesce((SELECT v FROM s WHERE sect = 'unclassified_activities_cash_in'), 0) AS uci,
+      |             coalesce((SELECT v FROM s WHERE sect = 'unclassified_activities_cash_out'), 0) AS uco,
+      |             (SELECT v FROM opening) AS op, (SELECT v FROM periodliq) AS pl)
+      |SELECT CAST(ord AS BIGINT) AS ord, section, floor(val * 100 + 0.5) / 100 AS val FROM (
+      |  SELECT 0 AS ord, 'opening_balance' AS section, CAST(op AS DOUBLE) AS val FROM g
+      |  UNION ALL SELECT 1, 'net_increase',
+      |    apc + roa + aps + poa + ici + ico + fci + fco + uci + uco FROM g
+      |  UNION ALL SELECT 2, 'operating_activities', apc + roa + aps + poa FROM g
+      |  UNION ALL SELECT 3, 'advance_payments_customer', apc FROM g
+      |  UNION ALL SELECT 4, 'received_operating_activities', roa FROM g
+      |  UNION ALL SELECT 5, 'advance_payments_suppliers', aps FROM g
+      |  UNION ALL SELECT 6, 'paid_operating_activities', poa FROM g
+      |  UNION ALL SELECT 7, 'investing_activities', ici + ico FROM g
+      |  UNION ALL SELECT 8, 'investing_activities_cash_in', ici FROM g
+      |  UNION ALL SELECT 9, 'investing_activities_cash_out', ico FROM g
+      |  UNION ALL SELECT 10, 'financing_activities', fci + fco FROM g
+      |  UNION ALL SELECT 11, 'financing_activities_cash_in', fci FROM g
+      |  UNION ALL SELECT 12, 'financing_activities_cash_out', fco FROM g
+      |  UNION ALL SELECT 13, 'unclassified_activities', uci + uco FROM g
+      |  UNION ALL SELECT 14, 'unclassified_activities_cash_in', uci FROM g
+      |  UNION ALL SELECT 15, 'unclassified_activities_cash_out', uco FROM g
+      |  UNION ALL SELECT 16, 'closing_balance', CAST(op + pl AS DOUBLE) FROM g)
+      |ORDER BY ord""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
     "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
     "q53_pivot_register" -> (q53 _), "q54_report_runner" -> (q54 _),
-    "q55_multicurrency_reval" -> (q55 _), "q56_cash_flow" -> (q56 _))
+    "q55_multicurrency_reval" -> (q55 _), "q56_cash_flow" -> (q56 _),
+    "q170_cash_flow_statement" -> (q170 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
     "q50_running_ledger" -> q50Sql, "q51_groupby_chain" -> q51Sql,
     "q53_pivot_register" -> q53Sql, "q54_report_runner" -> q54Sql,
-    "q55_multicurrency_reval" -> q55Sql, "q56_cash_flow" -> q56Sql)
+    "q55_multicurrency_reval" -> q55Sql, "q56_cash_flow" -> q56Sql,
+    "q170_cash_flow_statement" -> q170Sql)
 }

@@ -1,0 +1,190 @@
+package graft.report
+
+import java.time.LocalDate
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The cash-flow statement's reconciliation-based flow attribution
+  * (reference account_cash_flow_report.py:36-581) — the real algorithm
+  * behind the report, replacing nothing: [[Handlers.CashFlow]] keeps the
+  * generic tagged-sources union; this operator computes the reference's
+  * statement from journal lines and reconciliation partials:
+  *
+  *  1. payment moves = moves touching a liquidity account inside the
+  *     period (:185-210); opening/closing = liquidity balances before /
+  *     through the period (:43-50, :212-252);
+  *  2. LIQUIDITY MOVES (:254-376): each payment move's non-liquidity
+  *     account nets `debit partials − credit partials − total balance`
+  *     over partials effective (max_date) inside the period — the
+  *     UNRECONCILED remainder of the counterpart lines, e.g. an overpaid
+  *     receivable surfaces as an advance payment;
+  *  3. RECONCILED MOVES (:378-581): moves reconciled against the payment
+  *     moves' counterpart lines contribute their OTHER lines valued at
+  *     the move-level paid percentage (Σreconciled / Σbalance of the
+  *     reconciled accounts); lines on the reconciled accounts themselves
+  *     are skipped, except the zero-total special case (:546-563) which
+  *     contributes exactly the reconciled amount;
+  *  4. dispatch (:123-146): receivable → customer advances, payable →
+  *     supplier advances, else by the account tag and the value's sign;
+  *     roll-up over the layout tree (:586-606).
+  *
+  * Scale: three joins (lines⋈payment-moves, partials⋈lines twice) and
+  * small groupBys — the partials table is the join spine, never a
+  * cartesian; per-account aggregates collapse before the driver sees
+  * them. The layout roll-up is a dozen rows.
+  */
+object CashFlowStatement {
+
+  /** Layout (account_cash_flow_report.py:586-606): id -> (parent, name). */
+  val Layout: Seq[(String, Option[String], String)] = Seq(
+    ("opening_balance", None, "Cash and cash equivalents, beginning of period"),
+    ("net_increase", None, "Net increase in cash and cash equivalents"),
+    ("operating_activities", Some("net_increase"), "Cash flows from operating activities"),
+    ("advance_payments_customer", Some("operating_activities"), "Advance Payments received from customers"),
+    ("received_operating_activities", Some("operating_activities"), "Cash received from operating activities"),
+    ("advance_payments_suppliers", Some("operating_activities"), "Advance payments made to suppliers"),
+    ("paid_operating_activities", Some("operating_activities"), "Cash paid for operating activities"),
+    ("investing_activities", Some("net_increase"), "Cash flows from investing & extraordinary activities"),
+    ("investing_activities_cash_in", Some("investing_activities"), "Cash in"),
+    ("investing_activities_cash_out", Some("investing_activities"), "Cash out"),
+    ("financing_activities", Some("net_increase"), "Cash flows from financing activities"),
+    ("financing_activities_cash_in", Some("financing_activities"), "Cash in"),
+    ("financing_activities_cash_out", Some("financing_activities"), "Cash out"),
+    ("unclassified_activities", Some("net_increase"), "Cash flows from unclassified activities"),
+    ("unclassified_activities_cash_in", Some("unclassified_activities"), "Cash in"),
+    ("unclassified_activities_cash_out", Some("unclassified_activities"), "Cash out"),
+    ("closing_balance", None, "Cash and cash equivalents, closing balance"))
+
+  /** Section totals (all layout ids, rolled up) plus the per-account
+    * leaf rows per section. */
+  final case class Result(sections: Map[String, Double],
+                          perAccount: Seq[(String, String, Double)]) {
+    /** closing − opening − net increase (:663-685). */
+    def unexplainedDifference: Double =
+      sections("closing_balance") - sections("opening_balance") -
+        sections("net_increase")
+  }
+
+  /** `lines`: (line_id, move_id, account, atype, tag nullable, d, balance).
+    * `partials`: (debit_id, credit_id, amount, max_d).
+    * `liquidityAccounts`: the journals' payment accounts. */
+  def compute(lines: DataFrame, partials: DataFrame,
+              liquidityAccounts: Seq[String],
+              from: LocalDate, to: LocalDate): Result = {
+    val spark = lines.sparkSession
+    def ts(d: LocalDate) = lit(d.toString).cast("timestamp")
+    val liq = col("account").isin(liquidityAccounts: _*)
+    val inRange = col("d") >= ts(from) && col("d") <= ts(to)
+    val pInRange = col("max_d") >= ts(from) && col("max_d") <= ts(to)
+
+    // ---- payment moves + opening/closing liquidity balances ------------
+    val paymentMoves = lines.filter(liq && inRange).select("move_id").distinct()
+    def liquidity(pred: org.apache.spark.sql.Column) = lines.filter(liq && pred)
+      .groupBy(col("account")).agg(sum(col("balance")).as("v"))
+      .collect().toSeq.map(r => (r.getString(0), r.getDouble(1)))
+    val opening = liquidity(col("d") < ts(from))
+    val period = liquidity(inRange)
+
+    // ---- step 2: payment moves' counterpart accounts -------------------
+    val nonLiq = lines.join(paymentMoves, Seq("move_id"), "left_semi").filter(!liq)
+    val effPartials = partials.filter(pInRange)
+    val cp = nonLiq.join(effPartials, nonLiq("line_id") === effPartials("credit_id"))
+      .groupBy(col("account")).agg(sum(col("amount")).as("cp"))
+    val dp = nonLiq.join(effPartials, nonLiq("line_id") === effPartials("debit_id"))
+      .groupBy(col("account")).agg(sum(col("amount")).as("dp"))
+    val liqVals = nonLiq.groupBy(col("account"), col("atype"), col("tag"))
+      .agg(sum(col("balance")).as("bal"))
+      .join(cp, Seq("account"), "left").join(dp, Seq("account"), "left")
+      .select(col("account"), col("atype"), col("tag"),
+        (coalesce(col("dp"), lit(0.0)) - coalesce(col("cp"), lit(0.0)) - col("bal")).as("v"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)), r.getDouble(3)))
+
+    // ---- step 3: reconciled moves at the paid percentage ---------------
+    // partials between a payment move's counterpart line and an outside
+    // move, keyed by the OUTSIDE (move, account), signed by side
+    val lid = lines.select(col("line_id"), col("move_id").as("o_move"),
+      col("account").as("o_account"))
+    val r1 = effPartials
+      .join(nonLiq.filter(col("balance") < 0).select(col("line_id").as("credit_id")),
+        Seq("credit_id"), "left_semi")
+      .join(lid, col("debit_id") === col("line_id"))
+      .join(paymentMoves.withColumnRenamed("move_id", "o_move"), Seq("o_move"), "left_anti")
+      .select(col("o_move"), col("o_account"), col("amount").as("rec"))
+    val r2 = effPartials
+      .join(nonLiq.filter(col("balance") > 0).select(col("line_id").as("debit_id")),
+        Seq("debit_id"), "left_semi")
+      .join(lid, col("credit_id") === col("line_id"))
+      .join(paymentMoves.withColumnRenamed("move_id", "o_move"), Seq("o_move"), "left_anti")
+      .select(col("o_move"), col("o_account"), (-col("amount")).as("rec"))
+    val recon = r1.unionByName(r2)
+      .groupBy(col("o_move"), col("o_account")).agg(sum(col("rec")).as("rec"))
+    // balance of the reconciled accounts inside their move
+    val reconAmt = lines.groupBy(col("move_id").as("o_move"), col("account").as("o_account"))
+      .agg(sum(col("balance")).as("amt"))
+    val reconFull = recon.join(reconAmt, Seq("o_move", "o_account"), "left")
+    val perMove = reconFull.groupBy(col("o_move"))
+      .agg(sum(col("rec")).as("total_rec"),
+        sum(coalesce(col("amt"), lit(0.0))).as("total_amt"))
+    // every line of the reconciled moves, grouped per account
+    val mv = lines.join(recon.select(col("o_move").as("move_id")).distinct(),
+        Seq("move_id"), "left_semi")
+      .groupBy(col("move_id").as("o_move"), col("account").as("o_account"),
+        col("atype"), col("tag"))
+      .agg(sum(col("balance")).as("bal"))
+    val isZero = (c: org.apache.spark.sql.Column) => abs(c) < 0.005
+    val reconVals = mv
+      .join(perMove, Seq("o_move"))
+      .join(recon.select(col("o_move"), col("o_account"), col("rec")),
+        Seq("o_move", "o_account"), "left")
+      .withColumn("contrib",
+        when(col("rec").isNull && !isZero(col("total_amt")),
+          -col("bal") * col("total_rec") / col("total_amt"))
+          .when(col("rec").isNotNull && isZero(col("total_amt")), col("rec")))
+      .filter(col("contrib").isNotNull)
+      // currency precision per aggregate row (the reference keeps every
+      // SUM at ROUND(..., currency precision), :506); also makes the
+      // cross-engine sums order-independent — cent-valued doubles add
+      // exactly
+      .withColumn("contrib", floor(col("contrib") * 100 + 0.5) / 100)
+      .groupBy(col("o_account"), col("atype"), col("tag"))
+      .agg(sum(col("contrib")).as("v"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)), r.getDouble(3)))
+
+    // ---- step 4: dispatch + roll-up (driver side, dozens of rows) ------
+    def r2c(v: Double): Double = math.floor(v * 100 + 0.5) / 100
+    def dispatch(atype: String, tag: Option[String], v: Double): String =
+      if (atype == "asset_receivable") "advance_payments_customer"
+      else if (atype == "liability_payable") "advance_payments_suppliers"
+      else (tag, v < 0) match {
+        case (Some("operating"), true) => "paid_operating_activities"
+        case (Some("operating"), false) => "received_operating_activities"
+        case (Some("investing"), true) => "investing_activities_cash_out"
+        case (Some("investing"), false) => "investing_activities_cash_in"
+        case (Some("financing"), true) => "financing_activities_cash_out"
+        case (Some("financing"), false) => "financing_activities_cash_in"
+        case (_, true) => "unclassified_activities_cash_out"
+        case (_, false) => "unclassified_activities_cash_in"
+      }
+    val leafRows =
+      opening.map { case (a, v) => ("opening_balance", a, v) } ++
+      opening.map { case (a, v) => ("closing_balance", a, v) } ++
+      period.map { case (a, v) => ("closing_balance", a, v) } ++
+      (liqVals ++ reconVals).collect {
+        case (a, atype, tag, v) if math.abs(v) >= 0.005 =>
+          (dispatch(atype, tag, v), a, v)
+      }
+    val parents = Layout.map(l => l._1 -> l._2).toMap
+    val totals = scala.collection.mutable.Map[String, Double]()
+      .withDefaultValue(0.0)
+    for ((lineId, _, v) <- leafRows) {
+      var cur: Option[String] = Some(lineId)
+      while (cur.isDefined) { totals(cur.get) += v; cur = parents(cur.get) }
+    }
+    Result(Layout.map(l => l._1 -> r2c(totals(l._1))).toMap,
+      leafRows.groupBy(r => (r._1, r._2)).toSeq
+        .map { case ((l, a), rs) => (l, a, r2c(rs.map(_._3).sum)) }
+        .sortBy(t => (t._1, t._2)))
+  }
+}
