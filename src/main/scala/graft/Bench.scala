@@ -170,8 +170,20 @@ object Bench {
     * before. If the host class ever genuinely changes (new hardware),
     * re-derive the constant from that class's quiet artifacts and note
     * the break in BASELINE.md — anchoring across hardware generations is
-    * attribution, not comparison. */
-  private[graft] val AnchorProbeCpuSec: Double = 1.175
+    * attribution, not comparison.
+    *
+    * HARDWARE-CLASS BREAK, r13 (the rule above, exercised): from round 12
+    * on, EVERY quiet window — three r12 builder snapshots, the r12 driver
+    * run, and the r13 builder — probed cpu 1.35–1.56 s against the old
+    * 1.175 s reference while io probed 0.177–0.208 s, at or under the
+    * old 0.205 s floor; the r11-era cpu class (1.18–1.34 s) never
+    * reappeared. Persistent across five sessions and both run kinds ⇒
+    * class change (slower per-core cpu, slightly faster tmpfs), not a
+    * window. Constants re-derived as the minima across the new class's
+    * quiet artifacts (BENCH_r12_builder{,2,3}.json, BENCH_r13_builder
+    * .json): cpu 1.352, io 0.177. Break recorded in BASELINE.md;
+    * anchored totals before/after this break are not comparable. */
+  private[graft] val AnchorProbeCpuSec: Double = 1.352
 
   /** Quiet-class reference for the tmpfs-I/O arm — the SECOND leg of the
     * anchored PAIR (r11, measured mid-round): the first two r11 snapshots
@@ -187,8 +199,10 @@ object Bench {
     * against this 0.205 s reference would "anchor" by 3× of nonsense).
     * Compare rounds on the arm whose probe ratio the per-query median
     * ratio tracks; the pair brackets quiet-class truth the way
-    * [total_norm_lb, total_norm] brackets within-run truth. */
-  private[graft] val AnchorProbeIoSec: Double = 0.205
+    * [total_norm_lb, total_norm] brackets within-run truth.
+    * Re-derived at the r13 hardware-class break (see
+    * [[AnchorProbeCpuSec]]): 0.205 → 0.177. */
+  private[graft] val AnchorProbeIoSec: Double = 0.177
 
   /** A probed medium is the reference tmpfs class iff its probe lands
     * well under NVMe class (~0.6 s quiet): measured, not configured. */

@@ -351,9 +351,15 @@ object ReportOps {
       .select(col("debit_id"), col("credit_id"),
         col("__matched").cast("double").as("amount"),
         greatest(col("dd"), col("cd")).as("max_d"))
-    val r = CashFlowStatement.compute(
-      lines.select("line_id", "move_id", "account", "atype", "tag", "d", "balance"),
-      partials, Seq("a0"), LocalDate.of(1995, 1, 1), LocalDate.of(1995, 12, 31))
+    // the statement runs several actions over both inputs — cache the
+    // small fixture frames so each action doesn't replay the FIFO chain
+    val linesC = lines
+      .select("line_id", "move_id", "account", "atype", "tag", "d", "balance")
+      .cache()
+    val partialsC = partials.cache()
+    val r = CashFlowStatement.compute(linesC, partialsC,
+      Seq("a0"), LocalDate.of(1995, 1, 1), LocalDate.of(1995, 12, 31))
+    linesC.unpersist(); partialsC.unpersist()
     import s.implicits._
     CashFlowStatement.Layout.zipWithIndex
       .map { case ((id, _, _), i) => (i.toLong, id, r.sections(id)) }

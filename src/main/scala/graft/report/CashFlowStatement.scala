@@ -78,7 +78,11 @@ object CashFlowStatement {
     val pInRange = col("max_d") >= ts(from) && col("max_d") <= ts(to)
 
     // ---- payment moves + opening/closing liquidity balances ------------
-    val paymentMoves = lines.filter(liq && inRange).select("move_id").distinct()
+    // the three derived frames feed four+ actions each — cache them so
+    // the journal is not re-scanned per action (they are all bounded by
+    // the period's payment activity, far below the journal itself)
+    val paymentMoves = lines.filter(liq && inRange).select("move_id")
+      .distinct().cache()
     def liquidity(pred: org.apache.spark.sql.Column) = lines.filter(liq && pred)
       .groupBy(col("account")).agg(sum(col("balance")).as("v"))
       .collect().toSeq.map(r => (r.getString(0), r.getDouble(1)))
@@ -86,8 +90,9 @@ object CashFlowStatement {
     val period = liquidity(inRange)
 
     // ---- step 2: payment moves' counterpart accounts -------------------
-    val nonLiq = lines.join(paymentMoves, Seq("move_id"), "left_semi").filter(!liq)
-    val effPartials = partials.filter(pInRange)
+    val nonLiq = lines.join(paymentMoves, Seq("move_id"), "left_semi")
+      .filter(!liq).cache()
+    val effPartials = partials.filter(pInRange).cache()
     val cp = nonLiq.join(effPartials, nonLiq("line_id") === effPartials("credit_id"))
       .groupBy(col("account")).agg(sum(col("amount")).as("cp"))
     val dp = nonLiq.join(effPartials, nonLiq("line_id") === effPartials("debit_id"))
@@ -151,6 +156,8 @@ object CashFlowStatement {
       .agg(sum(col("contrib")).as("v"))
       .collect().toSeq
       .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)), r.getDouble(3)))
+
+    paymentMoves.unpersist(); nonLiq.unpersist(); effPartials.unpersist()
 
     // ---- step 4: dispatch + roll-up (driver side, dozens of rows) ------
     def r2c(v: Double): Double = math.floor(v * 100 + 0.5) / 100
