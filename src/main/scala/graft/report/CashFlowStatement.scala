@@ -83,11 +83,18 @@ object CashFlowStatement {
     // the period's payment activity, far below the journal itself)
     val paymentMoves = lines.filter(liq && inRange).select("move_id")
       .distinct().cache()
-    def liquidity(pred: org.apache.spark.sql.Column) = lines.filter(liq && pred)
-      .groupBy(col("account")).agg(sum(col("balance")).as("v"))
-      .collect().toSeq.map(r => (r.getString(0), r.getDouble(1)))
-    val opening = liquidity(col("d") < ts(from))
-    val period = liquidity(inRange)
+    // opening (history before the period) and the period movement come
+    // out of ONE conditional-aggregation scan (A14-style batching)
+    val liquidityRows = lines.filter(liq && col("d") <= ts(to))
+      .groupBy(col("account"))
+      .agg(sum(when(col("d") < ts(from), col("balance")).otherwise(lit(0.0))).as("open"),
+        sum(when(inRange, col("balance")).otherwise(lit(0.0))).as("per"))
+      .collect().toSeq
+    // zero balances are not reported (the reference's is_zero skip, :97)
+    val opening = liquidityRows.map(r => (r.getString(0), r.getDouble(1)))
+      .filter(t => math.abs(t._2) >= 0.005)
+    val period = liquidityRows.map(r => (r.getString(0), r.getDouble(2)))
+      .filter(t => math.abs(t._2) >= 0.005)
 
     // ---- step 2: payment moves' counterpart accounts -------------------
     val nonLiq = lines.join(paymentMoves, Seq("move_id"), "left_semi")
