@@ -104,13 +104,12 @@ object CashFlowStatement {
       .groupBy(col("account")).agg(sum(col("amount")).as("cp"))
     val dp = nonLiq.join(effPartials, nonLiq("line_id") === effPartials("debit_id"))
       .groupBy(col("account")).agg(sum(col("amount")).as("dp"))
-    val liqVals = nonLiq.groupBy(col("account"), col("atype"), col("tag"))
+    val liqValsDf = nonLiq.groupBy(col("account"), col("atype"), col("tag"))
       .agg(sum(col("balance")).as("bal"))
       .join(cp, Seq("account"), "left").join(dp, Seq("account"), "left")
       .select(col("account"), col("atype"), col("tag"),
-        (coalesce(col("dp"), lit(0.0)) - coalesce(col("cp"), lit(0.0)) - col("bal")).as("v"))
-      .collect().toSeq
-      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)), r.getDouble(3)))
+        (coalesce(col("dp"), lit(0.0)) - coalesce(col("cp"), lit(0.0)) - col("bal")).as("v"),
+        lit("liq").as("src"))
 
     // ---- step 3: reconciled moves at the paid percentage ---------------
     // partials between a payment move's counterpart line and an outside
@@ -145,7 +144,7 @@ object CashFlowStatement {
         col("atype"), col("tag"))
       .agg(sum(col("balance")).as("bal"))
     val isZero = (c: org.apache.spark.sql.Column) => abs(c) < 0.005
-    val reconVals = mv
+    val reconValsDf = mv
       .join(perMove, Seq("o_move"))
       .join(recon.select(col("o_move"), col("o_account"), col("rec")),
         Seq("o_move", "o_account"), "left")
@@ -161,9 +160,15 @@ object CashFlowStatement {
       .withColumn("contrib", floor(col("contrib") * 100 + 0.5) / 100)
       .groupBy(col("o_account"), col("atype"), col("tag"))
       .agg(sum(col("contrib")).as("v"))
+      .select(col("o_account").as("account"), col("atype"), col("tag"),
+        col("v"), lit("recon").as("src"))
+
+    // the two dispatchable sets share a schema — ONE union collect
+    // instead of an action per set (their rows dispatch independently,
+    // so the union is a transport, not a merge)
+    val dispatchRows = liqValsDf.unionByName(reconValsDf)
       .collect().toSeq
       .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)), r.getDouble(3)))
-
     paymentMoves.unpersist(); nonLiq.unpersist(); effPartials.unpersist()
 
     // ---- step 4: dispatch + roll-up (driver side, dozens of rows) ------
@@ -185,7 +190,7 @@ object CashFlowStatement {
       opening.map { case (a, v) => ("opening_balance", a, v) } ++
       opening.map { case (a, v) => ("closing_balance", a, v) } ++
       period.map { case (a, v) => ("closing_balance", a, v) } ++
-      (liqVals ++ reconVals).collect {
+      dispatchRows.collect {
         case (a, atype, tag, v) if math.abs(v) >= 0.005 =>
           (dispatch(atype, tag, v), a, v)
       }
