@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
   * Scale: three joins (lines⋈payment-moves, partials⋈lines twice) and
   * small groupBys — the partials table is the join spine, never a
   * cartesian; per-account aggregates collapse before the driver sees
-  * them. The layout roll-up is a dozen rows.
+  * them, and EVERY journal-wide (move, account) aggregate is semi-join
+  * pruned to its bounded move set before it shuffles
+  * ([[reconciledMoveBalances]]; `nonLiq` likewise). The debit/credit
+  * partial sums come out of one side-tagged scan. The layout roll-up is
+  * a dozen rows.
   */
 object CashFlowStatement {
 
@@ -64,6 +68,20 @@ object CashFlowStatement {
       sections("closing_balance") - sections("opening_balance") -
         sections("net_increase")
   }
+
+  /** Balance of each reconciled (move, account) — pruned to the
+    * reconciled moves BEFORE the groupBy (the left join into `recon`
+    * drops every other group anyway; without the semi-join this is a
+    * full-journal (move, account) shuffle paid for rows that are
+    * discarded — the exact shuffle the plan must never pay at 100×).
+    * Named so [[graft.PlanAuditSpec]] pins the pre-aggregate semi-join
+    * shape on the real compute path. */
+  private[graft] def reconciledMoveBalances(lines: DataFrame,
+                                            reconMoves: DataFrame): DataFrame =
+    lines
+      .join(reconMoves.withColumnRenamed("o_move", "move_id"), Seq("move_id"), "left_semi")
+      .groupBy(col("move_id").as("o_move"), col("account").as("o_account"))
+      .agg(sum(col("balance")).as("amt"))
 
   /** `lines`: (line_id, move_id, account, atype, tag nullable, d, balance).
     * `partials`: (debit_id, credit_id, amount, max_d).
@@ -100,13 +118,20 @@ object CashFlowStatement {
     val nonLiq = lines.join(paymentMoves, Seq("move_id"), "left_semi")
       .filter(!liq).cache()
     val effPartials = partials.filter(pInRange).cache()
-    val cp = nonLiq.join(effPartials, nonLiq("line_id") === effPartials("credit_id"))
-      .groupBy(col("account")).agg(sum(col("amount")).as("cp"))
-    val dp = nonLiq.join(effPartials, nonLiq("line_id") === effPartials("debit_id"))
-      .groupBy(col("account")).agg(sum(col("amount")).as("dp"))
+    // debit- and credit-side partial sums come out of ONE side-tagged
+    // scan of effPartials and ONE join (A14-style batching, like the
+    // opening/period merge above) instead of a join+groupBy per side
+    val sidedPartials = effPartials
+      .select(col("credit_id").as("line_id"), col("amount"), lit("c").as("side"))
+      .unionByName(effPartials
+        .select(col("debit_id").as("line_id"), col("amount"), lit("d").as("side")))
+    val cpdp = nonLiq.join(sidedPartials, Seq("line_id"))
+      .groupBy(col("account"))
+      .agg(sum(when(col("side") === "c", col("amount")).otherwise(lit(0.0))).as("cp"),
+        sum(when(col("side") === "d", col("amount")).otherwise(lit(0.0))).as("dp"))
     val liqValsDf = nonLiq.groupBy(col("account"), col("atype"), col("tag"))
       .agg(sum(col("balance")).as("bal"))
-      .join(cp, Seq("account"), "left").join(dp, Seq("account"), "left")
+      .join(cpdp, Seq("account"), "left")
       .select(col("account"), col("atype"), col("tag"),
         (coalesce(col("dp"), lit(0.0)) - coalesce(col("cp"), lit(0.0)) - col("bal")).as("v"),
         lit("liq").as("src"))
@@ -130,15 +155,16 @@ object CashFlowStatement {
       .select(col("o_move"), col("o_account"), (-col("amount")).as("rec"))
     val recon = r1.unionByName(r2)
       .groupBy(col("o_move"), col("o_account")).agg(sum(col("rec")).as("rec"))
-    // balance of the reconciled accounts inside their move
-    val reconAmt = lines.groupBy(col("move_id").as("o_move"), col("account").as("o_account"))
-      .agg(sum(col("balance")).as("amt"))
+    // the reconciled-move set is the spine for BOTH per-account balance
+    // frames below — one distinct, shared
+    val reconMoves = recon.select(col("o_move")).distinct()
+    val reconAmt = reconciledMoveBalances(lines, reconMoves)
     val reconFull = recon.join(reconAmt, Seq("o_move", "o_account"), "left")
     val perMove = reconFull.groupBy(col("o_move"))
       .agg(sum(col("rec")).as("total_rec"),
         sum(coalesce(col("amt"), lit(0.0))).as("total_amt"))
     // every line of the reconciled moves, grouped per account
-    val mv = lines.join(recon.select(col("o_move").as("move_id")).distinct(),
+    val mv = lines.join(reconMoves.withColumnRenamed("o_move", "move_id"),
         Seq("move_id"), "left_semi")
       .groupBy(col("move_id").as("o_move"), col("account").as("o_account"),
         col("atype"), col("tag"))

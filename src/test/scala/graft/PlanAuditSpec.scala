@@ -341,6 +341,30 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("cash-flow reconAmt semi-joins the reconciled moves BEFORE aggregating") {
+    // r13 verdict's one plan defect: the (move, account) balance frame
+    // aggregated the FULL journal, then left-joined into the bounded
+    // recon set — a full-fact shuffle paid for rows that are discarded.
+    // Pin the fixed shape on the real compute path: the aggregate's
+    // subtree must contain the LeftSemi prune, i.e. the semi-join runs
+    // UNDER the groupBy, not after it.
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import spark.implicits._
+    val lines = Seq((1L, 10L, "a1", 5.0), (2L, 11L, "a2", -5.0))
+      .toDF("line_id", "move_id", "account", "balance")
+    val reconMoves = Seq(10L).toDF("o_move")
+    val qe = graft.report.CashFlowStatement
+      .reconciledMoveBalances(lines, reconMoves).queryExecution
+    val aggs = qe.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty)
+    aggs.foreach { a =>
+      val semisBelow = a.child.collect { case j: Join if j.joinType == LeftSemi => j }
+      assert(semisBelow.nonEmpty,
+        s"reconAmt aggregate lost its pre-aggregate semi-join prune:\n${qe.optimizedPlan}")
+    }
+  }
+
   test("GLOBAL sweep: no query plans a cartesian product, a non-scalar " +
       "nested loop, or a partition-less window") {
     // Every per-query audit above pins a query someone already suspected;
