@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   * for the final small groupBy. */
 object TaxTags {
 
+  /** The `tax_tag_invert` flag a journal line carries into [[evaluate]]
+    * (reference semantics pinned by
+    * account_reports/tests/test_tax_report.py:1972-2047 — an entry plus
+    * its cancel-reversal must DOUBLE the report lines, not zero them):
+    * for `entry` moves the flag follows the tax direction and refund
+    * side ((sale ∧ ¬refund) ∨ (purchase ∧ refund)); for documents it is
+    * the inbound set (out_invoice / out_receipt / in_refund). */
+  def tagInvert(moveType: String, taxUse: String, isRefund: Boolean): Boolean =
+    if (moveType == "entry")
+      (taxUse == "sale" && !isRefund) || (taxUse == "purchase" && isRefund)
+    else Set("out_invoice", "out_receipt", "in_refund").contains(moveType)
+
   /** Evaluate tag totals.
     * `facts`: (fact_id, amount, tax_tag_invert: boolean).
     * `bridge`: (fact_id, tag_id).

@@ -498,17 +498,131 @@ object ReportOps {
       |  UNION ALL SELECT 16, 'closing_balance', CAST(op + pl AS DOUBLE) FROM g)
       |ORDER BY ord""".stripMargin
 
+  /** q171 — the VAT closing entry ([[graft.report.VatClosing]],
+    * account_generic_tax_report.py:586-865) end-to-end: tax repartition
+    * lines derived from `lineitem` (two tax groups, four taxes, three
+    * accounts, a foreign fpos slice, some unposted / non-closing rows),
+    * property-account history derived from `orders`, then the full
+    * algorithm — period sums reversed per (tax, account), property
+    * accounts balanced through end date, the net booked payable or
+    * receivable per group triplet. The oracle replays every stage. */
+  def q171(s: SparkSession, d: String): DataFrame = {
+    import graft.report.VatClosing
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") <= 400)
+    val qty = col("l_quantity").cast("double")
+    val taxLines = li.select(
+      when(col("l_orderkey") % 3 === 0, lit("FP1")).otherwise(lit(null: String)).as("fpos"),
+      concat(lit("g"), (col("l_partkey") % 2).cast("string")).as("tax_group"),
+      (col("l_partkey") % 4).cast("long").as("tax_id"),
+      concat(lit("tax"), (col("l_partkey") % 4).cast("string")).as("tax_name"),
+      concat(lit("acct"), (col("l_suppkey") % 3).cast("string")).as("account"),
+      when(col("l_linenumber") % 2 === 1, qty).otherwise(-qty).as("balance"),
+      col("l_shipdate").cast("timestamp").as("d"),
+      (col("l_linenumber") % 3 =!= 0).as("closing"),
+      (col("l_orderkey") % 7 =!= 0).as("posted"))
+    val history = Tables.orders(s, d).select(
+      element_at(array(lit("adv1"), lit("recv0"), lit("pay1"), lit("other")),
+        (col("o_custkey") % 4 + 1).cast("int")).as("account"),
+      when(col("o_orderkey") % 2 === 0, col("o_totalprice"))
+        .otherwise(-col("o_totalprice")).as("balance"),
+      col("o_orderdate").cast("timestamp").as("d"),
+      (col("o_orderkey") % 5 =!= 0).as("posted"))
+    val groups = Seq(
+      VatClosing.GroupAccounts("g0", None, "recv0", "pay0"),
+      VatClosing.GroupAccounts("g1", Some("adv1"), "recv1", "pay1"))
+    val res = VatClosing.compute(taxLines, history, groups,
+      LocalDate.of(1995, 1, 1), LocalDate.of(1995, 12, 31),
+      LocalDate.of(1995, 12, 31), Seq(None, Some("FP1")))
+    import s.implicits._
+    res.toSeq.flatMap { case (fpos, lines) =>
+      lines.map(l => (fpos.getOrElse("domestic"), l.name,
+        math.floor(l.debit * 100 + 0.5) / 100,
+        math.floor(l.credit * 100 + 0.5) / 100, l.account))
+    }.toDF("fpos", "name", "debit", "credit", "account")
+      .orderBy("fpos", "name", "account")
+  }
+
+  val q171Sql: String =
+    """WITH tl AS MATERIALIZED (
+      |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'FP1' ELSE 'domestic' END AS fpos,
+      |         'g' || CAST(l_partkey % 2 AS VARCHAR) AS grp,
+      |         l_partkey % 4 AS tax_id,
+      |         'tax' || CAST(l_partkey % 4 AS VARCHAR) AS tax_name,
+      |         'acct' || CAST(l_suppkey % 3 AS VARCHAR) AS account,
+      |         CASE WHEN l_linenumber % 2 = 1 THEN CAST(l_quantity AS DOUBLE)
+      |              ELSE -CAST(l_quantity AS DOUBLE) END AS bal
+      |  FROM lineitem
+      |  WHERE l_orderkey <= 400 AND l_orderkey % 7 <> 0 AND l_linenumber % 3 <> 0
+      |    AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'),
+      |sums AS MATERIALIZED (
+      |  SELECT fpos, grp, tax_id, tax_name, account, sum(bal) AS amt
+      |  FROM tl GROUP BY 1, 2, 3, 4, 5),
+      |taxlines AS (
+      |  SELECT fpos, tax_name AS name,
+      |         CASE WHEN amt < 0 THEN -amt ELSE 0 END AS debit,
+      |         CASE WHEN amt > 0 THEN amt ELSE 0 END AS credit,
+      |         account
+      |  FROM sums),
+      |hb AS MATERIALIZED (
+      |  SELECT CASE o_custkey % 4 WHEN 0 THEN 'adv1' WHEN 1 THEN 'recv0'
+      |              WHEN 2 THEN 'pay1' ELSE 'other' END AS account,
+      |         sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice
+      |                  ELSE -o_totalprice END) AS bal
+      |  FROM orders WHERE o_orderkey % 5 <> 0 AND o_orderdate <= DATE '1995-12-31'
+      |  GROUP BY 1),
+      |props AS MATERIALIZED (
+      |  SELECT fpos, grp,
+      |         CASE grp WHEN 'g1' THEN 'adv1' END AS adv,
+      |         CASE grp WHEN 'g0' THEN 'recv0' ELSE 'recv1' END AS recv,
+      |         CASE grp WHEN 'g0' THEN 'pay0' ELSE 'pay1' END AS pay,
+      |         sum(amt) AS total
+      |  FROM sums GROUP BY 1, 2 HAVING abs(sum(amt)) >= 0.005),
+      |roles AS (
+      |  SELECT fpos, grp, 'advance' AS role, adv AS account FROM props WHERE adv IS NOT NULL
+      |  UNION ALL SELECT fpos, grp, 'receivable', recv FROM props
+      |  UNION ALL SELECT fpos, grp, 'payable', pay FROM props),
+      |rb AS MATERIALIZED (
+      |  SELECT r.*, coalesce(h.bal, 0) AS bal
+      |  FROM roles r LEFT JOIN hb h ON h.account = r.account),
+      |proplines AS (
+      |  SELECT fpos,
+      |         CASE role WHEN 'advance' THEN 'Balance tax advance payment account'
+      |              WHEN 'receivable' THEN 'Balance tax current account (receivable)'
+      |              ELSE 'Balance tax current account (payable)' END AS name,
+      |         CASE WHEN bal < 0 THEN abs(bal) ELSE 0 END AS debit,
+      |         CASE WHEN bal > 0 THEN abs(bal) ELSE 0 END AS credit,
+      |         account
+      |  FROM rb WHERE abs(bal) >= 0.005),
+      |nets AS (
+      |  SELECT p.fpos,
+      |         CASE WHEN t.total < 0 THEN 'Payable tax amount'
+      |              ELSE 'Receivable tax amount' END AS name,
+      |         CASE WHEN t.total > 0 THEN t.total ELSE 0 END AS debit,
+      |         CASE WHEN t.total < 0 THEN abs(t.total) ELSE 0 END AS credit,
+      |         CASE WHEN t.total < 0 THEN p.pay ELSE p.recv END AS account
+      |  FROM props p
+      |  JOIN (SELECT p2.fpos, p2.grp,
+      |               p2.total + coalesce((SELECT sum(bal) FROM rb
+      |                                    WHERE rb.fpos = p2.fpos AND rb.grp = p2.grp), 0) AS total
+      |        FROM props p2) t ON t.fpos = p.fpos AND t.grp = p.grp
+      |  WHERE abs(t.total) >= 0.005)
+      |SELECT fpos, name, round(debit, 2) AS debit, round(credit, 2) AS credit, account
+      |FROM (SELECT * FROM taxlines
+      |      UNION ALL SELECT * FROM proplines
+      |      UNION ALL SELECT * FROM nets)
+      |ORDER BY fpos, name, account""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
     "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
     "q53_pivot_register" -> (q53 _), "q54_report_runner" -> (q54 _),
     "q55_multicurrency_reval" -> (q55 _), "q56_cash_flow" -> (q56 _),
-    "q170_cash_flow_statement" -> (q170 _))
+    "q170_cash_flow_statement" -> (q170 _), "q171_vat_closing" -> (q171 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
     "q50_running_ledger" -> q50Sql, "q51_groupby_chain" -> q51Sql,
     "q53_pivot_register" -> q53Sql, "q54_report_runner" -> q54Sql,
     "q55_multicurrency_reval" -> q55Sql, "q56_cash_flow" -> q56Sql,
-    "q170_cash_flow_statement" -> q170Sql)
+    "q170_cash_flow_statement" -> q170Sql, "q171_vat_closing" -> q171Sql)
 }
