@@ -612,17 +612,153 @@ object ReportOps {
       |      UNION ALL SELECT * FROM nets)
       |ORDER BY fpos, name, account""".stripMargin
 
+  /** q172 — the generic tax report's default part
+    * ([[graft.report.GenericTaxReport]],
+    * account_generic_tax_report.py:115-272) end-to-end over two
+    * comparison periods: base/tax rows derived from `lineitem` exercise
+    * every attribution rule — plain bases per type, a sale tax
+    * affecting a purchase tax's base (books under the SALE section), a
+    * non-expanded group tax (bases and child tax amls on the group
+    * row), the ignored own-group affect-base rows, and the
+    * once-per-period extra base an outside tax adds to a group. The
+    * oracle replays the attribution and the signed blank-if-zero
+    * cells per (section, tax, period). */
+  def q172(s: SparkSession, d: String): DataFrame = {
+    import graft.report.GenericTaxReport
+    import graft.report.GenericTaxReport.{Flat, Tax}
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") <= 300)
+    val qty = col("l_quantity").cast("double")
+    val signed = when(col("l_linenumber") % 2 === 1, qty).otherwise(-qty)
+    val period = concat(lit("p"), (month(col("l_shipdate")) % 2).cast("string"))
+    val account = concat(lit("a"), (col("l_suppkey") % 2).cast("string"))
+    val taxId = element_at(array(lit(1L), lit(2L), lit(3L), lit(9L)),
+      (col("l_partkey") % 4 + 1).cast("int"))
+    val noL: org.apache.spark.sql.Column = lit(null).cast("long")
+    val plain = li.select(period.as("period"), account.as("account"),
+      taxId.as("tax_id"), noL.as("src_tax_id"), noL.as("src_group_tax_id"),
+      signed.as("balance"))
+    // a sale tax's aml affecting the purchase tax's base (rule c)
+    val crossSrc = li.filter(col("l_linenumber") === 1)
+      .select(period.as("period"), account.as("account"),
+        lit(2L).as("tax_id"), lit(1L).cast("long").as("src_tax_id"),
+        noL.as("src_group_tax_id"), (signed * 0.1).as("balance"))
+    // a group child affecting its sibling INSIDE the group (ignored)
+    val ownGroup = li.filter(col("l_linenumber") === 2)
+      .select(period.as("period"), account.as("account"),
+        lit(4L).cast("long").as("tax_id"), lit(3L).cast("long").as("src_tax_id"),
+        lit(9L).cast("long").as("src_group_tax_id"), (signed * 0.2).as("balance"))
+    // an outside tax affecting a group child (extra base, once/period)
+    val extraBase = li.filter(col("l_linenumber") === 3)
+      .select(period.as("period"), lit("a0").as("account"),
+        lit(3L).cast("long").as("tax_id"), lit(1L).cast("long").as("src_tax_id"),
+        noL.as("src_group_tax_id"), (signed * 0.3).as("balance"))
+    val baseRows = plain.unionByName(crossSrc).unionByName(ownGroup)
+      .unionByName(extraBase)
+    val taxRows = li.select(period.as("period"), account.as("account"),
+      taxId.as("tax_id"),
+      when(taxId.isin(3L, 9L), lit(9L)).cast("long").as("group_tax_id"),
+      (signed * 0.5).as("balance"))
+      .withColumn("tax_id", when(col("tax_id") === 9L, 3L).otherwise(col("tax_id")))
+    val taxes = Seq(Tax(1, "tax1", "sale", sequence = 1),
+      Tax(2, "tax2", "purchase", sequence = 2),
+      Tax(3, "tax3", "none", sequence = 3), Tax(4, "tax4", "none", sequence = 4),
+      Tax(9, "tax9", "sale", isGroup = true, children = Seq(3, 4), sequence = 9))
+    val lines = GenericTaxReport.compute(baseRows, taxRows, taxes,
+      Seq("p0", "p1"), Flat)
+    import s.implicits._
+    var section = ""
+    lines.flatMap { l =>
+      if (l.level == 0 && !l.name.startsWith("Total ")) {
+        section = if (l.name == "Sales") "sale" else "purchase"; None
+      }
+      else {
+        val nm = if (l.name.startsWith("Total ")) "(total)" else l.name
+        Some((section, nm, l.cells(0), l.cells(1), l.cells(2), l.cells(3)))
+      }
+    }.toDF("section", "name", "net0", "tax0", "net1", "tax1")
+      .orderBy("section", "name")
+  }
+
+  val q172Sql: String =
+    """WITH li AS MATERIALIZED (
+      |  SELECT 'p' || CAST(month(l_shipdate) % 2 AS VARCHAR) AS period,
+      |         'a' || CAST(l_suppkey % 2 AS VARCHAR) AS account,
+      |         CASE l_partkey % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 9 END AS tax_id,
+      |         l_linenumber AS ln,
+      |         CASE WHEN l_linenumber % 2 = 1 THEN CAST(l_quantity AS DOUBLE)
+      |              ELSE -CAST(l_quantity AS DOUBLE) END AS bal
+      |  FROM lineitem WHERE l_orderkey <= 300),
+      |-- attributed (section, tax, period) base sums, replaying the rules
+      |base_attr AS MATERIALIZED (
+      |  -- re-aggregate across the rule branches: (sale, tax9) gets rows
+      |  -- from BOTH the plain-group branch and the extra-base branch
+      |  SELECT section, tax, period, sum(net) AS net FROM (
+      |    -- plain bases: tax1 → sale, tax2 → purchase, tax9 (group,
+      |    -- children all 'none') → sale; tax3 ('none') is filtered out
+      |    SELECT CASE tax_id WHEN 2 THEN 'purchase' ELSE 'sale' END AS section,
+      |           tax_id AS tax, period, sum(bal) AS net
+      |    FROM li WHERE tax_id IN (1, 2, 9) GROUP BY 1, 2, 3
+      |    UNION ALL
+      |    -- a sale tax affecting the purchase tax's base books the
+      |    -- purchase tax under the SALE section (rule c)
+      |    SELECT 'sale', 2, period, sum(bal * 0.1) FROM li WHERE ln = 1 GROUP BY 3
+      |    UNION ALL
+      |    -- the outside tax's extra base on the group, once per period
+      |    -- (single aggregated row: account pinned to a0)
+      |    SELECT 'sale', 9, period, sum(bal * 0.3) FROM li WHERE ln = 3 GROUP BY 3)
+      |  -- own-group affect-base rows (ln = 2) are IGNORED
+      |  GROUP BY 1, 2, 3),
+      |tax_attr AS MATERIALIZED (
+      |  SELECT CASE WHEN tax_id IN (3, 9) THEN 'sale'
+      |              WHEN tax_id = 2 THEN 'purchase' ELSE 'sale' END AS section,
+      |         CASE WHEN tax_id IN (3, 9) THEN 9 ELSE tax_id END AS tax,
+      |         period, sum(bal * 0.5) AS tax_amt
+      |  FROM li GROUP BY 1, 2, 3),
+      |cells AS MATERIALIZED (
+      |  SELECT coalesce(b.section, t.section) AS section,
+      |         coalesce(b.tax, t.tax) AS tax,
+      |         coalesce(b.period, t.period) AS period,
+      |         coalesce(b.net, 0) AS net, coalesce(t.tax_amt, 0) AS tax_amt
+      |  FROM base_attr b FULL OUTER JOIN tax_attr t
+      |    ON b.section = t.section AND b.tax = t.tax AND b.period = t.period),
+      |signed AS (
+      |  SELECT section, tax, period,
+      |         CASE WHEN section = 'sale' THEN -net ELSE net END AS net,
+      |         CASE WHEN section = 'sale' THEN -tax_amt ELSE tax_amt END AS tax_amt
+      |  FROM cells),
+      |leaf AS (
+      |  SELECT section, 'tax' || CAST(tax AS VARCHAR) AS name,
+      |         max(CASE WHEN period = 'p0' THEN net END) AS net0,
+      |         max(CASE WHEN period = 'p0' THEN tax_amt END) AS tax0,
+      |         max(CASE WHEN period = 'p1' THEN net END) AS net1,
+      |         max(CASE WHEN period = 'p1' THEN tax_amt END) AS tax1
+      |  FROM signed GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT section, '(total)' AS name,
+      |         CAST(NULL AS DOUBLE) AS net0, sum(CASE WHEN period = 'p0' THEN tax_amt ELSE 0 END) AS tax0,
+      |         CAST(NULL AS DOUBLE) AS net1, sum(CASE WHEN period = 'p1' THEN tax_amt ELSE 0 END) AS tax1
+      |  FROM signed GROUP BY 1)
+      |SELECT section, name,
+      |       CASE WHEN abs(coalesce(net0, 0)) < 0.005 THEN NULL ELSE round(net0, 3) END AS net0,
+      |       CASE WHEN abs(coalesce(tax0, 0)) < 0.005 THEN NULL ELSE round(tax0, 3) END AS tax0,
+      |       CASE WHEN abs(coalesce(net1, 0)) < 0.005 THEN NULL ELSE round(net1, 3) END AS net1,
+      |       CASE WHEN abs(coalesce(tax1, 0)) < 0.005 THEN NULL ELSE round(tax1, 3) END AS tax1
+      |FROM (SELECT * FROM leaf UNION ALL SELECT * FROM tot)
+      |ORDER BY section, name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
     "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
     "q53_pivot_register" -> (q53 _), "q54_report_runner" -> (q54 _),
     "q55_multicurrency_reval" -> (q55 _), "q56_cash_flow" -> (q56 _),
-    "q170_cash_flow_statement" -> (q170 _), "q171_vat_closing" -> (q171 _))
+    "q170_cash_flow_statement" -> (q170 _), "q171_vat_closing" -> (q171 _),
+    "q172_generic_tax_report" -> (q172 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
     "q50_running_ledger" -> q50Sql, "q51_groupby_chain" -> q51Sql,
     "q53_pivot_register" -> q53Sql, "q54_report_runner" -> q54Sql,
     "q55_multicurrency_reval" -> q55Sql, "q56_cash_flow" -> q56Sql,
-    "q170_cash_flow_statement" -> q170Sql, "q171_vat_closing" -> q171Sql)
+    "q170_cash_flow_statement" -> q170Sql, "q171_vat_closing" -> q171Sql,
+    "q172_generic_tax_report" -> q172Sql)
 }
