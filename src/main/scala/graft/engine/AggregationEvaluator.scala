@@ -82,7 +82,14 @@ object AggregationEvaluator {
     * underscore. */
   private def tokenize(s: String): List[String] = {
     val re = """\d+(?:\.\d+)?[eE][+-]?\d+|\d+\.\d+|[A-Za-z_\d.]*[A-Za-z_][A-Za-z_\d.]*|\d+|[()+\-*/]""".r
-    re.findAllIn(s).toList
+    val tokens = re.findAllIn(s).toList
+    // findAllIn silently SKIPS characters no alternative matches (a
+    // stray '.' in "1.2.3" would tokenize as 1.2 and 3 and evaluate to a
+    // wrong value); the reference raises for malformed formulas instead,
+    // so require the tokens to reconstruct the whitespace-free input
+    require(tokens.mkString == s.replaceAll("\\s", ""),
+      s"malformed formula: $s")
+    tokens
   }
 
   private def parseAst(tokens: List[String]): Ast = {

@@ -62,8 +62,12 @@ object DateFilter {
     case "month" => fmtMonth.format(to)
     case "quarter" => s"Q${(to.getMonthValue - 1) / 3 + 1} ${to.getYear}"
     case "fiscalyear" => fyString(from, to, fyName)
+    case "year" => to.getYear.toString
     case _ => s"From ${fmtDate.format(from)}\nto  ${fmtDate.format(to)}"
   }
+
+  private def calendarYear(d: LocalDate): (LocalDate, LocalDate) =
+    (LocalDate.of(d.getYear, 1, 1), LocalDate.of(d.getYear, 12, 31))
 
   private def mk(periodType: String, mode: String, from: LocalDate,
                  to: LocalDate, fyName: Option[String] = None): Period = {
@@ -109,7 +113,13 @@ object DateFilter {
         else if (quarterBounds(to) == ((from, to))) "quarter"
         else {
           val (ff, ft, _) = fyBounds(to, fc)
-          if ((ff, ft) == ((from, to))) "fiscalyear" else "custom"
+          if ((ff, ft) == ((from, to))) "fiscalyear"
+          // the reference's trailing branches (account_report.py:374-378):
+          // a CALENDAR year under a non-calendar fiscal config is 'year',
+          // and (month start, today) is 'today'
+          else if (calendarYear(to) == ((from, to))) "year"
+          else if (from == monthBounds(to)._1 && to == today) "today"
+          else "custom"
         }
       val fyName = if (recognized == "fiscalyear") fyBounds(to, fc)._3 else None
       mk(recognized, mode, from, to, fyName)
@@ -136,29 +146,35 @@ object DateFilter {
           stepType match {
             case "month" => val (f, t) = monthBounds(eve); mk("month", base.mode, f, t)
             case "quarter" => val (f, t) = quarterBounds(eve); mk("quarter", base.mode, f, t)
+            case "year" =>
+              // a 'year' period steps through CALENDAR years
+              // (account_report.py:437-438), not the company fiscal year
+              val (f, t) = calendarYear(eve); mk("year", base.mode, f, t)
             case _ =>
               val (f, t, name) = fyBounds(eve, fc)
               mk("fiscalyear", base.mode, f, t, name)
           }
         }.drop(1).take(n).toSeq
       case "same_last_year" =>
+        // the reference shifts BOTH dates plainly by a year and keeps the
+        // period type (_get_dates_previous_year, account_report.py:
+        // 441-459); only 'month' re-derives its bounds from the shifted
+        // date_to, and a fiscalyear period re-reads only the DISPLAY
+        // name from a record containing the shifted date — with custom
+        // fiscal-year records not covering the shifted year the result
+        // keeps the shifted record shape, never snaps to the computed
+        // company year
         (1 to n).map { i =>
+          val f0 = base.dateFrom.get.minusYears(i)
+          val t0 = base.dateTo.minusYears(i)
           base.periodType match {
             case "month" =>
-              val (f, t) = monthBounds(base.dateFrom.get.minusYears(i))
-              mk("month", base.mode, f, t)
-            case "quarter" =>
-              val (f, t) = quarterBounds(base.dateFrom.get.minusYears(i))
-              mk("quarter", base.mode, f, t)
+              val (f, t) = monthBounds(t0); mk("month", base.mode, f, t)
             case "fiscalyear" =>
-              val (f, t, name) = fyBounds(base.dateTo.minusYears(i), fc)
-              mk("fiscalyear", base.mode, f, t, name)
-            case "today" =>
-              val to = base.dateTo.minusYears(i)
-              mk("today", base.mode, fyBounds(to, fc)._1, to)
-            case _ =>
-              val to = base.dateTo.minusYears(i)
-              mk("custom", base.mode, base.dateFrom.get.minusYears(i), to)
+              val name = fc.customYears
+                .find(y => !t0.isBefore(y.from) && !t0.isAfter(y.to)).map(_.name)
+              mk("fiscalyear", base.mode, f0, t0, name)
+            case t => mk(t, base.mode, f0, t0)
           }
         }
       case "custom" =>

@@ -89,6 +89,21 @@ class EngineSpec extends AnyFunSuite {
     assert(out("A.b") == 14.0 && out("B.b") == 20.0 && out("C.b") == -9.0)
   }
 
+  test("aggregation: a malformed formula raises instead of silently dropping characters") {
+    // r13 ADVICE: findAllIn skips unmatched characters — '1.2.3' used to
+    // tokenize as (1.2, 3) and evaluate to a wrong value; the reference
+    // raises a UserError for formulas its grammar cannot read
+    intercept[IllegalArgumentException] {
+      evaluate(Map("A.b" -> Expr("1.2.3 + X.b")), Map("X.b" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      evaluate(Map("A.b" -> Expr("X.b ; drop")), Map("X.b" -> 1.0))
+    }
+    // whitespace is still free between tokens
+    assert(evaluate(Map("A.b" -> Expr("  1.5  +  X.b ")),
+      Map("X.b" -> 0.5))("A.b") == 2.0)
+  }
+
   test("aggregation: property — linear formulas match direct arithmetic") {
     val gen = new scala.util.Random(42)
     (1 to 200).foreach { _ =>

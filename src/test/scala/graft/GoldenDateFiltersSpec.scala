@@ -118,6 +118,51 @@ class GoldenDateFiltersSpec extends AnyFunSuite {
       p("custom 0", "fiscalyear", "range", "2017-10-01", "2017-12-31"))
   }
 
+  test("a calendar year under a non-calendar fiscal config recognizes as 'year' (reference account_report.py:374-375)") {
+    val fc = FiscalConfig(lastMonth = 6, lastDay = 30)
+    val y = DateFilter.resolve("custom", "range", dec31, fc,
+      customFrom = Some(d("2017-01-01")), customTo = Some(d("2017-12-31")))
+    assert(y == p("2017", "year", "range", "2017-01-01", "2017-12-31"))
+    // previous_period steps CALENDAR years (account_report.py:437-438),
+    // never snapping to the company's June-30 fiscal year
+    assert(DateFilter.comparisons(y, "previous_period", 2, fc) == Seq(
+      p("2016", "year", "range", "2016-01-01", "2016-12-31"),
+      p("2015", "year", "range", "2015-01-01", "2015-12-31")))
+    // same_last_year keeps the 'year' type through the plain shift
+    assert(DateFilter.comparisons(y, "same_last_year", 1, fc) == Seq(
+      p("2016", "year", "range", "2016-01-01", "2016-12-31")))
+  }
+
+  test("a (month start, today) range recognizes as 'today' (reference account_report.py:376-377)") {
+    // mid-month, so the full-month branch (checked first) cannot match
+    val mid = d("2017-12-15")
+    val t = DateFilter.resolve("custom", "range", mid,
+      customFrom = Some(d("2017-12-01")), customTo = Some(mid))
+    assert(t.periodType == "today")
+    assert((t.dateFrom.get, t.dateTo) == ((d("2017-12-01"), mid)))
+    // but the same shape NOT ending today stays a month or custom range
+    val notToday = DateFilter.resolve("custom", "range", dec31,
+      customFrom = Some(d("2017-11-01")), customTo = Some(d("2017-11-15")))
+    assert(notToday.periodType == "custom")
+    // a 'today' period steps previous periods through fiscal years
+    // (_get_dates_previous_period groups it with fiscalyear, :432-436):
+    // the year containing the eve of Dec 1
+    assert(DateFilter.comparisons(t, "previous_period", 1) == Seq(
+      p("2017", "fiscalyear", "range", "2017-01-01", "2017-12-31")))
+  }
+
+  test("same_last_year on a custom-record fiscal year keeps the shifted shape (reference :441-459)") {
+    // ONE quarterly record for Q4 2017 only: the shifted year has no
+    // record, so the result must be the plain shift of both dates — not
+    // the computed company year around the shifted date
+    val fc = FiscalConfig(customYears =
+      Seq(CustomYear("my q4", d("2017-10-01"), d("2017-12-31"))))
+    val base = DateFilter.resolve("this_year", "range", dec31, fc)
+    assert(base == p("my q4", "fiscalyear", "range", "2017-10-01", "2017-12-31"))
+    assert(DateFilter.comparisons(base, "same_last_year", 1, fc) == Seq(
+      p("2016", "fiscalyear", "range", "2016-10-01", "2016-12-31")))
+  }
+
   test("single mode: today anchors at the fiscal-year start (reference :637-707)") {
     val today = DateFilter.resolve("today", "single", d("2017-12-30"))
     assert(today == p("As of 12/30/2017", "today", "single", "2017-01-01", "2017-12-30"))
