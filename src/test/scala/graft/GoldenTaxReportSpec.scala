@@ -350,6 +350,27 @@ class GoldenTaxReportSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a tax can feed BOTH a local and a foreign country's report (reference :2228-2283)") {
+    // multi-VAT: one invoice's lines carry the local report's tags AND
+    // the foreign report's tags; each report reads its own tag set and
+    // sees the same 100 / 20
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, -100.0, true, Seq("+base_local", "+base_foreign")),
+      (2L, -20.0, true, Seq("+tax_local", "+tax_foreign")))
+    val facts = rows.map(r => (r._1, r._2, r._3)).toDF("fact_id", "amount", "tax_tag_invert")
+    val tagNames = rows.flatMap(_._4).distinct
+    val tags = tagNames.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("tag_id", "tag_name")
+    val tagId = tagNames.zipWithIndex.toMap
+    val bridge = rows.flatMap(r => r._4.map(t => (r._1, tagId(t).toLong)))
+      .toDF("fact_id", "tag_id")
+    val m = TaxTags.evaluate(facts, bridge, tags)
+      .collect().map(r => r.getString(0) -> r2(r.getDouble(1))).toMap
+    assert(m("base_local") == 100.0 && m("tax_local") == 20.0)
+    assert(m("base_foreign") == 100.0 && m("tax_foreign") == 20.0)
+  }
+
   // ---- entry + reversal signs (:1972-2047) ---------------------------------
 
   test("entry moves and their cancel-reversals DOUBLE the report, never zero it (reference :1972-2047)") {
