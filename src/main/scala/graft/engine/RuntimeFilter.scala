@@ -2,6 +2,10 @@ package graft.engine
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Manual runtime filter: build a Bloom filter over the dimension's join
   * keys and pre-filter the fact side before the shuffle — the pattern
@@ -14,9 +18,14 @@ import org.apache.spark.sql.functions._
   * match. False positives only cost the join a little work — the exact
   * equi-join still runs after — and there are NO false negatives.
   *
-  * The membership probe is a broadcast Bloom + UDF, not a Catalyst
-  * expression: the only public mightContain surface is the sketch object
-  * itself. It sits in front of an exact join, never decides results. */
+  * The probe is Spark's own native pair (r13 ADVICE): the sketch comes
+  * out of `BloomFilterAggregate` as a binary blob and the fact filters
+  * through `BloomFilterMightContain` over `xxhash64(key)` — the exact
+  * expressions `InjectRuntimeFilter` plants, codegen-friendly, with the
+  * sketch inlined as a literal instead of a broadcast UDF closure.
+  * [[bloomPruneSketch]] keeps the UDF fallback for callers holding a
+  * prebuilt `BloomFilter` sketch OBJECT (no public expression surface
+  * accepts one). */
 object RuntimeFilter {
 
   /** Prune `fact` rows whose LONG `factKey` cannot match any `dim`
@@ -24,8 +33,28 @@ object RuntimeFilter {
   def bloomPrune(fact: DataFrame, factKey: String, dim: DataFrame,
                  dimKey: String, expectedItems: Long = 1000000L,
                  fpp: Double = 0.01): DataFrame = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    // optimal m for (n, p): -n·ln p / ln²2 (the classic Bloom sizing)
+    val numBits = math.max(64L,
+      (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val sketch = dim.select(Bridge.column(
+        new BloomFilterAggregate(
+          new XxHash64(Seq(Bridge.expression(col(dimKey)))),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (sketch == null) fact.filter(lit(false)) // empty dimension
+    else fact.filter(col(factKey).isNotNull &&
+      Bridge.column(BloomFilterMightContain(
+        Literal(sketch, BinaryType),
+        new XxHash64(Seq(Bridge.expression(col(factKey)))))))
+  }
+
+  /** UDF fallback for a PREBUILT sketch object (`df.stat.bloomFilter` or
+    * a sketch deserialized from storage): no public native expression
+    * accepts the object form, so the probe closes over a broadcast. */
+  def bloomPruneSketch(fact: DataFrame, factKey: String,
+                       sketch: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bc = fact.sparkSession.sparkContext.broadcast(sketch)
     val might = udf((k: java.lang.Long) =>
       k != null && bc.value.mightContainLong(k))
     fact.filter(might(col(factKey)))

@@ -63,6 +63,34 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected real pruning with few false positives, kept $n of 1001")
   }
 
+  test("bloom probe is the native might_contain expression, not a UDF (r13 ADVICE)") {
+    val s = spark; import s.implicits._
+    import graft.engine.RuntimeFilter
+    // parquet-backed fact: a local relation would be constant-folded
+    // away (ConvertToLocalRelation), hiding the probe from the plan
+    val fact = Tables.orders(s, "/root/testdata/sf0.001")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("payload"))
+    val dim = (1L to 100L by 7L).map(k => (k, s"d$k")).toDF("dk", "dv")
+    val pruned = RuntimeFilter.bloomPrune(fact, "k", dim, "dk",
+      expectedItems = 50, fpp = 0.03)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected the native BloomFilterMightContain probe in:\n$plan")
+    assert(!plan.contains("UDF("),
+      "the probe must stay codegen-friendly — no Scala UDF in the plan")
+    // no false negatives: every actually-joining key survives the prune
+    val exact = fact.join(dim, col("k") === col("dk"))
+      .select("k").as[Long].collect().toSet
+    val kept = pruned.select("k").as[Long].collect().toSet
+    assert(exact.subsetOf(kept), "native probe lost matching rows")
+    // the sketch-object fallback also never loses a matching key (its
+    // false-positive SET may differ — different hashing family)
+    val sketch = dim.stat.bloomFilter("dk", 50, 0.03)
+    val viaSketch = RuntimeFilter.bloomPruneSketch(fact, "k", sketch)
+      .select("k").as[Long].collect().toSet
+    assert(exact.subsetOf(viaSketch), "sketch fallback lost matching rows")
+  }
+
   test("partitioned sink: day partitions land and retention drops old ones") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_sink").toFile.getPath + "/log"
