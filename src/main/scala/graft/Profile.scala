@@ -617,3 +617,71 @@ object ProfileLenFilter {
     spark.stop()
   }
 }
+
+/** Dev tool: stage-level timing of the q170 cash-flow fixture vs the
+  * statement body (relative A/B, not a bench claim). */
+object ProfileCashFlow {
+  import Profile.time
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.FifoValuation
+    import graft.report.CashFlowStatement
+    for (i <- 1 to 3) {
+      val dedupW = Window
+        .partitionBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_partkey"), col("l_suppkey"))
+      val li = Tables.lineitem(spark, sfDir).filter(col("l_orderkey") <= 600)
+        .withColumn("__rn", row_number().over(dedupW)).filter(col("__rn") === 1)
+      val qty = col("l_quantity").cast("long")
+      val lines = li.select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("line_id"),
+          col("l_orderkey").cast("long").as("move_id"),
+          concat(lit("a"), (col("l_partkey") % 8).cast("string")).as("account"),
+          (col("l_partkey") % 8).as("b"),
+          when(col("l_linenumber") % 2 === 1, qty).otherwise(-qty)
+            .cast("double").as("balance"),
+          col("l_shipdate").cast("timestamp").as("d"))
+        .withColumn("atype",
+          when(col("b") === 0, "asset_cash")
+            .when(col("b").isin(1, 2), "asset_receivable")
+            .when(col("b") === 3, "liability_payable")
+            .otherwise("asset_current"))
+        .withColumn("tag",
+          when(col("b") === 4, "operating").when(col("b") === 5, "investing")
+            .when(col("b") === 6, "financing"))
+      def side(pred: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column,
+               idName: String, dName: String) =
+        FifoValuation.cumInterval(
+          lines.filter(pred).select(col("line_id").as(idName),
+            col("account"), col("d").as(dName), q.cast("long").as("q")),
+          col("account"), Seq(col(dName), col(idName)), col("q")).drop("q")
+      val deb = time("fixture: deb side")(side(col("balance") > 0, col("balance"), "debit_id", "dd").cache())
+      time("fixture: deb count")(deb.count())
+      val cred = side(col("balance") < 0, -col("balance"), "credit_id", "cd")
+      val partials = FifoValuation.allocate(deb, cred, "account", bucketWidth = 64)
+        .select(col("debit_id"), col("credit_id"),
+          col("__matched").cast("double").as("amount"),
+          greatest(col("dd"), col("cd")).as("max_d"))
+      val linesC = time("fixture: lines cache") {
+        val c = lines.select("line_id", "move_id", "account", "atype", "tag", "d", "balance").cache()
+        c.count(); c
+      }
+      val partialsC = time("fixture: partials cache") {
+        val c = partials.cache(); c.count(); c
+      }
+      val r = time("statement: compute")(CashFlowStatement.compute(linesC, partialsC,
+        Seq("a0"), java.time.LocalDate.of(1995, 1, 1), java.time.LocalDate.of(1995, 12, 31)))
+      println("sections=" + r.sections.size)
+      linesC.unpersist(); partialsC.unpersist(); deb.unpersist()
+      spark.catalog.clearCache(); System.gc()
+    }
+    spark.stop()
+  }
+}

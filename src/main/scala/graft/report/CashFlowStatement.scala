@@ -102,17 +102,18 @@ object CashFlowStatement {
     val paymentMoves = lines.filter(liq && inRange).select("move_id")
       .distinct().cache()
     // opening (history before the period) and the period movement come
-    // out of ONE conditional-aggregation scan (A14-style batching)
-    val liquidityRows = lines.filter(liq && col("d") <= ts(to))
+    // out of ONE conditional-aggregation scan (A14-style batching),
+    // unpivoted to (account, v, src) rows so they ride the SAME collect
+    // as the dispatch rows below — one driver action for the whole
+    // statement body instead of one per row family
+    val liquidityRowsDf = lines.filter(liq && col("d") <= ts(to))
       .groupBy(col("account"))
       .agg(sum(when(col("d") < ts(from), col("balance")).otherwise(lit(0.0))).as("open"),
         sum(when(inRange, col("balance")).otherwise(lit(0.0))).as("per"))
-      .collect().toSeq
-    // zero balances are not reported (the reference's is_zero skip, :97)
-    val opening = liquidityRows.map(r => (r.getString(0), r.getDouble(1)))
-      .filter(t => math.abs(t._2) >= 0.005)
-    val period = liquidityRows.map(r => (r.getString(0), r.getDouble(2)))
-      .filter(t => math.abs(t._2) >= 0.005)
+      .select(col("account"), lit(null).cast("string").as("atype"),
+        lit(null).cast("string").as("tag"),
+        expr("stack(2, 'open', open, 'per', per) as (src, v)"))
+      .select("account", "atype", "tag", "v", "src")
 
     // ---- step 2: payment moves' counterpart accounts -------------------
     val nonLiq = lines.join(paymentMoves, Seq("move_id"), "left_semi")
@@ -153,8 +154,13 @@ object CashFlowStatement {
       .join(lid, col("credit_id") === col("line_id"))
       .join(paymentMoves.withColumnRenamed("move_id", "o_move"), Seq("o_move"), "left_anti")
       .select(col("o_move"), col("o_account"), (-col("amount")).as("rec"))
+    // recon feeds FOUR consumers (the reconMoves spine twice, the
+    // reconFull join, the reconVals join) — cache it or each one replays
+    // the r1/r2 three-way joins; it is bounded by the reconciled
+    // (move, account) pairs, far below the journal
     val recon = r1.unionByName(r2)
       .groupBy(col("o_move"), col("o_account")).agg(sum(col("rec")).as("rec"))
+      .cache()
     // the reconciled-move set is the spine for BOTH per-account balance
     // frames below — one distinct, shared
     val reconMoves = recon.select(col("o_move")).distinct()
@@ -189,13 +195,22 @@ object CashFlowStatement {
       .select(col("o_account").as("account"), col("atype"), col("tag"),
         col("v"), lit("recon").as("src"))
 
-    // the two dispatchable sets share a schema — ONE union collect
-    // instead of an action per set (their rows dispatch independently,
-    // so the union is a transport, not a merge)
-    val dispatchRows = liqValsDf.unionByName(reconValsDf)
+    // every row family shares one schema — ONE union collect for the
+    // whole statement body instead of an action per set (the rows
+    // dispatch independently, so the union is a transport, not a merge)
+    val allRows = liquidityRowsDf.unionByName(liqValsDf).unionByName(reconValsDf)
       .collect().toSeq
-      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)), r.getDouble(3)))
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2)),
+        r.getDouble(3), r.getString(4)))
     paymentMoves.unpersist(); nonLiq.unpersist(); effPartials.unpersist()
+    recon.unpersist()
+    // zero balances are not reported (the reference's is_zero skip, :97)
+    val opening = allRows.collect { case (a, _, _, v, "open") if math.abs(v) >= 0.005 => (a, v) }
+    val period = allRows.collect { case (a, _, _, v, "per") if math.abs(v) >= 0.005 => (a, v) }
+    val dispatchRows = allRows.collect {
+      case (a, atype, tag, v, src) if src == "liq" || src == "recon" =>
+        (a, atype.get, tag, v)
+    }
 
     // ---- step 4: dispatch + roll-up (driver side, dozens of rows) ------
     def r2c(v: Double): Double = math.floor(v * 100 + 0.5) / 100
