@@ -61,7 +61,10 @@ object JournalFilter {
       }
 
     (previousSelected, groupAction) match {
-      case (Some(_), Some(GroupAction(action, gid))) =>
+      // a stale toggle naming a group that no longer exists is ignored,
+      // like stale journal ids in the previous selection
+      case (Some(_), Some(GroupAction(action, gid)))
+          if groups.exists(_.id == gid) =>
         val g = groups.find(_.id == gid).get
         if (action == "add")
           // check: the company's journals minus the exclusions (:198-200)

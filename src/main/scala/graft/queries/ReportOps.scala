@@ -626,7 +626,9 @@ object ReportOps {
   def q172(s: SparkSession, d: String): DataFrame = {
     import graft.report.GenericTaxReport
     import graft.report.GenericTaxReport.{Flat, Tax}
-    val li = Tables.lineitem(s, d).filter(col("l_orderkey") <= 300)
+    // five derivation branches read this slice — cache it or each branch
+    // keeps its own lineitem scan in the union plan
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") <= 300).cache()
     val qty = col("l_quantity").cast("double")
     val signed = when(col("l_linenumber") % 2 === 1, qty).otherwise(-qty)
     val period = concat(lit("p"), (month(col("l_shipdate")) % 2).cast("string"))
@@ -665,6 +667,7 @@ object ReportOps {
       Tax(9, "tax9", "sale", isGroup = true, children = Seq(3, 4), sequence = 9))
     val lines = GenericTaxReport.compute(baseRows, taxRows, taxes,
       Seq("p0", "p1"), Flat)
+    li.unpersist()
     import s.implicits._
     var section = ""
     lines.flatMap { l =>

@@ -207,9 +207,11 @@ object CashFlowStatement {
     // zero balances are not reported (the reference's is_zero skip, :97)
     val opening = allRows.collect { case (a, _, _, v, "open") if math.abs(v) >= 0.005 => (a, v) }
     val period = allRows.collect { case (a, _, _, v, "per") if math.abs(v) >= 0.005 => (a, v) }
+    // atype stays nullable: a line on a non-enumerated account dispatches
+    // through the tag/sign fallback, it must not abort the statement
     val dispatchRows = allRows.collect {
       case (a, atype, tag, v, src) if src == "liq" || src == "recon" =>
-        (a, atype.get, tag, v)
+        (a, atype.orNull, tag, v)
     }
 
     // ---- step 4: dispatch + roll-up (driver side, dozens of rows) ------

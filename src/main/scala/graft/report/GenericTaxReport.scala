@@ -60,9 +60,13 @@ object GenericTaxReport {
     val childToGroup: Map[Long, Tax] =
       taxes.filter(_.isGroup).flatMap(g => g.children.map(_ -> g)).toMap
     def toExpand(g: Tax): Boolean =
-      g.children.exists(c => byId(c).use != "none")
+      g.children.exists(c => byId.get(c).exists(_.use != "none"))
+    // rows referencing a tax id absent from the dim (an archived tax a
+    // journal line still carries) sort by raw id and are SKIPPED by the
+    // attribution below — an orphan row must never abort the report
     def sortKey(id: Option[Long]): (Int, Long) =
-      id.map(i => (byId(i).sequence, i)).getOrElse((Int.MinValue, Long.MinValue))
+      id.map(i => (byId.get(i).map(_.sequence).getOrElse(Int.MaxValue), i))
+        .getOrElse((Int.MinValue, Long.MinValue))
 
     // ---- the two bounded aggregations (fact-scale work ends here) -----
     val baseAgg = baseRows
@@ -93,40 +97,49 @@ object GenericTaxReport {
       taxAmt(k) = taxAmt(k) + v; present += k
     }
 
-    val extraBaseBooked = scala.collection.mutable.Set[(String, Long)]()
-    // reference ORDER BY src_group, src_tax, tax sequence (:190-191)
-    // governs which row wins the once-per-group extra-base guard; the
-    // account tiebreaker is ours — the reference's flat path does not
-    // key on account, so its single row per (group, src) maps to our
-    // FIRST account in order (deterministic either way)
+    // once-per-group extra-base guard: the reference books the FIRST row
+    // per group in its ORDER BY src_group, src_tax, tax (:190-218) — but
+    // its flat query does NOT key on account, so that single row carries
+    // the CROSS-ACCOUNT sum. Our aggregation keys on account; the guard
+    // therefore remembers the winning (tax, src) COMBO per (period,
+    // group) and books every account row of that combo — same totals as
+    // the reference, with a per-account distribution for the grouped
+    // layouts — while later combos (a second affecting tax, or the same
+    // src affecting another child) stay skipped like the reference's.
+    val extraBaseCombo = scala.collection.mutable
+      .Map[(String, Long), (Long, Option[Long], Option[Long])]()
     for ((period, account, taxId, srcTax, srcGroup, amt) <- baseAgg
            .sortBy { case (p, a, t, st, sg, _) =>
              (p, sortKey(sg), sortKey(st), sortKey(Some(t)), a)
            }) {
-      val tax = byId(taxId)
-      if (srcTax.isDefined) {
-        val ownGroupChild = srcGroup.exists(g =>
-          !toExpand(byId(g)) && byId(g).children.contains(taxId))
-        if (ownGroupChild) ()  // base of its own non-expanded group (:199-206)
-        else if (tax.use == "none" && childToGroup.contains(taxId)) {
-          val g = childToGroup(taxId)  // extra base on the group, once (:207-218)
-          if (!extraBaseBooked.contains((period, g.id))) {
-            extraBaseBooked += ((period, g.id))
-            addBase((g.use, g.id, account, period), amt)
-          }
-        } else {
-          val use = srcGroup.map(byId(_).use).getOrElse(byId(srcTax.get).use)
-          addBase((use, taxId, account, period), amt)
-        }
-      } else if (tax.isGroup && toExpand(tax))
-        tax.children.foreach(c => addBase((tax.use, c, account, period), amt))
-      else addBase((tax.use, taxId, account, period), amt)
+      byId.get(taxId) match {
+        case None => ()  // orphan tax id — skip, never abort
+        case Some(tax) if srcTax.isDefined =>
+          val ownGroupChild = srcGroup.exists(g =>
+            byId.get(g).exists(gt => !toExpand(gt) && gt.children.contains(taxId)))
+          if (ownGroupChild) ()  // base of its own non-expanded group (:199-206)
+          else if (tax.use == "none" && childToGroup.contains(taxId)) {
+            val g = childToGroup(taxId)  // extra base on the group, once (:207-218)
+            val combo = (taxId, srcTax, srcGroup)
+            if (extraBaseCombo.getOrElseUpdate((period, g.id), combo) == combo)
+              addBase((g.use, g.id, account, period), amt)
+          } else
+            srcGroup.flatMap(byId.get).map(_.use)
+              .orElse(srcTax.flatMap(byId.get).map(_.use))
+              .foreach(use => addBase((use, taxId, account, period), amt))
+        case Some(tax) if tax.isGroup && toExpand(tax) =>
+          tax.children.filter(byId.contains)
+            .foreach(c => addBase((tax.use, c, account, period), amt))
+        case Some(tax) => addBase((tax.use, taxId, account, period), amt)
+      }
     }
 
     for ((period, account, taxId, group, amt) <- taxAgg) {
-      val use = group.map(byId(_).use).getOrElse(byId(taxId).use)
-      val target = group.filter(g => !toExpand(byId(g))).getOrElse(taxId)
-      addTax((use, target, account, period), amt)
+      val use = group.flatMap(byId.get).map(_.use)
+        .orElse(byId.get(taxId).map(_.use))
+      val target = group.filter(g => byId.get(g).exists(!toExpand(_))).getOrElse(taxId)
+      if (byId.contains(target))
+        use.foreach(u => addTax((u, target, account, period), amt))
     }
 
     // ---- layout -------------------------------------------------------

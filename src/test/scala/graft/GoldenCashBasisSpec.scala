@@ -62,28 +62,16 @@ class GoldenCashBasisSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.map(r => (r._1, r._2, "2021-08-01")).toDF("doc_id", "fraction", "pd")
   }
 
-  /** CashBasis → TaxTags, collecting unsigned-tag totals. */
-  private def grid(lines: DataFrame, partials: DataFrame): Map[String, Double] = {
-    val s = spark; import s.implicits._
-    val ex = CashBasis.exigible(lines, partials)
-      .withColumn("fact_id",
-        org.apache.spark.sql.functions.monotonically_increasing_id())
-      .cache()
-    val tagged = ex.filter(org.apache.spark.sql.functions.col("tag").isNotNull)
-    val tagNames = tagged.select("tag").distinct().collect().map(_.getString(0)).toSeq
-    val tags = tagNames.zipWithIndex.map { case (n, i) => (i.toLong, n) }
-      .toDF("tag_id", "tag_name")
-    val tagId = tagNames.zipWithIndex.toMap
-    val bridge = tagged.select("fact_id", "tag").collect()
-      .map(r => (r.getLong(0), tagId(r.getString(1)).toLong)).toSeq
-      .toDF("fact_id", "tag_id")
-    val out = TaxTags.evaluate(ex.select("fact_id", "amount", "tax_tag_invert"),
-        bridge, tags)
-      .collect().map(r => r.getString(0) -> r2(r.getDouble(1))).toMap
-      .withDefaultValue(0.0)
-    ex.unpersist()
-    out
-  }
+  /** CashBasis → TaxTags, collecting unsigned-tag totals (the exigible
+    * rows are fixture-sized, so they re-enter [[TaxTagsHarness]] as
+    * literal rows). */
+  private def grid(lines: DataFrame, partials: DataFrame): Map[String, Double] =
+    TaxTagsHarness.gridTotals(spark,
+      CashBasis.exigible(lines, partials)
+        .select("amount", "tax_tag_invert", "tag")
+        .collect().toSeq
+        .map(r => (r.getDouble(0), r.getBoolean(1),
+          Option(r.getString(2)).toSeq)))
 
   private val fullPay = Seq("s_inv" -> 1.0, "s_ref" -> 1.0, "p_inv" -> 1.0, "p_ref" -> 1.0)
 

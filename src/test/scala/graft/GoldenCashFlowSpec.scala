@@ -316,4 +316,17 @@ class GoldenCashFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
       0.0, 100.0, 900.0, 900.0, 0.0, 0.0, 0.0,
       0.0, 0.0, 0.0, -400.0, 0.0, -400.0, -400.0, 0.0, -400.0, 100.0))
   }
+
+  test("a null account type dispatches through the tag/sign fallback, never aborts") {
+    // code-review regression (r14): the single-collect refactor briefly
+    // read atype through Option.get — a counterpart line on an account
+    // with no enumerated type must land in unclassified, not crash
+    val lines = Seq(
+      (1L, 1L, "bank", "asset_cash", null, "2016-01-01", 100.0),
+      (2L, 1L, "weird", null, null, "2016-01-01", -100.0))
+    val r = CashFlowStatement.compute(linesDF(lines), partialsDF(Nil),
+      Seq("bank"), LocalDate.parse("2016-01-01"), LocalDate.parse("2016-12-31"))
+    assert(r.sections("unclassified_activities_cash_in") == 100.0)
+    assert(r.sections("net_increase") == 100.0)
+  }
 }

@@ -146,6 +146,17 @@ class GoldenJournalFilterSpec extends AnyFunSuite {
       4L -> false, -1L -> false, 5L -> false, 6L -> false))
   }
 
+  test("a stale group action naming a deleted group is ignored") {
+    val js = Seq(j(1, "j1", "c1"), j(2, "j2", "c1"))
+    val g1 = Group(101, "g1", "c1", Set(2L), 1)
+    val o = initOptions(js, Seq(g1), Seq("c1"), Some(Set(1L)),
+      Some(GroupAction("add", 999)))
+    // like stale journal ids in the previous selection: the selection
+    // survives and the unknown toggle does nothing
+    assert(o.selected("c1") == Set(1L))
+    assert(o.displayName == "g1")
+  }
+
   test("single group, multi company: group and journal toggles interleave (reference :343-447)") {
     val js = Seq(j(1, "j1", "c1"), j(2, "j2", "c1"),
       j(3, "j3", "c2"), j(4, "j4", "c2"))

@@ -227,6 +227,58 @@ class GoldenTaxDefaultPartSpec extends AnyFunSuite with BeforeAndAfterAll {
       taxRow("Total Sales", 452.0)))
   }
 
+  test("extra base spanning accounts books the full cross-account sum, later combos skip") {
+    // code-review regression (r14): the flat reference query carries the
+    // CROSS-ACCOUNT sum in its single once-per-group row; our
+    // account-keyed guard must book every account row of the winning
+    // (tax, src) combo — not just the first account — while a second
+    // combo (the same src affecting the other child) stays skipped
+    val taxes = Seq(
+      Tax(11, "outside (10.0%)", "sale", sequence = 1),
+      Tax(21, "child_a", "none", sequence = 2),
+      Tax(22, "child_b", "none", sequence = 3),
+      Tax(9000, "the_group", "sale", isGroup = true, children = Seq(21, 22), sequence = 4))
+    val base = baseDf(Seq(
+      ("p0", A1, 11L, None, None, -1000.0),
+      ("p0", A1, 9000L, None, None, -600.0),
+      ("p0", A2, 9000L, None, None, -400.0),
+      // the outside tax's amls on TWO accounts affect child_a
+      ("p0", A1, 21L, Some(11L), None, -10.0),
+      ("p0", A2, 21L, Some(11L), None, -20.0),
+      // the same src against the OTHER child: a later combo, skipped
+      ("p0", A1, 22L, Some(11L), None, -10.0),
+      ("p0", A2, 22L, Some(11L), None, -20.0)))
+    val tax = taxDf(Seq(("p0", A1, 11L, None, -100.0)))
+    val lines = compute(base, tax, taxes, P, Flat, names)
+    val groupRow = lines.find(_.name == "the_group").get
+    assert(groupRow.cells.head.contains(1030.0),
+      s"expected 600+400 plain + 10+20 extra, got ${groupRow.cells.head}")
+    // and the grouped-by-account layout distributes the extra per account
+    val byAcct = compute(base, tax, taxes, P, AccountTax, names)
+    val acct2Group = byAcct.zipWithIndex
+      .filter { case (l, _) => l.name == "the_group" }
+    assert(acct2Group.size == 2, "the group must appear under BOTH accounts")
+  }
+
+  test("orphan tax ids (archived taxes still on journal lines) are skipped, never abort") {
+    val taxes = Seq(Tax(10, "tax (10.0%)", "sale"))
+    val base = baseDf(Seq(
+      ("p0", A1, 10L, None, None, -1000.0),
+      ("p0", A1, 77L, None, None, -500.0),          // unknown tax
+      ("p0", A1, 10L, Some(88L), None, -50.0)))     // unknown src tax
+    val tax = taxDf(Seq(
+      ("p0", A1, 10L, None, -100.0),
+      ("p0", A1, 77L, None, -5.0),                  // unknown tax aml
+      ("p0", A1, 10L, Some(99L), -1.0)))            // unknown group
+    val lines = compute(base, tax, taxes, P, Flat, names)
+    // the known tax keeps its own rows; orphans contribute nothing
+    // (the unknown-group tax aml falls back to the tax itself: 101)
+    assert(view(lines) == Seq(
+      taxRow("Sales", 101.0),
+      row("tax (10.0%)", 1000.0, 101.0),
+      taxRow("Total Sales", 101.0)))
+  }
+
   // ---- test_mixed_all_type_tax_use_same_line (:378-480) --------------------
 
   /** One debit 1000 carrying a sale, a purchase, and a 'none' tax: the

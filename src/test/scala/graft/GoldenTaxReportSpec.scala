@@ -88,24 +88,13 @@ class GoldenTaxReportSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   /** Tag totals over the fixture for one fpos scope and period, through
-    * the real engine ([[TaxTags.evaluate]]). */
+    * the real engine ([[TaxTagsHarness]] → [[TaxTags.evaluate]]). */
   private def reportMatrix(fposScope: Option[String] => Boolean,
-                           from: String, to: String): Map[String, Double] = {
-    val s = spark; import s.implicits._
-    val rows = invoices.flatMap { case (dt, fp, d, a) => taggedLines(dt, fp, d, a) }
-      .filter(r => fposScope(r._1) && r._2 >= from && r._2 <= to)
-      .zipWithIndex
-      .map { case ((_, _, amt, inv, tag), i) => (i.toLong, amt, inv, tag) }
-    val facts = rows.map(r => (r._1, r._2, r._3)).toDF("fact_id", "amount", "tax_tag_invert")
-    val tagNames = rows.map(_._4).distinct
-    val tags = tagNames.zipWithIndex.map { case (n, i) => (i.toLong, n) }
-      .toDF("tag_id", "tag_name")
-    val tagId = tagNames.zipWithIndex.toMap
-    val bridge = rows.map(r => (r._1, tagId(r._4).toLong)).toDF("fact_id", "tag_id")
-    TaxTags.evaluate(facts, bridge, tags)
-      .collect().map(r => r.getString(0) -> r2(r.getDouble(1))).toMap
-      .withDefaultValue(0.0)
-  }
+                           from: String, to: String): Map[String, Double] =
+    TaxTagsHarness.gridTotals(spark,
+      invoices.flatMap { case (dt, fp, d, a) => taggedLines(dt, fp, d, a) }
+        .filter(r => fposScope(r._1) && r._2 >= from && r._2 <= to)
+        .map(r => (r._3, r._4, Seq(r._5))))
 
   private val q1_2021 = ("2021-01-01", "2021-03-31")
 
@@ -256,27 +245,14 @@ class GoldenTaxReportSpec extends AnyFunSuite with BeforeAndAfterAll {
     * active set is exactly the unit, else to the current (first active)
     * company alone (the matrix :1820-1845). */
   private def taxUnitMatrix(active: Seq[String], unit: Set[String]): Map[String, Double] = {
-    val s = spark; import s.implicits._
     val visible: Set[String] =
       if (active.toSet == unit) unit else Set(active.head)
-    val companies = Seq("c1", "c2", "c3")
-    val rows = companies.zipWithIndex.flatMap { case (c, i) =>
-      val a = 100.0 * (i + 1)
-      Seq((c, -a, true, s"+$c-invoice-base"), (c, -0.42 * a, true, s"+$c-invoice-100"))
-    }.filter(r => visible.contains(r._1)).zipWithIndex
-      .map { case ((_, amt, inv, tag), i) => (i.toLong, amt, inv, tag) }
-    if (rows.isEmpty) Map.empty[String, Double].withDefaultValue(0.0)
-    else {
-      val facts = rows.map(r => (r._1, r._2, r._3)).toDF("fact_id", "amount", "tax_tag_invert")
-      val tagNames = rows.map(_._4).distinct
-      val tags = tagNames.zipWithIndex.map { case (n, i) => (i.toLong, n) }
-        .toDF("tag_id", "tag_name")
-      val tagId = tagNames.zipWithIndex.toMap
-      val bridge = rows.map(r => (r._1, tagId(r._4).toLong)).toDF("fact_id", "tag_id")
-      TaxTags.evaluate(facts, bridge, tags)
-        .collect().map(r => r.getString(0) -> r2(r.getDouble(1))).toMap
-        .withDefaultValue(0.0)
-    }
+    TaxTagsHarness.gridTotals(spark,
+      Seq("c1", "c2", "c3").zipWithIndex.flatMap { case (c, i) =>
+        val a = 100.0 * (i + 1)
+        Seq((c, -a, true, s"+$c-invoice-base"), (c, -0.42 * a, true, s"+$c-invoice-100"))
+      }.filter(r => visible.contains(r._1))
+        .map(r => (r._2, r._3, Seq(r._4))))
   }
 
   test("tax unit report matrices over six active-company scenarios (reference :1796-1845)") {
@@ -329,21 +305,12 @@ class GoldenTaxReportSpec extends AnyFunSuite with BeforeAndAfterAll {
     // directly (no tax_ids ⇒ tax_tag_invert stays false): the 'all'
     // matrix is test_tax_report_fpos_everything's +1000 on the first
     // line, identical under both company orders
-    val s = spark; import s.implicits._
     val base = invoices.flatMap { case (dt, fp, dd, a) => taggedLines(dt, fp, dd, a) }
       .filter(r => r._2 >= q1_2021._1 && r._2 <= q1_2021._2)
-      .map(r => (r._3, r._4, r._5))
-    val extra = Seq((1000.0, false, "+sale-invoice-base"))
+      .map(r => (r._3, r._4, Seq(r._5)))
+    val extra = Seq((1000.0, false, Seq("+sale-invoice-base")))
     for (order <- Seq(base ++ extra, extra ++ base)) {
-      val rows = order.zipWithIndex.map { case ((amt, inv, tag), i) => (i.toLong, amt, inv, tag) }
-      val facts = rows.map(r => (r._1, r._2, r._3)).toDF("fact_id", "amount", "tax_tag_invert")
-      val tagNames = rows.map(_._4).distinct
-      val tags = tagNames.zipWithIndex.map { case (n, i) => (i.toLong, n) }
-        .toDF("tag_id", "tag_name")
-      val tagId = tagNames.zipWithIndex.toMap
-      val bridge = rows.map(r => (r._1, tagId(r._4).toLong)).toDF("fact_id", "tag_id")
-      val m = TaxTags.evaluate(facts, bridge, tags)
-        .collect().map(r => r.getString(0) -> r2(r.getDouble(1))).toMap
+      val m = TaxTagsHarness.gridTotals(spark, order)
       assert(m("sale-invoice-base") == 2000.0)
       assert(m("sale-invoice-30") == 150.0)
       assert(m("purchase-refund--5") == 16.5)
@@ -354,19 +321,9 @@ class GoldenTaxReportSpec extends AnyFunSuite with BeforeAndAfterAll {
     // multi-VAT: one invoice's lines carry the local report's tags AND
     // the foreign report's tags; each report reads its own tag set and
     // sees the same 100 / 20
-    val s = spark; import s.implicits._
-    val rows = Seq(
-      (1L, -100.0, true, Seq("+base_local", "+base_foreign")),
-      (2L, -20.0, true, Seq("+tax_local", "+tax_foreign")))
-    val facts = rows.map(r => (r._1, r._2, r._3)).toDF("fact_id", "amount", "tax_tag_invert")
-    val tagNames = rows.flatMap(_._4).distinct
-    val tags = tagNames.zipWithIndex.map { case (n, i) => (i.toLong, n) }
-      .toDF("tag_id", "tag_name")
-    val tagId = tagNames.zipWithIndex.toMap
-    val bridge = rows.flatMap(r => r._4.map(t => (r._1, tagId(t).toLong)))
-      .toDF("fact_id", "tag_id")
-    val m = TaxTags.evaluate(facts, bridge, tags)
-      .collect().map(r => r.getString(0) -> r2(r.getDouble(1))).toMap
+    val m = TaxTagsHarness.gridTotals(spark, Seq(
+      (-100.0, true, Seq("+base_local", "+base_foreign")),
+      (-20.0, true, Seq("+tax_local", "+tax_foreign"))))
     assert(m("base_local") == 100.0 && m("tax_local") == 20.0)
     assert(m("base_foreign") == 100.0 && m("tax_foreign") == 20.0)
   }
@@ -374,10 +331,9 @@ class GoldenTaxReportSpec extends AnyFunSuite with BeforeAndAfterAll {
   // ---- entry + reversal signs (:1972-2047) ---------------------------------
 
   test("entry moves and their cancel-reversals DOUBLE the report, never zero it (reference :1972-2047)") {
-    val s = spark; import s.implicits._
     // sale entry books credits, its reversal debits; purchase mirrors.
     // tax_tag_invert follows the entry rule, so both legs land positive.
-    val rows = Seq(
+    val m = TaxTagsHarness.gridTotals(spark, Seq(
       // sale entry (credit side) + reversal
       (-1000.0, "entry", "sale", false, "+sale_b"),
       (-200.0, "entry", "sale", false, "+sale_t"),
@@ -388,18 +344,9 @@ class GoldenTaxReportSpec extends AnyFunSuite with BeforeAndAfterAll {
       (200.0, "entry", "purchase", false, "+purchase_t"),
       (-1000.0, "entry", "purchase", true, "+purchase_b"),
       (-200.0, "entry", "purchase", true, "+purchase_t"))
-      .zipWithIndex
-      .map { case ((amt, mt, use, ref, tag), i) =>
-        (i.toLong, amt, TaxTags.tagInvert(mt, use, ref), tag)
-      }
-    val facts = rows.map(r => (r._1, r._2, r._3)).toDF("fact_id", "amount", "tax_tag_invert")
-    val tagNames = rows.map(_._4).distinct
-    val tags = tagNames.zipWithIndex.map { case (n, i) => (i.toLong, n) }
-      .toDF("tag_id", "tag_name")
-    val tagId = tagNames.zipWithIndex.toMap
-    val bridge = rows.map(r => (r._1, tagId(r._4).toLong)).toDF("fact_id", "tag_id")
-    val m = TaxTags.evaluate(facts, bridge, tags)
-      .collect().map(r => r.getString(0) -> r2(r.getDouble(1))).toMap
+      .map { case (amt, mt, use, ref, tag) =>
+        (amt, TaxTags.tagInvert(mt, use, ref), Seq(tag))
+      })
     assert(m("sale_b") == 2000.0)
     assert(m("sale_t") == 400.0)
     assert(m("purchase_b") == 2000.0)
