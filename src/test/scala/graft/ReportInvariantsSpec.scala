@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.report.{CashBasis, GenericTaxReport, LoadMore, VatClosing}
+
+/** Seeded-random invariants for the round-14 operators — properties the
+  * golden matrices imply but only check at their fixture points:
+  *
+  *  - a VAT closing move BALANCES (debits = credits) per fiscal
+  *    position, by construction of the payable/receivable net line;
+  *  - the generic tax report's three groupings agree on every section
+  *    total, and the flat section total is the sum of its leaf tax
+  *    cells;
+  *  - load-more pages concatenate to exactly the ordered detail with a
+  *    strictly threaded running balance;
+  *  - cash-basis exigibility at full payment reproduces the original
+  *    amounts, and with no partials only the immediate slice survives.
+  *
+  * Deterministic seeds (no wall-clock randomness — resume-safe). */
+class ReportInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("every VAT closing move balances per fiscal position (seeded random fixtures)") {
+    val s = spark; import s.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val fposes = Seq(null, "FP1", "FP2")
+      val taxLines = Seq.tabulate(120) { i =>
+        val g = s"g${rnd.nextInt(3)}"
+        (fposes(rnd.nextInt(3)), g, (rnd.nextInt(4) + 1).toLong, s"tax$i",
+          s"acct${rnd.nextInt(4)}", (rnd.nextInt(2001) - 1000) / 10.0,
+          f"2021-0${rnd.nextInt(6) + 1}%s-15", rnd.nextBoolean(), rnd.nextBoolean())
+      }.toDF("fpos", "tax_group", "tax_id", "tax_name", "account",
+          "balance", "ds", "closing", "posted")
+        .withColumn("d", to_timestamp(col("ds"))).drop("ds")
+      val history = Seq.tabulate(40) { _ =>
+        (Seq("adv1", "recv0", "pay2", "other")(rnd.nextInt(4)),
+          (rnd.nextInt(2001) - 1000) / 10.0,
+          f"2020-1${rnd.nextInt(2)}%s-01", rnd.nextBoolean())
+      }.toDF("account", "balance", "ds", "posted")
+        .withColumn("d", to_timestamp(col("ds"))).drop("ds")
+      val groups = Seq(
+        VatClosing.GroupAccounts("g0", None, "recv0", "pay0"),
+        VatClosing.GroupAccounts("g1", Some("adv1"), "recv1", "pay1"),
+        VatClosing.GroupAccounts("g2", None, "recv2", "pay2"))
+      val res = VatClosing.compute(taxLines, history, groups,
+        java.time.LocalDate.of(2021, 1, 1), java.time.LocalDate.of(2021, 6, 30),
+        java.time.LocalDate.of(2021, 6, 30),
+        Seq(None, Some("FP1"), Some("FP2")))
+      for ((fpos, lines) <- res) {
+        val net = lines.map(l => l.debit - l.credit).sum
+        assert(math.abs(net) < 0.02,
+          s"seed $seed fpos $fpos: closing move off by $net\n$lines")
+      }
+    }
+  }
+
+  test("the three tax-report groupings agree on section totals (seeded random fixtures)") {
+    val s = spark; import s.implicits._
+    import GenericTaxReport._
+    val taxes = Seq(
+      Tax(1, "t1", "sale", sequence = 1), Tax(2, "t2", "purchase", sequence = 2),
+      Tax(3, "t3", "none", sequence = 3), Tax(4, "t4", "none", sequence = 4),
+      Tax(9, "g9", "sale", isGroup = true, children = Seq(3, 4), sequence = 9))
+    val noL = lit(null).cast("long")
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(100 + seed)
+      val periods = Seq("p0", "p1")
+      val base = Seq.tabulate(80) { _ =>
+        (periods(rnd.nextInt(2)), s"a${rnd.nextInt(3)}",
+          Seq(1L, 2L, 9L)(rnd.nextInt(3)), (rnd.nextInt(2001) - 1000) / 10.0)
+      }.toDF("period", "account", "tax_id", "balance")
+        .withColumn("src_tax_id", noL).withColumn("src_group_tax_id", noL)
+        .select("period", "account", "tax_id", "src_tax_id", "src_group_tax_id", "balance")
+      val tax = Seq.tabulate(60) { _ =>
+        val t = Seq(1L, 2L, 3L, 4L)(rnd.nextInt(4))
+        (periods(rnd.nextInt(2)), s"a${rnd.nextInt(3)}", t,
+          if (t >= 3L) Some(9L) else None, (rnd.nextInt(2001) - 1000) / 10.0)
+      }.map(r => (r._1, r._2, r._3, r._4.map(Long.box).orNull, r._5))
+        .toDF("period", "account", "tax_id", "group_tax_id", "balance")
+      def sections(g: Grouping): Seq[(String, Seq[Option[Double]])] =
+        compute(base, tax, taxes, periods, g)
+          .filter(l => l.level == 0 && !l.name.startsWith("Total "))
+          .map(l => (l.name, l.cells))
+      val flat = sections(Flat)
+      assert(flat == sections(AccountTax), s"seed $seed: AccountTax section totals diverge")
+      assert(flat == sections(TaxAccount), s"seed $seed: TaxAccount section totals diverge")
+      // flat section total = sum of its leaf tax cells per period
+      val lines = compute(base, tax, taxes, periods, Flat)
+      var section = ""
+      val leavesBySection = scala.collection.mutable.Map[String, List[Seq[Option[Double]]]]()
+      lines.foreach { l =>
+        if (l.level == 0 && !l.name.startsWith("Total ")) section = l.name
+        else if (l.level == 1)
+          leavesBySection(section) = l.cells :: leavesBySection.getOrElse(section, Nil)
+      }
+      for ((name, cells) <- flat; pi <- periods.indices) {
+        val taxCol = 2 * pi + 1
+        val leafSum = leavesBySection(name).flatMap(_(taxCol)).sum
+        val total = cells(taxCol).getOrElse(0.0)
+        assert(math.abs(total - leafSum) < 0.02,
+          s"seed $seed section $name period $pi: $total vs leaf sum $leafSum")
+      }
+    }
+  }
+
+  test("load-more pages concatenate to the ordered detail with a threaded balance") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val detail = Seq.tabulate(23)(i => (i.toLong, (rnd.nextInt(999) + 1) / 10.0))
+      .toDF("line_id", "debit")
+    val expected = detail.orderBy("line_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    for (limit <- Seq(1, 4, 7, 23, 50)) {
+      var offset = 0
+      var progress = 0.0
+      var pages = 0
+      val got = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+      var more = true
+      while (more && pages < 100) {
+        val p = LoadMore.page(detail, Seq(col("line_id")), col("debit"),
+          offset, limit, progress)
+        assert(p.rows.length <= limit)
+        got ++= p.rows.map(r => (r._1.getLong(0), r._1.getDouble(1), r._2))
+        offset = p.nextOffset; progress = p.progress; more = p.hasMore; pages += 1
+      }
+      assert(got.map(t => (t._1, t._2)).toSeq == expected.toSeq, s"limit $limit")
+      // the threaded balance is the exact prefix sum
+      var acc = 0.0
+      for ((_, amt, bal) <- got) {
+        acc += amt
+        assert(math.abs(bal - acc) < 1e-9, s"limit $limit: balance thread broke")
+      }
+    }
+  }
+
+  test("cash-basis at full payment reproduces the journal; without partials only the immediate slice") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val lines = Seq.tabulate(50) { i =>
+      (s"doc${i % 7}", (rnd.nextInt(2001) - 1000) / 10.0,
+        rnd.nextBoolean(), i % 11 == 0, s"tag$i")
+    }.toDF("doc_id", "amount", "on_payment", "always_exigible", "tag")
+    val full = Seq.tabulate(7)(i => (s"doc$i", 1.0, "2021-06-01"))
+      .toDF("doc_id", "fraction", "pd")
+    val none = Seq.empty[(String, Double, String)].toDF("doc_id", "fraction", "pd")
+    def total(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum("amount")).head().getDouble(0)
+    val all = total(lines)
+    assert(math.abs(total(CashBasis.exigible(lines, full)) - all) < 1e-6,
+      "full payment must surface every amount exactly once")
+    val immediate = total(lines.filter(!col("on_payment") || col("always_exigible")))
+    assert(math.abs(total(CashBasis.exigible(lines, none)) - immediate) < 1e-6,
+      "with no partials only the immediate slice is exigible")
+  }
+}
