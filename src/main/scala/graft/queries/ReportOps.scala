@@ -749,13 +749,87 @@ object ReportOps {
       |FROM (SELECT * FROM leaf UNION ALL SELECT * FROM tot)
       |ORDER BY section, name""".stripMargin
 
+  /** q173 — the tax computation engine ([[graft.engine.TaxCompute]],
+    * etl_account/models/account_tax.py:58-261) compiled to native
+    * columns over `lineitem`: a 20% include_base_amount tax with a
+    * 25/75 repartition feeding a 10% tax with a 33.33/33.33/33.34
+    * repartition (the rounding-error distribution live on every row),
+    * signed quantities exercising the abs/re-sign path. One codegen'd
+    * projection per row, then a global sum per output column; the
+    * oracle replays the same arithmetic in SQL. */
+  def q173(s: SparkSession, d: String): DataFrame = {
+    import graft.engine.TaxCompute
+    import graft.engine.TaxCompute.{Repartition, TaxDef}
+    val chain = Seq(
+      TaxDef(1, "t20", "percent", 20.0, includeBaseAmount = true, sequence = 1,
+        repartition = Seq(Repartition(25), Repartition(75))),
+      TaxDef(2, "t10", "percent", 10.0, sequence = 2,
+        repartition = Seq(Repartition(33.33), Repartition(33.33), Repartition(33.34))))
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") <= 200)
+      .select(col("l_quantity").cast("double").as("p"),
+        when(col("l_linenumber") % 2 === 1, lit(1.0)).otherwise(lit(-1.0)).as("q"))
+    val c = TaxCompute.compile(chain, col("p"), col("q"))
+    li.select(c.totalExcluded.as("excl") +: c.totalIncluded.as("incl") +:
+        c.lines.zipWithIndex.map { case (l, i) => l.amount.as(s"a$i") }: _*)
+      .agg(count(lit(1)).as("n"), round(sum(col("excl")), 2).as("total_excl"),
+        round(sum(col("incl")), 2).as("total_incl"),
+        round(sum(col("a0")), 2).as("t20_25"), round(sum(col("a1")), 2).as("t20_75"),
+        round(sum(col("a2")), 2).as("t10_a"), round(sum(col("a3")), 2).as("t10_b"),
+        round(sum(col("a4")), 2).as("t10_c"))
+  }
+
+  val q173Sql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS DOUBLE) AS p,
+      |         CASE WHEN l_linenumber % 2 = 1 THEN 1.0 ELSE -1.0 END AS q
+      |  FROM lineitem WHERE l_orderkey <= 200),
+      |rows0 AS (
+      |  SELECT CASE WHEN round(p * q, 2) < 0 THEN -1.0 ELSE 1.0 END AS sg,
+      |         abs(round(p * q, 2)) AS ab
+      |  FROM li),
+      |step1 AS (
+      |  SELECT sg, round(ab, 2) AS excl,
+      |         round(round(ab, 2) * 0.2, 2) AS t1
+      |  FROM rows0),
+      |step2 AS (
+      |  SELECT sg, excl, t1,
+      |         round(t1 * 0.25, 2) AS l1, round(t1 * 0.75, 2) AS l2,
+      |         round(t1 * 1.0, 2) AS fact1
+      |  FROM step1),
+      |step3 AS (
+      |  SELECT sg, excl, l1, l2, fact1,
+      |         round((excl + fact1) * 0.1, 2) AS t2
+      |  FROM step2),
+      |step4 AS (
+      |  SELECT *, round(t2 * 1.0, 2) AS fact2,
+      |         round(t2 * 0.3333, 2) AS m1, round(t2 * 0.3333, 2) AS m2,
+      |         round(t2 * 0.3334, 2) AS m3
+      |  FROM step3),
+      |step5 AS (
+      |  SELECT *, round(fact2 - (m1 + m2 + m3), 2) AS err,
+      |         CAST(floor(abs(round(fact2 - (m1 + m2 + m3), 2)) / 0.01 + 1e-7) AS INT) AS steps
+      |  FROM step4),
+      |step6 AS (
+      |  SELECT sg, excl, l1, l2, fact1, fact2,
+      |         m1 + CASE WHEN steps > 0 THEN round(err / steps, 2) ELSE 0 END AS m1,
+      |         m2 + CASE WHEN steps > 1 THEN round(err / steps, 2) ELSE 0 END AS m2,
+      |         m3 + CASE WHEN steps > 2 THEN round(err / steps, 2) ELSE 0 END AS m3
+      |  FROM step5)
+      |SELECT count(*) AS n,
+      |       round(sum(sg * excl), 2) AS total_excl,
+      |       round(sum(sg * round(excl + fact1 + fact2, 2)), 2) AS total_incl,
+      |       round(sum(sg * l1), 2) AS t20_25, round(sum(sg * l2), 2) AS t20_75,
+      |       round(sum(sg * m1), 2) AS t10_a, round(sum(sg * m2), 2) AS t10_b,
+      |       round(sum(sg * m3), 2) AS t10_c
+      |FROM step6""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
     "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
     "q53_pivot_register" -> (q53 _), "q54_report_runner" -> (q54 _),
     "q55_multicurrency_reval" -> (q55 _), "q56_cash_flow" -> (q56 _),
     "q170_cash_flow_statement" -> (q170 _), "q171_vat_closing" -> (q171 _),
-    "q172_generic_tax_report" -> (q172 _))
+    "q172_generic_tax_report" -> (q172 _), "q173_tax_compute" -> (q173 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
@@ -763,5 +837,5 @@ object ReportOps {
     "q53_pivot_register" -> q53Sql, "q54_report_runner" -> q54Sql,
     "q55_multicurrency_reval" -> q55Sql, "q56_cash_flow" -> q56Sql,
     "q170_cash_flow_statement" -> q170Sql, "q171_vat_closing" -> q171Sql,
-    "q172_generic_tax_report" -> q172Sql)
+    "q172_generic_tax_report" -> q172Sql, "q173_tax_compute" -> q173Sql)
 }

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.TaxCompute
+import graft.engine.TaxCompute.{Repartition, TaxDef}
+
+/** The tax computation engine pinned to the REFERENCE'S OWN fixture
+  * values (etl_account/models/account_tax.py:58-261 `compute_all`; the
+  * expected numbers are the journal amounts the account_reports test
+  * fixtures book from it):
+  *
+  *  - the 42%+11% grid chain with the 25/75/−10 repartition
+  *    (test_tax_report.py:604-763);
+  *  - the include_base_amount chain 20%→10%
+  *    (test_tax_report_default_part.py:33-131: 200 then 120 on 1200)
+  *    and the 42%→10% repetition chain (:778-844: 42 then 14.2 on 142);
+  *  - the caba 25/75 split (test_tax_report.py:926-1023: 5 and 15);
+  *  - price-included taxes through the CHECKPOINT arithmetic — two
+  *    included taxes on 131.10 must reach the included total exactly
+  *    (21.02 + 10.00), where naive per-tax rounding would drift a cent;
+  *  - the repartition rounding-error distribution (:203-214): a
+  *    33.33/33.33/33.34 split of 10.00 lands 3.34/3.33/3.33;
+  *  - negative bases compute on the absolute value and re-sign
+  *    (:92-99, the caba negative-line fixture's −100/−20).
+  */
+class GoldenTaxComputeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Evaluate a compiled chain on one (price_unit, quantity) row:
+    * (total_excluded, total_included, line amounts in order). */
+  private def eval(chain: Seq[TaxDef], price: Double, qty: Double = 1.0)
+      : (Double, Double, Seq[Double]) = {
+    val s = spark; import s.implicits._
+    val c = TaxCompute.compile(chain, col("p"), col("q"))
+    val row = Seq((price, qty)).toDF("p", "q")
+      .select((c.totalExcluded +: c.totalIncluded +: c.lines.map(_.amount))
+        .zipWithIndex.map { case (e, i) => e.as(s"c$i") }: _*)
+      .head()
+    val vals = (0 until row.length).map(row.getDouble)
+    (vals(0), vals(1), vals.drop(2))
+  }
+
+  test("the 42%+11% grid chain with the 25/75/-10 repartition (test_tax_report.py:604-763)") {
+    val chain = Seq(
+      TaxDef(42, "42%", "percent", 42.0, sequence = 1,
+        repartition = Seq(Repartition(25), Repartition(75), Repartition(-10))),
+      TaxDef(11, "11%", "percent", 11.0, sequence = 2))
+    val (excl, incl, amounts) = eval(chain, 100.0)
+    assert(excl == 100.0)
+    assert(amounts == Seq(10.5, 31.5, -4.2, 11.0))
+    // total = 100 + 42·0.9 + 11
+    assert(incl == 148.8)
+  }
+
+  test("include_base_amount chains: 20%→10% books 200 then 120; 42%→10% books 42 then 14.2") {
+    val c1 = Seq(
+      TaxDef(20, "20a", "percent", 20.0, includeBaseAmount = true, sequence = 1),
+      TaxDef(10, "10", "percent", 10.0, sequence = 2))
+    assert(eval(c1, 1000.0) == ((1000.0, 1320.0, Seq(200.0, 120.0))))
+    val c2 = Seq(
+      TaxDef(42, "Affecting", "percent", 42.0, includeBaseAmount = true, sequence = 1),
+      TaxDef(10, "Affected", "percent", 10.0, sequence = 2))
+    assert(eval(c2, 100.0) == ((100.0, 156.2, Seq(42.0, 14.2))))
+  }
+
+  test("a tax NOT base-affected ignores the earlier include_base tax") {
+    val chain = Seq(
+      TaxDef(20, "20a", "percent", 20.0, includeBaseAmount = true, sequence = 1),
+      TaxDef(10, "10", "percent", 10.0, isBaseAffected = false, sequence = 2))
+    // the 10% computes on total_excluded (1000), not on 1200
+    assert(eval(chain, 1000.0)._3 == Seq(200.0, 100.0))
+  }
+
+  test("the caba 25/75 repartition splits 20 into 5 and 15 (test_tax_report.py:926-1023)") {
+    val chain = Seq(TaxDef(1, "caba", "percent", 20.0,
+      repartition = Seq(Repartition(25), Repartition(75))))
+    assert(eval(chain, 100.0) == ((100.0, 120.0, Seq(5.0, 15.0))))
+  }
+
+  test("price-included taxes reach the included total EXACTLY via the checkpoint") {
+    val chain = Seq(
+      TaxDef(21, "21incl", "percent", 21.0, priceInclude = true, sequence = 1),
+      TaxDef(10, "10incl", "percent", 10.0, priceInclude = true, sequence = 2))
+    val (excl, incl, amounts) = eval(chain, 131.10)
+    assert(excl == 100.08)
+    // naive rounding gives 21.02 + 10.01 = 131.11; the checkpoint books
+    // the last tax as the exact remainder instead
+    assert(amounts == Seq(21.02, 10.0))
+    assert(incl == 131.10)
+    assert(excl + amounts.sum == 131.10)
+  }
+
+  test("a single price-included tax recovers the excluded base (115 @ 15% → 100 + 15)") {
+    val chain = Seq(TaxDef(15, "15incl", "percent", 15.0, priceInclude = true))
+    assert(eval(chain, 115.0) == ((100.0, 115.0, Seq(15.0))))
+  }
+
+  test("repartition rounding error spreads one cent at a time over the leading lines (:203-214)") {
+    val chain = Seq(TaxDef(1, "t", "percent", 10.0,
+      repartition = Seq(Repartition(33.33), Repartition(33.33), Repartition(33.34))))
+    // tax 10.00; lines round to 3.33/3.33/3.33, factorized 10.00 → one
+    // cent lands on the first line
+    val (_, _, amounts) = eval(chain, 100.0)
+    assert(amounts == Seq(3.34, 3.33, 3.33))
+    assert(math.floor(amounts.sum * 100 + 0.5) / 100 == 10.0)
+  }
+
+  test("negative bases compute on the absolute value and re-sign (:92-99)") {
+    val chain = Seq(TaxDef(1, "t", "percent", 20.0,
+      repartition = Seq(Repartition(25), Repartition(75))))
+    val (excl, incl, amounts) = eval(chain, 100.0, qty = -1.0)
+    assert(excl == -100.0 && incl == -120.0)
+    assert(amounts == Seq(-5.0, -15.0))
+  }
+
+  test("division-type taxes follow the public semantics (base/(1−r) − base)") {
+    val chain = Seq(TaxDef(1, "div30", "division", 30.0))
+    val (excl, _, amounts) = eval(chain, 100.0)
+    assert(excl == 100.0)
+    assert(amounts == Seq(42.86)) // 100/0.7 − 100, rounded
+  }
+
+  test("group taxes flatten to their children in sequence order (:65)") {
+    val t1 = TaxDef(1, "a", "percent", 10.0, sequence = 2)
+    val t2 = TaxDef(2, "b", "percent", 20.0, sequence = 1)
+    val flat = TaxCompute.flatten(Seq(
+      Right(TaxCompute.TaxGroup(Seq(t1))), Left(t2)))
+    assert(flat.map(_.id) == Seq(2L, 1L))
+  }
+
+  test("the compiled plan is pure expressions — no UDF, whole-stage codegen") {
+    val s = spark; import s.implicits._
+    val chain = Seq(
+      TaxDef(20, "20a", "percent", 20.0, includeBaseAmount = true, sequence = 1),
+      TaxDef(10, "10i", "percent", 10.0, priceInclude = true, sequence = 2))
+    val c = TaxCompute.compile(chain, col("p"), col("q"))
+    val df = Tables.orders(s, "/root/testdata/sf0.001")
+      .select(col("o_totalprice").as("p"), lit(1.0).as("q"))
+      .select(c.totalExcluded.as("e"), c.totalIncluded.as("t"),
+        c.lines.head.amount.as("a"))
+    assert(df.count() > 0)
+    // read the plan AFTER execution so AQE's final stages are visible;
+    // "*(1)" is the whole-stage-codegen marker in the tree rendering
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF("))
+    assert(plan.contains("*(1) Project"),
+      s"tax columns must stay inside whole-stage codegen:\n$plan")
+  }
+}
