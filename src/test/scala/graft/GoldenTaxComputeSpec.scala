@@ -139,6 +139,89 @@ class GoldenTaxComputeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flat.map(_.id) == Seq(2L, 1L))
   }
 
+  test("differential: the compiled columns match an independent direct interpreter on seeded random chains") {
+    // the compiler unrolls accumulators symbolically; this re-derives the
+    // same algorithm with plain Doubles (written independently of the
+    // Column code) and compares on random chains and inputs — a net for
+    // expression-unrolling mistakes the fixture points cannot see
+    def direct(taxes: Seq[TaxDef], price: Double, qty: Double): (Double, Double, Seq[Double]) = {
+      def r2(v: Double): Double = BigDecimal(v)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val raw = r2(price * qty)
+      val sign = if (raw < 0) -1.0 else 1.0
+      var b = math.abs(raw)
+      var inclFixed = 0.0; var inclPct = 0.0; var inclDiv = 0.0
+      var store = true
+      val cps = scala.collection.mutable.Map[Int, Double]()
+      def peel(x: Double) = (x - inclFixed) / (1.0 + inclPct / 100.0) * ((100.0 - inclDiv) / 100.0)
+      for ((t, i) <- taxes.zipWithIndex.reverse) {
+        val f = t.repartition.map(_.factor).sum / 100.0
+        if (t.includeBaseAmount) { b = peel(b); inclFixed = 0; inclPct = 0; inclDiv = 0; store = true }
+        if (t.priceInclude) {
+          t.amountType match {
+            case "percent" => inclPct += t.amount * f
+            case "division" => inclDiv += t.amount * f
+            case "fixed" => inclFixed += math.abs(qty) * t.amount * f
+          }
+          if (store && t.amount != 0.0) { cps(i) = b; store = false }
+        }
+      }
+      val excl = r2(peel(b))
+      var base = excl; var incl = excl; var cum = 0.0; var skip = false
+      val amounts = scala.collection.mutable.ArrayBuffer[Double]()
+      for ((t, i) <- taxes.zipWithIndex) {
+        val f = t.repartition.map(_.factor).sum / 100.0
+        val tb = if (t.priceInclude || t.isBaseAffected) base else excl
+        val a0 =
+          if (!skip && t.priceInclude && cps.contains(i) && f != 0.0) {
+            val a = cps(i) - (base + cum); cum = 0.0; a
+          } else t.amountType match {
+            case "fixed" => math.abs(qty) * t.amount
+            case "percent" => tb * t.amount / 100.0
+            case "division" =>
+              if (1.0 - t.amount / 100.0 == 0.0) 0.0
+              else tb / (1.0 - t.amount / 100.0) - tb
+          }
+        val ta = r2(a0)
+        val fact = r2(ta * f)
+        if (t.priceInclude && !cps.contains(i)) cum += fact
+        val lineAmts = t.repartition.map(r => r2(ta * r.factor / 100.0))
+        val err = r2(fact - lineAmts.sum)
+        val steps = math.floor(math.abs(err) / 0.01 + 1e-7).toInt
+        val per = if (steps > 0) r2(err / steps) else 0.0
+        for ((la, j) <- lineAmts.zipWithIndex)
+          amounts += sign * (la + (if (j < steps) per else 0.0))
+        if (t.includeBaseAmount) { base += fact; if (!t.priceInclude) skip = true }
+        incl += fact
+      }
+      (sign * excl, r2(sign * incl), amounts.toSeq)
+    }
+
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 12) {
+      val n = rnd.nextInt(3) + 1
+      val chain = (1 to n).map { i =>
+        TaxDef(i, s"t$i", Seq("percent", "division")(rnd.nextInt(2)),
+          rnd.nextInt(40) + 1,
+          priceInclude = rnd.nextBoolean(),
+          includeBaseAmount = rnd.nextBoolean(),
+          isBaseAffected = rnd.nextBoolean(),
+          sequence = i,
+          repartition =
+            if (rnd.nextBoolean()) Seq(Repartition(100))
+            else Seq(Repartition(40), Repartition(60)))
+      }
+      val price = (rnd.nextInt(20000) - 5000) / 100.0
+      val qty = Seq(1.0, 2.0, -1.0)(rnd.nextInt(3))
+      val (ce, ci, ca) = eval(chain, price, qty)
+      val (de, di, da) = direct(chain, price, qty)
+      assert(math.abs(ce - de) < 1e-9, s"trial $trial excl: $ce vs $de chain $chain price $price qty $qty")
+      assert(math.abs(ci - di) < 1e-9, s"trial $trial incl: $ci vs $di chain $chain price $price qty $qty")
+      assert(ca.zip(da).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+        s"trial $trial amounts: $ca vs $da chain $chain price $price qty $qty")
+    }
+  }
+
   test("the compiled plan is pure expressions — no UDF, whole-stage codegen") {
     val s = spark; import s.implicits._
     val chain = Seq(
