@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType, LongType, ShortType}
 
 /** Manual runtime filter: build a Bloom filter over the dimension's join
   * keys and pre-filter the fact side before the shuffle — the pattern
@@ -28,17 +28,40 @@ import org.apache.spark.sql.types.BinaryType
   * accepts one). */
 object RuntimeFilter {
 
-  /** Prune `fact` rows whose LONG `factKey` cannot match any `dim`
-    * `dimKey`. `expectedItems`/`fpp` size the sketch. */
+  /** xxhash64 hashes each INPUT TYPE differently — the same key value as
+    * an int and as a long lands in different buckets, so a dim(int) /
+    * fact(long) pair would silently drop MATCHING rows (false negatives,
+    * the one failure mode a Bloom prune must never have). Integral keys
+    * therefore widen to long on BOTH sides before hashing (the same
+    * normalization `df.stat.bloomFilter` applies); any other type pair
+    * must already match exactly. */
+  private def hashKey(df: DataFrame, key: String): org.apache.spark.sql.Column =
+    df.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(key).cast("long")
+      case _ => col(key)
+    }
+
+  private def hashedType(df: DataFrame, key: String) =
+    df.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => LongType
+      case other => other
+    }
+
+  /** Prune `fact` rows whose `factKey` cannot match any `dim` `dimKey`
+    * (integral keys of any width; other types when both sides match).
+    * `expectedItems`/`fpp` size the sketch. */
   def bloomPrune(fact: DataFrame, factKey: String, dim: DataFrame,
                  dimKey: String, expectedItems: Long = 1000000L,
                  fpp: Double = 0.01): DataFrame = {
+    require(hashedType(dim, dimKey) == hashedType(fact, factKey),
+      s"bloomPrune key types must hash identically: dim $dimKey is " +
+        s"${dim.schema(dimKey).dataType}, fact $factKey is ${fact.schema(factKey).dataType}")
     // optimal m for (n, p): -n·ln p / ln²2 (the classic Bloom sizing)
     val numBits = math.max(64L,
       (-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val sketch = dim.select(Bridge.column(
         new BloomFilterAggregate(
-          new XxHash64(Seq(Bridge.expression(col(dimKey)))),
+          new XxHash64(Seq(Bridge.expression(hashKey(dim, dimKey)))),
           Literal(expectedItems), Literal(numBits)).toAggregateExpression())
         .as("bf"))
       .head().getAs[Array[Byte]](0)
@@ -46,7 +69,7 @@ object RuntimeFilter {
     else fact.filter(col(factKey).isNotNull &&
       Bridge.column(BloomFilterMightContain(
         Literal(sketch, BinaryType),
-        new XxHash64(Seq(Bridge.expression(col(factKey)))))))
+        new XxHash64(Seq(Bridge.expression(hashKey(fact, factKey)))))))
   }
 
   /** UDF fallback for a PREBUILT sketch object (`df.stat.bloomFilter` or

@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   * accumulator unrolls into a Column expression over (price_unit,
   * quantity) — whole-stage codegen end to end, no UDF, no driver loop
   * over rows. Negative bases compute on the absolute value and re-sign
-  * at the end (:92-99).
+  * at the end (:92-99). [[Params]] carries the rounding/sign knobs
+  * (partner tax decimals, round_globally, fixed_multiplicator); the
+  * 'python' amount_type is rejected at compile time by design (see the
+  * note inside [[compile]]).
   */
 object TaxCompute {
 
@@ -47,16 +50,24 @@ object TaxCompute {
                           isBaseAffected: Boolean = true, sequence: Int = 0,
                           repartition: Seq[Repartition] = Seq(Repartition(100.0)))
 
-  /** A group tax for [[flatten]]. */
-  final case class TaxGroup(children: Seq[TaxDef])
+  /** A group tax for [[flatten]]; `sequence` positions the GROUP in the
+    * top-level chain (its children do not compete with outer taxes). */
+  final case class TaxGroup(children: Seq[TaxDef], sequence: Int = 0)
 
   /** Flatten a mixed chain (taxes and groups) in sequence order (:65 —
-    * the reference's flatten_taxes_hierarchy). */
+    * the reference's flatten_taxes_hierarchy): ONLY the top level sorts
+    * by sequence; a group's children expand contiguously AT the group's
+    * position, ordered by their own sequence among themselves — a child
+    * whose sequence interleaves with an outer tax's must NOT be re-sorted
+    * into the outer chain (it would break include_base_amount chaining). */
   def flatten(chain: Seq[Either[TaxDef, TaxGroup]]): Seq[TaxDef] =
-    chain.flatMap {
+    chain.sortBy {
+      case Left(t) => t.sequence
+      case Right(g) => g.sequence
+    }.flatMap {
       case Left(t) => Seq(t)
-      case Right(g) => g.children
-    }.sortBy(_.sequence)
+      case Right(g) => g.children.sortBy(_.sequence)
+    }
 
   /** One compiled repartition output. */
   final case class TaxLine(tax: TaxDef, repartition: Repartition,
@@ -65,18 +76,60 @@ object TaxCompute {
   final case class Compiled(totalExcluded: Column, totalIncluded: Column,
                             lines: Seq[TaxLine])
 
+  /** compute_all's rounding and sign knobs beyond the chain itself
+    * (account_tax.py:58-98):
+    *  - `precision`: CURRENCY decimals (currency.rounding = 10^-precision)
+    *    — rounds the raw base (:89) and sizes the repartition rounding-
+    *    error step, which stays in CURRENCY units (:206) even when the
+    *    tax precision differs;
+    *  - `taxDecimals`: the partner's invoice_decimal (`dp_dic` {2: 0.01,
+    *    3: 0.001}, :70-74) — the float_round precision for every tax
+    *    amount; None = no partner, fall back to the currency precision;
+    *  - `roundGlobally`: company tax_calculation_rounding_method =
+    *    'round_globally' (:79-84) — the tax precision gains 5 decimals
+    *    (`prec *= 1e-5`), deferring real rounding to the caller's totals;
+    *  - `fixedMultiplicator`: scales fixed amounts by its ABSOLUTE value
+    *    (:127 and `_compute_amount`) and supplies the sign when the
+    *    rounded base is zero (:94-95). */
+  final case class Params(precision: Int = 2, taxDecimals: Option[Int] = None,
+                          roundGlobally: Boolean = false,
+                          fixedMultiplicator: Double = 1.0)
+
   /** Compile the chain at currency `precision` decimals. `priceUnit` and
     * `quantity` are input Columns; `isRefund` selects nothing here (the
     * reference's refund repartitions mirror the invoice ones in every
     * transcribed fixture — callers pass the refund repartition set in
     * `TaxDef.repartition` when it differs). */
   def compile(taxes: Seq[TaxDef], priceUnit: Column, quantity: Column,
-              precision: Int = 2): Compiled = {
-    val unit = math.pow(10.0, -precision)
-    def rnd(c: Column): Column = round(c, precision)
+              precision: Int = 2): Compiled =
+    compile(taxes, priceUnit, quantity, Params(precision = precision))
 
-    val rawBase = rnd(priceUnit * quantity)
-    val sign = when(rawBase < 0, lit(-1.0)).otherwise(lit(1.0))
+  def compile(taxes: Seq[TaxDef], priceUnit: Column, quantity: Column,
+              params: Params): Compiled = {
+    // 'python' (safe-eval'd per-row formulas) is OUT OF SCOPE by design
+    // (SURVEY §4.3: no embedded interpreter in public Spark); the compiler
+    // rejects the chain HERE, at compile time, so a caller porting such a
+    // tax fails loudly instead of computing a wrong amount. 'group' never
+    // reaches compile ([[flatten]] expands groups first).
+    taxes.find(t => !Set("fixed", "percent", "division").contains(t.amountType))
+      .foreach(t => throw new IllegalArgumentException(
+        s"amount_type '${t.amountType}' (tax ${t.id}) is unsupported by " +
+          "the column compiler — python-formula taxes are out of " +
+          "public-Spark scope; flatten group taxes before compiling"))
+    // currency rounding (:89, :144, :206) vs tax-amount float_round
+    // precision (:70-84, :145, :183-207): two distinct units
+    val unit = math.pow(10.0, -params.precision)
+    def rndC(c: Column): Column = round(c, params.precision)
+    val precDec = params.taxDecimals.getOrElse(params.precision) +
+      (if (params.roundGlobally) 5 else 0)
+    def rnd(c: Column): Column = round(c, precDec)
+    val absMult = math.abs(params.fixedMultiplicator)
+
+    val rawBase = rndC(priceUnit * quantity)
+    // zero base: the fixed multiplicator supplies the sign (:94-95)
+    val zeroSign = if (params.fixedMultiplicator < 0) -1.0 else 1.0
+    val sign = when(rawBase === 0.0, lit(zeroSign))
+      .otherwise(when(rawBase < 0, lit(-1.0)).otherwise(lit(1.0)))
     val absBase = abs(rawBase)
 
     def factorSum(t: TaxDef): Double = t.repartition.map(_.factor).sum / 100.0
@@ -104,8 +157,9 @@ object TaxCompute {
         tax.amountType match {
           case "percent" => inclPct += tax.amount * f
           case "division" => inclDiv += tax.amount * f
-          case "fixed" => inclFixed = inclFixed + abs(quantity) * (tax.amount * f)
-          case other => throw new IllegalArgumentException(s"amount_type $other")
+          case _ => // "fixed" — the only type left after the upfront check
+            // :127 — |quantity| · amount · factor · |fixed_multiplicator|
+            inclFixed = inclFixed + abs(quantity) * (tax.amount * f * absMult)
         }
         if (storeCheckpoint && tax.amount != 0.0) {
           checkpoints(i) = b
@@ -113,14 +167,27 @@ object TaxCompute {
         }
       }
     }
-    val totalExcluded = rnd(recomputeBase(b, inclFixed, inclPct, inclDiv))
+    // :144-145 — currency.round FIRST, then float_round at the tax
+    // precision (a no-op when they agree; both kept for fidelity)
+    val totalExcluded = rnd(rndC(recomputeBase(b, inclFixed, inclPct, inclDiv)))
 
     // ---- forward pass (:148-249) --------------------------------------
     // the reference forces force_price_include=False here (:179): the
     // backward pass already extracted the excluded base, so every tax
     // computes with the price-EXCLUDED formulas
+    // fixed amounts follow the reference's `_compute_amount` (Odoo core,
+    // public AGPL source): `copysign(quantity, base) · amount · |mult|`
+    // when the base is nonzero, else `quantity · amount · |mult|`. On the
+    // abs path the base is ≥ 0, so copysign(quantity, base) = |quantity|
+    // and the amount KEEPS ITS OWN SIGN — a negative fixed amount is a
+    // rebate and must stay negative (an abs() here would also break the
+    // backward pass's raw-amount accumulation at :127: a price-included
+    // negative fixed tax would no longer round-trip to the included
+    // total; GoldenTaxComputeSpec pins that invariant).
     def computeAmount(tax: TaxDef, baseAmt: Column): Column = tax.amountType match {
-      case "fixed" => abs(quantity) * tax.amount
+      case "fixed" =>
+        val amt = tax.amount * absMult
+        when(baseAmt =!= 0.0, abs(quantity) * amt).otherwise(quantity * amt)
       case "percent" => baseAmt * (tax.amount / 100.0)
       case "division" =>
         if (1.0 - tax.amount / 100.0 == 0.0) lit(0.0)

@@ -63,10 +63,16 @@ object GenericTaxReport {
       g.children.exists(c => byId.get(c).exists(_.use != "none"))
     // rows referencing a tax id absent from the dim (an archived tax a
     // journal line still carries) sort by raw id and are SKIPPED by the
-    // attribution below — an orphan row must never abort the report
+    // attribution below — an orphan row must never abort the report.
+    // A MISSING id sorts LAST (Postgres ORDER BY defaults to NULLS LAST,
+    // and the reference's flat query relies on it: when a grouped and an
+    // ungrouped src both hit the same group's 'none' child in one period,
+    // the grouped combo must win the once-per-group extra-base slot);
+    // (Int.MaxValue, Long.MaxValue) also sorts it AFTER orphan ids, which
+    // carry (Int.MaxValue, id < Long.MaxValue).
     def sortKey(id: Option[Long]): (Int, Long) =
       id.map(i => (byId.get(i).map(_.sequence).getOrElse(Int.MaxValue), i))
-        .getOrElse((Int.MinValue, Long.MinValue))
+        .getOrElse((Int.MaxValue, Long.MaxValue))
 
     // ---- the two bounded aggregations (fact-scale work ends here) -----
     val baseAgg = baseRows

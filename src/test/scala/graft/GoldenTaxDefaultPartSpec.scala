@@ -260,6 +260,37 @@ class GoldenTaxDefaultPartSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(acct2Group.size == 2, "the group must appear under BOTH accounts")
   }
 
+  test("a grouped src beats an ungrouped src for the once-per-group extra-base slot (NULLS LAST)") {
+    // r14 ADVICE: the reference's Postgres ORDER BY src_group sorts NULLs
+    // LAST, so when a grouped and an ungrouped src both affect the same
+    // group's 'none' child in one period, the GROUPED combo books the
+    // extra base and the ungrouped one is skipped — a MinValue sort key
+    // for the missing id would invert the winner
+    val taxes = Seq(
+      Tax(11, "src_a (10.0%)", "sale", sequence = 1),
+      Tax(12, "src_b (5.0%)", "sale", sequence = 2),
+      Tax(21, "child", "none", sequence = 3),
+      Tax(8000, "other_group", "sale", isGroup = true, children = Seq(11), sequence = 4),
+      Tax(9000, "the_group", "sale", isGroup = true, children = Seq(21), sequence = 5))
+    val base = baseDf(Seq(
+      ("p0", A1, 11L, None, None, -1000.0),
+      ("p0", A1, 12L, None, None, -500.0),
+      ("p0", A1, 9000L, None, None, -1000.0),
+      // grouped src (src_group present) vs ungrouped src, both on child 21
+      ("p0", A1, 21L, Some(11L), Some(8000L), -30.0),
+      ("p0", A1, 21L, Some(12L), None, -50.0)))
+    val tax = taxDf(Seq(
+      ("p0", A1, 11L, None, -100.0),
+      ("p0", A1, 12L, None, -50.0),
+      ("p0", A1, 21L, Some(9000L), -200.0)))
+    assert(view(compute(base, tax, taxes, P, Flat, names)) == Seq(
+      taxRow("Sales", 350.0),
+      row("src_a (10.0%)", 1000.0, 100.0),
+      row("src_b (5.0%)", 500.0, 50.0),
+      row("the_group", 1030.0, 200.0),
+      taxRow("Total Sales", 350.0)))
+  }
+
   test("orphan tax ids (archived taxes still on journal lines) are skipped, never abort") {
     val taxes = Seq(Tax(10, "tax (10.0%)", "sale"))
     val base = baseDf(Seq(

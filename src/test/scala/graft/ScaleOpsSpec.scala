@@ -91,6 +91,29 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.subsetOf(viaSketch), "sketch fallback lost matching rows")
   }
 
+  test("bloom prune widens mixed int/long keys before hashing (r14 ADVICE: no false negatives)") {
+    val s = spark; import s.implicits._
+    import graft.engine.RuntimeFilter
+    // xxhash64 hashes IntegerType and LongType differently — an un-widened
+    // dim(int)/fact(long) pair silently drops MATCHING rows. Both sides
+    // must widen to long before hashing.
+    val fact = (1L to 200L).map(k => (k, s"f$k")).toDF("k", "payload")
+    val dimInt = (1 to 200 by 9).map(k => (k, s"d$k")).toDF("dk", "dv") // IntegerType
+    val pruned = RuntimeFilter.bloomPrune(fact, "k", dimInt, "dk",
+      expectedItems = 50, fpp = 0.03)
+    val exact = fact.join(dimInt, col("k") === col("dk"))
+      .select("k").as[Long].collect().toSet
+    assert(exact.nonEmpty)
+    val kept = pruned.select("k").as[Long].collect().toSet
+    assert(exact.subsetOf(kept),
+      s"int-dim/long-fact prune lost matching keys: ${exact -- kept}")
+    // a type pair that cannot hash identically is rejected loudly
+    val strDim = Seq(("1", "x")).toDF("dk", "dv")
+    intercept[IllegalArgumentException] {
+      RuntimeFilter.bloomPrune(fact, "k", strDim, "dk")
+    }
+  }
+
   test("partitioned sink: day partitions land and retention drops old ones") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft_sink").toFile.getPath + "/log"
