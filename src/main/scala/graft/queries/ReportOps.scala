@@ -823,13 +823,91 @@ object ReportOps {
       |       round(sum(sg * m3), 2) AS t10_c
       |FROM step6""".stripMargin
 
+  /** q174 — the invoice tax-totals summary ([[graft.report.TaxTotals]],
+    * etl_account/models/account_tax.py:354-530) over q173's compiled
+    * lines: a 10% include_base_amount tax and a 20% tax SHARING one tax
+    * group (the no-double-count base rule live on every line), a 4%
+    * not-base-affected withholding group under its own preceding
+    * subtotal, per-line discounts, untaxed lines riding the same scan,
+    * signed quantities. The per-group aggregation is the one-scan
+    * two-level groupBy; only the dimension-sized footer reaches the
+    * driver. Output = the footer as (sec, name, base, tax, amount) rows;
+    * the oracle replays the arithmetic and the layout in SQL. */
+  def q174(s: SparkSession, d: String): DataFrame = {
+    import graft.engine.TaxCompute.TaxDef
+    import graft.report.TaxTotals
+    import graft.report.TaxTotals.GroupDef
+    val s0 = s; import s0.implicits._
+    val g1 = GroupDef(1, "Taxes", sequence = 1)
+    val g2 = GroupDef(2, "Withholding", sequence = 2,
+      precedingSubtotal = Some("Withholding"))
+    val chain = Seq(
+      TaxDef(1, "t10", "percent", 10.0, includeBaseAmount = true, sequence = 1),
+      TaxDef(2, "t20", "percent", 20.0, sequence = 2),
+      TaxDef(3, "t4", "percent", 4.0, isBaseAffected = false, sequence = 3))
+    // each physical line is its own record (the reference's base_line
+    // record IS the invoice line); the synthetic lineitem carries
+    // duplicate (orderkey, linenumber) pairs, so a derived key would
+    // merge distinct records and under-count group bases
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") <= 300)
+      .select(monotonically_increasing_id().as("rec"),
+        col("l_quantity").cast("double").as("p"),
+        when(col("l_linenumber") % 2 === 1, lit(1.0)).otherwise(lit(-1.0)).as("q"),
+        ((col("l_orderkey") % 4) * lit(10.0)).as("disc"),
+        (col("l_orderkey") % 7 =!= 0).as("taxed"))
+    val t = TaxTotals.prepareTaxTotals(li, col("rec"), col("p"), col("q"),
+      col("disc"), col("taxed"), chain, Map(1L -> g1, 2L -> g1, 3L -> g2))
+    val rows =
+      t.groups.map(g => (1L, g.group.name, Option(g.baseAmount),
+        Option(g.taxAmount), Option.empty[Double])) ++
+      t.subtotals.map(st => (2L, st.name, Option.empty[Double],
+        Option.empty[Double], Option(st.amount))) :+
+      ((3L, "(totals)", Option(t.amountUntaxed), Option(t.amountTax),
+        Option(t.amountTotal)))
+    rows.toDF("sec", "name", "base_amount", "tax_amount", "amount")
+      .orderBy(col("sec"), col("name"))
+  }
+
+  val q174Sql: String =
+    """WITH li AS (
+      |  SELECT round(CAST(l_quantity AS DOUBLE)
+      |           * (1 - (l_orderkey % 4) * 10.0 / 100.0)
+      |           * (CASE WHEN l_linenumber % 2 = 1 THEN 1.0 ELSE -1.0 END), 2) AS raw,
+      |         l_orderkey % 7 <> 0 AS taxed
+      |  FROM lineitem WHERE l_orderkey <= 300),
+      |tx AS (
+      |  SELECT CASE WHEN raw < 0 THEN -1.0 ELSE 1.0 END AS sg, abs(raw) AS ab,
+      |         round(abs(raw) * 0.1, 2) AS t1,
+      |         round((abs(raw) + round(abs(raw) * 0.1, 2)) * 0.2, 2) AS t2,
+      |         round(abs(raw) * 0.04, 2) AS t3
+      |  FROM li WHERE taxed),
+      |g AS (
+      |  SELECT round(sum(sg * ab), 2) AS gbase,
+      |         round(sum(sg * (t1 + t2)), 2) AS g1_tax,
+      |         round(sum(sg * t3), 2) AS g2_tax
+      |  FROM tx),
+      |u AS (SELECT sum(raw) AS raw_untaxed FROM li)
+      |SELECT sec, name, base_amount, tax_amount, amount FROM (
+      |  SELECT CAST(1 AS BIGINT) AS sec, 'Taxes' AS name,
+      |         gbase AS base_amount, g1_tax AS tax_amount,
+      |         CAST(NULL AS DOUBLE) AS amount FROM g
+      |  UNION ALL SELECT 1, 'Withholding', gbase, g2_tax, NULL FROM g
+      |  UNION ALL SELECT 2, 'Untaxed Amount', NULL, NULL, round(raw_untaxed, 2) FROM u
+      |  UNION ALL SELECT 2, 'Withholding', NULL, NULL,
+      |         round(raw_untaxed + g1_tax, 2) FROM g, u
+      |  UNION ALL SELECT 3, '(totals)', round(raw_untaxed, 2),
+      |         round(g1_tax + g2_tax, 2),
+      |         round(round(raw_untaxed, 2) + round(g1_tax + g2_tax, 2), 2) FROM g, u
+      |) ORDER BY sec, name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
     "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
     "q53_pivot_register" -> (q53 _), "q54_report_runner" -> (q54 _),
     "q55_multicurrency_reval" -> (q55 _), "q56_cash_flow" -> (q56 _),
     "q170_cash_flow_statement" -> (q170 _), "q171_vat_closing" -> (q171 _),
-    "q172_generic_tax_report" -> (q172 _), "q173_tax_compute" -> (q173 _))
+    "q172_generic_tax_report" -> (q172 _), "q173_tax_compute" -> (q173 _),
+    "q174_tax_totals" -> (q174 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
@@ -837,5 +915,6 @@ object ReportOps {
     "q53_pivot_register" -> q53Sql, "q54_report_runner" -> q54Sql,
     "q55_multicurrency_reval" -> q55Sql, "q56_cash_flow" -> q56Sql,
     "q170_cash_flow_statement" -> q170Sql, "q171_vat_closing" -> q171Sql,
-    "q172_generic_tax_report" -> q172Sql, "q173_tax_compute" -> q173Sql)
+    "q172_generic_tax_report" -> q172Sql, "q173_tax_compute" -> q173Sql,
+    "q174_tax_totals" -> q174Sql)
 }

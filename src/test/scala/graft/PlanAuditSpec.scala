@@ -365,6 +365,29 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tax-totals footer aggregates groups AND the untaxed sum in ONE fact scan") {
+    // the sentinel-group design (TaxTotals.footerAggregate): a second
+    // scan for the untaxed subtotal would double the corpus read at scale
+    import org.apache.spark.sql.functions._
+    import graft.engine.TaxCompute.{Params, TaxDef}
+    import graft.report.TaxTotals
+    import graft.report.TaxTotals.GroupDef
+    val li = Tables.lineitem(spark, sf)
+      .select(monotonically_increasing_id().as("rec"),
+        col("l_quantity").cast("double").as("p"), lit(1.0).as("q"),
+        lit(0.0).as("disc"), (col("l_orderkey") % 7 =!= 0).as("taxed"))
+    val agg = TaxTotals.footerAggregate(li, col("rec"), col("p"), col("q"),
+      col("disc"), col("taxed"),
+      Seq(TaxDef(1, "t10", "percent", 10.0), TaxDef(2, "t20", "percent", 20.0)),
+      Map(1L -> GroupDef(1, "G1"), 2L -> GroupDef(2, "G2")), 2, Params(), None)
+    assert(agg.count() > 0)
+    val p = agg.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"the footer must read the fact exactly once:\n$p")
+    assert(!p.contains("UDF("))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
   test("GLOBAL sweep: no query plans a cartesian product, a non-scalar " +
       "nested loop, or a partition-less window") {
     // Every per-query audit above pins a query someone already suspected;
