@@ -31,11 +31,12 @@ import org.apache.spark.sql.functions._
   * Scale: three joins (lines⋈payment-moves, partials⋈lines twice) and
   * small groupBys — the partials table is the join spine, never a
   * cartesian; per-account aggregates collapse before the driver sees
-  * them, and EVERY journal-wide (move, account) aggregate is semi-join
-  * pruned to its bounded move set before it shuffles
-  * ([[reconciledMoveBalances]]; `nonLiq` likewise). The debit/credit
-  * partial sums come out of one side-tagged scan. The layout roll-up is
-  * a dozen rows.
+  * them, and EVERY journal-wide aggregate is semi-join pruned to its
+  * bounded move set before it shuffles ([[reconciledMoveLines]];
+  * `nonLiq` likewise); the (move, account) balance frame is a ROLLUP of
+  * that one scan ([[reconciledMoveBalances]]), not a second journal
+  * read. The debit/credit partial sums come out of one side-tagged
+  * scan. The layout roll-up is a dozen rows.
   */
 object CashFlowStatement {
 
@@ -69,19 +70,27 @@ object CashFlowStatement {
         sections("net_increase")
   }
 
-  /** Balance of each reconciled (move, account) — pruned to the
-    * reconciled moves BEFORE the groupBy (the left join into `recon`
-    * drops every other group anyway; without the semi-join this is a
-    * full-journal (move, account) shuffle paid for rows that are
-    * discarded — the exact shuffle the plan must never pay at 100×).
-    * Named so [[graft.PlanAuditSpec]] pins the pre-aggregate semi-join
-    * shape on the real compute path. */
-  private[graft] def reconciledMoveBalances(lines: DataFrame,
-                                            reconMoves: DataFrame): DataFrame =
+  /** Every line of the reconciled moves, grouped per (move, account,
+    * atype, tag) — pruned to the reconciled moves BEFORE the groupBy
+    * (without the semi-join this is a full-journal shuffle paid for rows
+    * that are discarded — the exact shuffle the plan must never pay at
+    * 100×). Named so [[graft.PlanAuditSpec]] pins the pre-aggregate
+    * semi-join shape on the real compute path. */
+  private[graft] def reconciledMoveLines(lines: DataFrame,
+                                         reconMoves: DataFrame): DataFrame =
     lines
       .join(reconMoves.withColumnRenamed("o_move", "move_id"), Seq("move_id"), "left_semi")
-      .groupBy(col("move_id").as("o_move"), col("account").as("o_account"))
-      .agg(sum(col("balance")).as("amt"))
+      .groupBy(col("move_id").as("o_move"), col("account").as("o_account"),
+        col("atype"), col("tag"))
+      .agg(sum(col("balance")).as("bal"))
+
+  /** Balance of each reconciled (move, account) — a ROLLUP of
+    * [[reconciledMoveLines]] (r14 verdict: deriving it from `mv` instead
+    * of a second semi-joined journal scan saves one full journal read +
+    * semi-join per statement). */
+  private[graft] def reconciledMoveBalances(mv: DataFrame): DataFrame =
+    mv.groupBy(col("o_move"), col("o_account"))
+      .agg(sum(col("bal")).as("amt"))
 
   /** `lines`: (line_id, move_id, account, atype, tag nullable, d, balance).
     * `partials`: (debit_id, credit_id, amount, max_d).
@@ -164,17 +173,15 @@ object CashFlowStatement {
     // the reconciled-move set is the spine for BOTH per-account balance
     // frames below — one distinct, shared
     val reconMoves = recon.select(col("o_move")).distinct()
-    val reconAmt = reconciledMoveBalances(lines, reconMoves)
+    // ONE semi-joined journal scan feeds both balance frames: `mv` (per
+    // move/account/atype/tag) and its (move, account) rollup `reconAmt`
+    // — cached because the two consumers land in the same union collect
+    val mv = reconciledMoveLines(lines, reconMoves).cache()
+    val reconAmt = reconciledMoveBalances(mv)
     val reconFull = recon.join(reconAmt, Seq("o_move", "o_account"), "left")
     val perMove = reconFull.groupBy(col("o_move"))
       .agg(sum(col("rec")).as("total_rec"),
         sum(coalesce(col("amt"), lit(0.0))).as("total_amt"))
-    // every line of the reconciled moves, grouped per account
-    val mv = lines.join(reconMoves.withColumnRenamed("o_move", "move_id"),
-        Seq("move_id"), "left_semi")
-      .groupBy(col("move_id").as("o_move"), col("account").as("o_account"),
-        col("atype"), col("tag"))
-      .agg(sum(col("balance")).as("bal"))
     val isZero = (c: org.apache.spark.sql.Column) => abs(c) < 0.005
     val reconValsDf = mv
       .join(perMove, Seq("o_move"))
@@ -203,7 +210,7 @@ object CashFlowStatement {
       .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2)),
         r.getDouble(3), r.getString(4)))
     paymentMoves.unpersist(); nonLiq.unpersist(); effPartials.unpersist()
-    recon.unpersist()
+    recon.unpersist(); mv.unpersist()
     // zero balances are not reported (the reference's is_zero skip, :97)
     val opening = allRows.collect { case (a, _, _, v, "open") if math.abs(v) >= 0.005 => (a, v) }
     val period = allRows.collect { case (a, _, _, v, "per") if math.abs(v) >= 0.005 => (a, v) }

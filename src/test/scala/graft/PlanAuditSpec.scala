@@ -341,28 +341,34 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
-  test("cash-flow reconAmt semi-joins the reconciled moves BEFORE aggregating") {
-    // r13 verdict's one plan defect: the (move, account) balance frame
-    // aggregated the FULL journal, then left-joined into the bounded
-    // recon set — a full-fact shuffle paid for rows that are discarded.
-    // Pin the fixed shape on the real compute path: the aggregate's
-    // subtree must contain the LeftSemi prune, i.e. the semi-join runs
-    // UNDER the groupBy, not after it.
+  test("cash-flow (move, account) balances: ONE semi-join-pruned scan, rolled up — never a second journal read") {
+    // r13 verdict: the balance frame aggregated the FULL journal, then
+    // left-joined into the bounded recon set — a full-fact shuffle paid
+    // for rows that are discarded. r14 verdict: reconAmt must be a ROLLUP
+    // of mv's scan, not a second semi-joined scan. Pin both on the real
+    // compute path: every aggregate sits ABOVE the LeftSemi prune, and
+    // the whole two-level plan carries exactly ONE semi-join (= one
+    // journal read feeding both balance frames).
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     import spark.implicits._
-    val lines = Seq((1L, 10L, "a1", 5.0), (2L, 11L, "a2", -5.0))
-      .toDF("line_id", "move_id", "account", "balance")
+    val lines = Seq((1L, 10L, "a1", "rec", "operating", 5.0),
+        (2L, 11L, "a2", "pay", "investing", -5.0))
+      .toDF("line_id", "move_id", "account", "atype", "tag", "balance")
     val reconMoves = Seq(10L).toDF("o_move")
-    val qe = graft.report.CashFlowStatement
-      .reconciledMoveBalances(lines, reconMoves).queryExecution
+    val mv = graft.report.CashFlowStatement.reconciledMoveLines(lines, reconMoves)
+    val qe = graft.report.CashFlowStatement.reconciledMoveBalances(mv)
+      .queryExecution
     val aggs = qe.optimizedPlan.collect { case a: Aggregate => a }
-    assert(aggs.nonEmpty)
+    assert(aggs.size == 2, s"expected the two-level rollup:\n${qe.optimizedPlan}")
     aggs.foreach { a =>
       val semisBelow = a.child.collect { case j: Join if j.joinType == LeftSemi => j }
       assert(semisBelow.nonEmpty,
-        s"reconAmt aggregate lost its pre-aggregate semi-join prune:\n${qe.optimizedPlan}")
+        s"a balance aggregate lost its pre-aggregate semi-join prune:\n${qe.optimizedPlan}")
     }
+    val semis = qe.optimizedPlan.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.size == 1,
+      s"the rollup must share mv's scan — one semi-join, not ${semis.size}:\n${qe.optimizedPlan}")
   }
 
   test("tax-totals footer aggregates groups AND the untaxed sum in ONE fact scan") {
