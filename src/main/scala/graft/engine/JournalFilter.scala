@@ -1,5 +1,7 @@
 package graft.engine
 
+import org.apache.spark.sql.Column
+
 /** The journal-filter options state machine
   * (reference account_report.py:128-319 `_init_options_journals`):
   * resolves the journal/journal-group selector across companies —
@@ -144,5 +146,29 @@ object JournalFilter {
         JournalRow(j.id, j.name, selected(c).contains(j.id)))
     }
     Options(rows.toSeq, displayName, selected.toMap)
+  }
+
+  /** The journal ids a report query must scope to (reference
+    * `_get_options_journals`, account_report.py:322-334): the SELECTED
+    * journal rows of the resolved options — and when none is selected,
+    * every journal row (a report may have pre-filtered the available
+    * journals by type, so "no selection" means "all of THESE", not "no
+    * filter"). */
+  def selectedJournalIds(opts: Options): Seq[Long] = {
+    val journalRows = opts.rows.collect { case r: JournalRow => r }
+    val picked = journalRows.filter(_.selected)
+    (if (picked.nonEmpty) picked else journalRows).map(_.id)
+  }
+
+  /** The resolved selection as a fact-scan predicate (reference
+    * `_get_options_journals_domain`, account_report.py:339-341:
+    * `[('journal_id', 'in', ids)]`, or the empty domain when the
+    * selector has no journals at all). The IN stays on the RAW journal
+    * column so Catalyst pushes it into the parquet scan —
+    * [[graft.PlanAuditSpec]] pins `PushedFilters: In(...)` on the q175
+    * composition gate. */
+  def scanPredicate(opts: Options, journalCol: Column): Option[Column] = {
+    val ids = selectedJournalIds(opts)
+    if (ids.isEmpty) None else Some(journalCol.isin(ids: _*))
   }
 }

@@ -900,6 +900,47 @@ object ReportOps {
       |         round(round(raw_untaxed, 2) + round(g1_tax + g2_tax, 2), 2) FROM g, u
       |) ORDER BY sec, name""".stripMargin
 
+  /** q175 — journal-filter → scan-filter composition (the P4 pattern
+    * closing the r14 verdict's #5): [[graft.engine.JournalFilter]]
+    * resolves the selector state machine DRIVER-SIDE (two companies over
+    * `l_linenumber` 1..7 as journal ids, one group each, first-load
+    * default → group exclusions drop journals 2 and 6), and
+    * [[graft.engine.JournalFilter.scanPredicate]] turns the resolved set
+    * into ONE `IN` on the raw fact column that Catalyst pushes into the
+    * parquet scan (PlanAuditSpec pins `PushedFilters: In(l_linenumber`).
+    * GoldenJournalFilterSpec pins this fixture's resolution to
+    * {1,3,4,5,7}, keeping the oracle's literal id list honest.
+    * Scale: the journal dim is config-sized at any corpus; the fact side
+    * is one pruned scan into one hash aggregate. */
+  def q175(s: SparkSession, d: String): DataFrame = {
+    import graft.engine.JournalFilter
+    import graft.engine.JournalFilter.{Group, Journal}
+    val journals = Seq(
+      Journal(1, "Bank", "BNK", "c1"), Journal(2, "Purchases", "PUR", "c1"),
+      Journal(3, "Sales", "SAL", "c1"), Journal(4, "Cash", "CSH", "c1"),
+      Journal(5, "Misc", "MSC", "c2"), Journal(6, "Exchange", "EXC", "c2"),
+      Journal(7, "Opening", "OPN", "c2"))
+    val groups = Seq(
+      Group(101, "c1 operating", "c1", excluded = Set(2L), sequence = 1),
+      Group(102, "c2 ledgers", "c2", excluded = Set(6L), sequence = 1))
+    val opts = JournalFilter.initOptions(journals, groups, Seq("c1", "c2"),
+      previousSelected = None)
+    val fact = Tables.lineitem(s, d)
+    val scoped = JournalFilter.scanPredicate(opts, col("l_linenumber"))
+      .map(fact.filter).getOrElse(fact)
+    scoped
+      .groupBy(col("l_linenumber").as("journal_id"))
+      .agg(round(sum("l_extendedprice"), 2).as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("journal_id"))
+  }
+
+  val q175Sql: String =
+    """SELECT l_linenumber AS journal_id,
+      |  round(sum(l_extendedprice), 2) AS total, count(*) AS n
+      |FROM lineitem WHERE l_linenumber IN (1, 3, 4, 5, 7)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
     "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
@@ -907,7 +948,7 @@ object ReportOps {
     "q55_multicurrency_reval" -> (q55 _), "q56_cash_flow" -> (q56 _),
     "q170_cash_flow_statement" -> (q170 _), "q171_vat_closing" -> (q171 _),
     "q172_generic_tax_report" -> (q172 _), "q173_tax_compute" -> (q173 _),
-    "q174_tax_totals" -> (q174 _))
+    "q174_tax_totals" -> (q174 _), "q175_journal_scoped_report" -> (q175 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
@@ -916,5 +957,5 @@ object ReportOps {
     "q55_multicurrency_reval" -> q55Sql, "q56_cash_flow" -> q56Sql,
     "q170_cash_flow_statement" -> q170Sql, "q171_vat_closing" -> q171Sql,
     "q172_generic_tax_report" -> q172Sql, "q173_tax_compute" -> q173Sql,
-    "q174_tax_totals" -> q174Sql)
+    "q174_tax_totals" -> q174Sql, "q175_journal_scoped_report" -> q175Sql)
 }

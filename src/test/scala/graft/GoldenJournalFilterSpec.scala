@@ -206,4 +206,30 @@ class GoldenJournalFilterSpec extends AnyFunSuite {
     assert(matrix(o6) == Seq(-1L -> false, 101L -> false, -1L -> false,
       1L -> true, 2L -> true, -1L -> false, 3L -> false, 4L -> false))
   }
+
+  test("scan composition: selected ids follow the rows, empty selection means all (reference :322-341)") {
+    val js = Seq(j(1, "j1", "c1"), j(2, "j2", "c1"), j(3, "j3", "c2"))
+    // explicit selection → only the selected rows' ids
+    val o1 = initOptions(js, Nil, Seq("c1", "c2"), Some(Set(1L, 3L)))
+    assert(JournalFilter.selectedJournalIds(o1).sorted == Seq(1L, 3L))
+    // all-selected collapses the selection → falls back to EVERY journal
+    val o2 = initOptions(js, Nil, Seq("c1", "c2"), Some(Set(1L, 2L, 3L)))
+    assert(JournalFilter.selectedJournalIds(o2).sorted == Seq(1L, 2L, 3L))
+    // no journals at all → no predicate
+    val o3 = initOptions(Nil, Nil, Seq("c1"), None)
+    assert(JournalFilter.scanPredicate(o3,
+      org.apache.spark.sql.functions.col("x")).isEmpty)
+  }
+
+  test("q175 gate fixture resolves to {1,3,4,5,7} — the oracle SQL's literal id list") {
+    // MUST stay in sync with ReportOps.q175 / q175Sql: first-load default
+    // picks each company's first group; exclusions drop journals 2 and 6.
+    val js = Seq(j(1, "Bank", "c1"), j(2, "Purchases", "c1"),
+      j(3, "Sales", "c1"), j(4, "Cash", "c1"),
+      j(5, "Misc", "c2"), j(6, "Exchange", "c2"), j(7, "Opening", "c2"))
+    val gs = Seq(Group(101, "c1 operating", "c1", Set(2L), 1),
+      Group(102, "c2 ledgers", "c2", Set(6L), 1))
+    val o = initOptions(js, gs, Seq("c1", "c2"), None)
+    assert(JournalFilter.selectedJournalIds(o).sorted == Seq(1L, 3L, 4L, 5L, 7L))
+  }
 }

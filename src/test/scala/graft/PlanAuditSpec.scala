@@ -100,6 +100,14 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("c_name"), "customer scan must prune unused columns")
   }
 
+  test("journal-filter selection reaches the fact scan as a pushed IN (q175)") {
+    val p = plan("q175_journal_scoped_report")
+    assert(p.contains("PushedFilters: [In(l_linenumber"),
+      "the resolved journal ids must push into the parquet scan:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
+      "the composition is one pruned scan into one aggregate, no join")
+  }
+
   test("range join is a bucketized equi join, not a nested loop") {
     assert(!plan("q58_range_join").contains("NestedLoop"))
   }
