@@ -941,6 +941,81 @@ object ReportOps {
       |FROM lineitem WHERE l_linenumber IN (1, 3, 4, 5, 7)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q176 — invoice-line totals ([[graft.report.LineTotals]], reference
+    * `_compute_totals`, account_move_line.py:316-362): price_subtotal /
+    * price_total per line over a 15% chain, with the percent discount,
+    * the flat `discount_value` subtraction, untaxed lines, signed
+    * quantities, and the PER-ROW partner-decimal selection (dec ∈ {2,3}
+    * — the chain compiles once per decimal, one scan). Grouped by the
+    * partner-decimal class so both compiled branches are separately
+    * hash-checked. The whole projection is codegen'd — no UDF, one scan
+    * into one hash aggregate at any corpus size. */
+  def q176(s: SparkSession, d: String): DataFrame = {
+    import graft.engine.TaxCompute.TaxDef
+    import graft.report.LineTotals
+    val chain = Seq(TaxDef(1, "t20", "percent", 20.0))
+    // tie-free fixture (Parity.scala rules): integer price units and the
+    // x20% rate keep every intermediate OFF the exact .xx5 boundaries
+    // where Spark's string-repr HALF_UP and DuckDB's binary
+    // away-from-zero rounding can diverge (cents x 2 is always even)
+    val li = Tables.lineitem(s, d).filter(col("l_orderkey") <= 400)
+      .select(
+        (col("l_quantity").cast("double") * 10.0 +
+          (col("l_orderkey") % 10).cast("double")).as("pu"),
+        (col("l_quantity").cast("double") *
+          when(col("l_linenumber") % 2 === 1, lit(1.0)).otherwise(lit(-1.0))).as("q"),
+        ((col("l_orderkey") % 4).cast("double") * 10.0).as("pct"),
+        ((col("l_suppkey") % 3).cast("double") * 0.25).as("dval"),
+        (col("l_orderkey") % 7 =!= 0).as("taxed"),
+        (col("l_partkey") % 3 === 0).as("dec3"))
+    val t = LineTotals.computePerPartner(chain, col("pu"), col("q"),
+      col("pct"), col("dval"), col("taxed"), col("dec3"))
+    li.groupBy(col("dec3"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(t.priceSubtotal), 3).as("sum_subtotal"),
+        round(sum(t.priceTotal), 3).as("sum_total"),
+        round(sum(when(col("taxed"), t.priceTotal - t.priceSubtotal)
+          .otherwise(lit(0.0))), 3).as("sum_tax"))
+      .orderBy(col("dec3"))
+  }
+
+  /** Mirrors [[graft.report.LineTotals]] + the single-exclusive-percent
+    * [[graft.engine.TaxCompute]] chain: discounted unit rounded at dec,
+    * rawBase at currency 2, tax at dec, totals re-rounded at dec. */
+  val q176Sql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS DOUBLE) * 10.0 + (l_orderkey % 10) AS pu,
+      |         CAST(l_quantity AS DOUBLE)
+      |           * (CASE WHEN l_linenumber % 2 = 1 THEN 1.0 ELSE -1.0 END) AS q,
+      |         (l_orderkey % 4) * 10.0 AS pct,
+      |         (l_suppkey % 3) * 0.25 AS dval,
+      |         l_orderkey % 7 <> 0 AS taxed,
+      |         l_partkey % 3 = 0 AS dec3
+      |  FROM lineitem WHERE l_orderkey <= 400),
+      |u AS (
+      |  SELECT *, CASE WHEN dec3 THEN 3 ELSE 2 END AS dec,
+      |    round(round(pu * (1 - pct / 100.0), CASE WHEN dec3 THEN 3 ELSE 2 END) - dval,
+      |          CASE WHEN dec3 THEN 3 ELSE 2 END) AS unit
+      |  FROM li),
+      |ca AS (
+      |  SELECT dec3, dec, taxed, round(q * unit, dec) AS subtotal,
+      |         CASE WHEN round(unit * q, 2) < 0 THEN -1.0 ELSE 1.0 END AS sg,
+      |         abs(round(unit * q, 2)) AS ab
+      |  FROM u),
+      |tot AS (
+      |  SELECT dec3,
+      |    CASE WHEN taxed THEN round(sg * ab, dec) ELSE subtotal END AS price_subtotal,
+      |    CASE WHEN taxed
+      |         THEN round(round(sg * (ab + round(ab * 0.20, dec)), dec), dec)
+      |         ELSE subtotal END AS price_total,
+      |    taxed
+      |  FROM ca)
+      |SELECT dec3, count(*) AS n,
+      |  round(sum(price_subtotal), 3) AS sum_subtotal,
+      |  round(sum(price_total), 3) AS sum_total,
+      |  round(sum(CASE WHEN taxed THEN price_total - price_subtotal ELSE 0 END), 3) AS sum_tax
+      |FROM tot GROUP BY dec3 ORDER BY dec3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
     "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
@@ -948,7 +1023,8 @@ object ReportOps {
     "q55_multicurrency_reval" -> (q55 _), "q56_cash_flow" -> (q56 _),
     "q170_cash_flow_statement" -> (q170 _), "q171_vat_closing" -> (q171 _),
     "q172_generic_tax_report" -> (q172 _), "q173_tax_compute" -> (q173 _),
-    "q174_tax_totals" -> (q174 _), "q175_journal_scoped_report" -> (q175 _))
+    "q174_tax_totals" -> (q174 _), "q175_journal_scoped_report" -> (q175 _),
+    "q176_line_totals" -> (q176 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
@@ -957,5 +1033,6 @@ object ReportOps {
     "q55_multicurrency_reval" -> q55Sql, "q56_cash_flow" -> q56Sql,
     "q170_cash_flow_statement" -> q170Sql, "q171_vat_closing" -> q171Sql,
     "q172_generic_tax_report" -> q172Sql, "q173_tax_compute" -> q173Sql,
-    "q174_tax_totals" -> q174Sql, "q175_journal_scoped_report" -> q175Sql)
+    "q174_tax_totals" -> q174Sql, "q175_journal_scoped_report" -> q175Sql,
+    "q176_line_totals" -> q176Sql)
 }

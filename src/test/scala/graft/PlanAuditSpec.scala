@@ -379,6 +379,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the rollup must share mv's scan — one semi-join, not ${semis.size}:\n${qe.optimizedPlan}")
   }
 
+  test("line totals (q176) is one codegen'd projection into one aggregate — no join, no UDF") {
+    // both partner-decimal compilations ride the SAME projection
+    // (LineTotals.computePerPartner): a per-decimal split would double
+    // the corpus read at scale
+    val p = plan("q176_line_totals")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "the per-decimal selection must not become a join or union of scans")
+    assert(!p.toLowerCase.contains("udf"), "the chain must stay codegen'd")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "exactly one lineitem scan feeds both decimal branches")
+  }
+
   test("tax-totals footer aggregates groups AND the untaxed sum in ONE fact scan") {
     // the sentinel-group design (TaxTotals.footerAggregate): a second
     // scan for the untaxed subtotal would double the corpus read at scale
