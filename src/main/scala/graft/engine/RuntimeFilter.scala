@@ -35,17 +35,18 @@ object RuntimeFilter {
     * therefore widen to long on BOTH sides before hashing (the same
     * normalization `df.stat.bloomFilter` applies); any other type pair
     * must already match exactly. */
-  private def hashKey(df: DataFrame, key: String): org.apache.spark.sql.Column =
+  private def hashNormalize(df: DataFrame, key: String)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.types.DataType) =
     df.schema(key).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => col(key).cast("long")
-      case _ => col(key)
+      case ByteType | ShortType | IntegerType | LongType =>
+        (col(key).cast("long"), LongType)
+      case other => (col(key), other)
     }
 
-  private def hashedType(df: DataFrame, key: String) =
-    df.schema(key).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => LongType
-      case other => other
-    }
+  private def hashKey(df: DataFrame, key: String): org.apache.spark.sql.Column =
+    hashNormalize(df, key)._1
+
+  private def hashedType(df: DataFrame, key: String) = hashNormalize(df, key)._2
 
   /** Prune `fact` rows whose `factKey` cannot match any `dim` `dimKey`
     * (integral keys of any width; other types when both sides match).

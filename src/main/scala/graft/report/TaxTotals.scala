@@ -185,9 +185,14 @@ object TaxTotals {
     }
     val amountUntaxed = rndAt(amountUntaxedRaw, dp)
     val amountTaxR = rndAt(amountTax, dp)
-    // :519-520 — one group whose base differs from untaxed, or >1 group
+    // :519-520 — one group whose base differs from untaxed, or >1 group.
+    // The reference compares via currency.compare_amounts — CURRENCY
+    // precision, not the partner dp — so a sub-cent difference between
+    // the dp-rounded values must NOT flip the flag.
+    def cents(v: Double): Long = math.round(v * 100)
     val displayTaxBase = (groupTotals.size == 1 &&
-      groupTotals.head.baseAmount != amountUntaxed) || groupTotals.size > 1
+      cents(groupTotals.head.baseAmount) != cents(amountUntaxed)) ||
+      groupTotals.size > 1
     Totals(amountUntaxed, amountTaxR,
       rndAt(amountUntaxed + amountTaxR, dp), groupTotals, subtotals, order,
       displayTaxBase)
