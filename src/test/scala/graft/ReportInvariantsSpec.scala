@@ -164,4 +164,114 @@ class ReportInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(total(CashBasis.exigible(lines, none)) - immediate) < 1e-6,
       "with no partials only the immediate slice is exigible")
   }
+
+  // ---- round-15 operators ---------------------------------------------
+
+  /** Seeded random percent chain: some include_base_amount, split
+    * repartitions — the shapes the tax-totals/line-totals wrappers must
+    * hold their identities under. */
+  /** `split`: allow 40/60 repartitions (keep OFF for identities over the
+    * factorized total — the rounding-error distribution steps in
+    * CURRENCY units, so at 3 tax decimals a 0.001 residue faithfully
+    * stays undistributed and line sums differ from the factorized
+    * total, account_tax.py:203-214). */
+  private def randomChain(rnd: scala.util.Random, n: Int,
+                          split: Boolean = true) = {
+    import graft.engine.TaxCompute.{Repartition, TaxDef}
+    Seq.tabulate(n) { i =>
+      val rep =
+        if (!split || rnd.nextBoolean()) Seq(Repartition(100.0))
+        else Seq(Repartition(40.0), Repartition(60.0))
+      TaxDef(i + 1L, s"t$i", "percent", (rnd.nextInt(40) + 1).toDouble,
+        includeBaseAmount = rnd.nextBoolean(), sequence = i, repartition = rep)
+    }
+  }
+
+  test("tax-totals subtotals telescope: each shows untaxed + taxes booked before it") {
+    val s = spark; import s.implicits._
+    import graft.report.TaxTotals
+    import graft.report.TaxTotals.GroupDef
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val chain = randomChain(rnd, 3)
+      val groups = Map(1L -> GroupDef(1, "G1", sequence = 1),
+        2L -> GroupDef(2, "G2", sequence = 2,
+          precedingSubtotal = Some("Mid subtotal")),
+        3L -> GroupDef(3, "G3", sequence = 3,
+          precedingSubtotal = Some("Mid subtotal")))
+      val lines = Seq.tabulate(30) { i =>
+        (i.toLong, (rnd.nextInt(20000) - 5000) / 100.0,
+          (rnd.nextInt(9) + 1).toDouble, (rnd.nextInt(4) * 10).toDouble,
+          rnd.nextInt(5) != 0)
+      }.toDF("rec", "price", "qty", "disc", "taxed")
+      val t = TaxTotals.prepareTaxTotals(lines, col("rec"), col("price"),
+        col("qty"), col("disc"), col("taxed"), chain, groups)
+      // total = untaxed + every group's tax, at dp
+      def r2(v: Double) = math.floor(v * 100 + 0.5) / 100
+      assert(math.abs(t.amountTotal -
+        r2(t.amountUntaxed + t.groups.map(_.taxAmount).sum)) < 1e-6)
+      // each subtotal = untaxed + the taxes of groups under EARLIER
+      // subtotals (the reference's running amount_tax, :481-513)
+      var acc = 0.0
+      for (st <- t.subtotals) {
+        assert(math.abs(st.amount - r2(t.amountUntaxed + acc)) < 1e-6,
+          s"seed $seed subtotal ${st.name}")
+        acc += t.groups.filter(g =>
+          g.group.precedingSubtotal.getOrElse("Untaxed Amount") == st.name)
+          .map(_.taxAmount).sum
+      }
+    }
+  }
+
+  test("line totals: total minus subtotal equals the compiled tax lines' sum per row") {
+    val s = spark; import s.implicits._
+    import graft.engine.TaxCompute
+    import graft.report.LineTotals
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val chain = randomChain(rnd, 2, split = false)
+      val rows = Seq.tabulate(40) { i =>
+        (i.toLong, (rnd.nextInt(20000) - 5000) / 100.0,
+          (rnd.nextInt(9) + 1) * (if (rnd.nextBoolean()) 1.0 else -1.0),
+          (rnd.nextInt(4) * 10).toDouble, (rnd.nextInt(400)) / 100.0,
+          rnd.nextInt(5) != 0)
+      }.toDF("rec", "pu", "q", "pct", "dv", "tx")
+      for (dec <- Seq(2, 3)) {
+        val t = LineTotals.compute(chain, col("pu"), col("q"), col("pct"),
+          col("dv"), col("tx"), dec)
+        val unit = LineTotals.discountedUnit(col("pu"), col("pct"), col("dv"), dec)
+        val c = TaxCompute.compile(chain, unit, col("q"),
+          TaxCompute.Params(taxDecimals = Some(dec)))
+        val bad = rows
+          .select((t.priceTotal - t.priceSubtotal).as("gap"),
+            when(col("tx"), c.lines.map(_.amount).reduce(_ + _))
+              .otherwise(lit(0.0)).as("linesum"))
+          .filter(abs(col("gap") - col("linesum")) > 1e-6)
+          .count()
+        assert(bad == 0L, s"seed $seed dec $dec")
+      }
+    }
+  }
+
+  test("line totals ignore the chain entirely on untaxed rows") {
+    val s = spark; import s.implicits._
+    import graft.engine.TaxCompute.TaxDef
+    import graft.report.LineTotals
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(25) { i =>
+      (i.toLong, (rnd.nextInt(20000) - 5000) / 100.0,
+        (rnd.nextInt(9) + 1).toDouble, (rnd.nextInt(4) * 10).toDouble,
+        (rnd.nextInt(400)) / 100.0, false)
+    }.toDF("rec", "pu", "q", "pct", "dv", "tx")
+    val a = LineTotals.compute(Seq(TaxDef(1, "a", "percent", 21.0)),
+      col("pu"), col("q"), col("pct"), col("dv"), col("tx"), 2)
+    val b = LineTotals.compute(
+      Seq(TaxDef(1, "b", "percent", 5.0, priceInclude = true)),
+      col("pu"), col("q"), col("pct"), col("dv"), col("tx"), 2)
+    val diff = rows.select(
+        (a.priceSubtotal - b.priceSubtotal).as("ds"),
+        (a.priceTotal - b.priceTotal).as("dt"))
+      .filter(abs(col("ds")) > 1e-9 || abs(col("dt")) > 1e-9).count()
+    assert(diff == 0L)
+  }
 }
