@@ -943,7 +943,7 @@ object ReportOps {
 
   /** q176 — invoice-line totals ([[graft.report.LineTotals]], reference
     * `_compute_totals`, account_move_line.py:316-362): price_subtotal /
-    * price_total per line over a 15% chain, with the percent discount,
+    * price_total per line over a 20% chain, with the percent discount,
     * the flat `discount_value` subtraction, untaxed lines, signed
     * quantities, and the PER-ROW partner-decimal selection (dec ∈ {2,3}
     * — the chain compiles once per decimal, one scan). Grouped by the

@@ -186,12 +186,14 @@ object TaxTotals {
     val amountUntaxed = rndAt(amountUntaxedRaw, dp)
     val amountTaxR = rndAt(amountTax, dp)
     // :519-520 — one group whose base differs from untaxed, or >1 group.
-    // The reference compares via currency.compare_amounts — CURRENCY
-    // precision, not the partner dp — so a sub-cent difference between
-    // the dp-rounded values must NOT flip the flag.
-    def cents(v: Double): Long = math.round(v * 100)
+    // The reference compares via currency.compare_amounts (:524) — the
+    // CURRENCY's rounding grid (params.precision), not the partner dp —
+    // so a sub-grid difference between the dp-rounded values must NOT
+    // flip the flag, and a 3-decimal currency compares at mills.
+    val gridUnit = math.pow(10.0, params.precision)
+    def grid(v: Double): Long = math.round(v * gridUnit)
     val displayTaxBase = (groupTotals.size == 1 &&
-      cents(groupTotals.head.baseAmount) != cents(amountUntaxed)) ||
+      grid(groupTotals.head.baseAmount) != grid(amountUntaxed)) ||
       groupTotals.size > 1
     Totals(amountUntaxed, amountTaxR,
       rndAt(amountUntaxed + amountTaxR, dp), groupTotals, subtotals, order,

@@ -155,6 +155,26 @@ class GoldenTaxTotalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("excluded"))
   }
 
+  test("display_tax_base compares at the CURRENCY grid (:524), not a hardcoded cent grid") {
+    // taxed 5.000 + untaxed 0.004 at a 3-decimal currency: the group
+    // base (5.000) and amount_untaxed (5.004) are EQUAL on the cent
+    // grid but DIFFERENT on the currency's mill grid —
+    // currency.compare_amounts must see the mill-level gap
+    val chain = Seq(TaxDef(10, "10%", "percent", 10.0))
+    val rows = Seq((1L, 5.0, 1.0, 0.0, true), (2L, 0.004, 1.0, 0.0, false))
+    val t3 = totals(rows, chain, Map(10L -> G1), dp = 3,
+      params = Params(precision = 3, taxDecimals = Some(3)))
+    assert(t3.amountUntaxed == 5.004
+      && t3.groups == Seq(GroupTotal(G1, 5.0, 0.5)))
+    assert(t3.displayTaxBase,
+      "a mill-level base/untaxed gap must flip the flag at precision 3")
+    // at a 2-decimal currency the same corpus collapses: the untaxed
+    // mite rounds away at the currency grid and the flag stays down
+    val t2 = totals(rows, chain, Map(10L -> G1), dp = 3,
+      params = Params(precision = 2, taxDecimals = Some(3)))
+    assert(!t2.displayTaxBase)
+  }
+
   test("group order follows (sequence, id); negative quantities re-sign (:479, :92-99)") {
     val g9 = GroupDef(9, "Late", sequence = 1) // same sequence as G1, higher id
     val chain = Seq(

@@ -169,12 +169,11 @@ class ReportInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   /** Seeded random percent chain: some include_base_amount, split
     * repartitions — the shapes the tax-totals/line-totals wrappers must
-    * hold their identities under. */
-  /** `split`: allow 40/60 repartitions (keep OFF for identities over the
-    * factorized total — the rounding-error distribution steps in
-    * CURRENCY units, so at 3 tax decimals a 0.001 residue faithfully
-    * stays undistributed and line sums differ from the factorized
-    * total, account_tax.py:203-214). */
+    * hold their identities under. `split`: allow 40/60 repartitions
+    * (keep OFF for identities over the factorized total — the
+    * rounding-error distribution steps in CURRENCY units, so at 3 tax
+    * decimals a 0.001 residue faithfully stays undistributed and line
+    * sums differ from the factorized total, account_tax.py:203-214). */
   private def randomChain(rnd: scala.util.Random, n: Int,
                           split: Boolean = true) = {
     import graft.engine.TaxCompute.{Repartition, TaxDef}
