@@ -1016,6 +1016,218 @@ object ReportOps {
       |  round(sum(CASE WHEN taxed THEN price_total - price_subtotal ELSE 0 END), 3) AS sum_tax
       |FROM tot GROUP BY dec3 ORDER BY dec3""".stripMargin
 
+  // ---- shared fixture for q177/q178/q179/q180 — the `_aggregate_taxes`
+  // family (graft.report.TaxTotals): a mixed-chain document corpus over
+  // orders (o_orderkey is UNIQUE, so each row is a genuine record).
+  // Tie-free per Parity.scala: integer prices, discounts ∈ {0%, 20%}
+  // keep every unit at ONE even-digit decimal, so the 10/20/5 percent
+  // amounts and the /2.5 company-rate conversions all land on exact
+  // 2-decimal values — no .xx5 rounding boundary on either engine.
+  //   key = o_orderkey % 3: 0 → untaxed, 1 → chain A (10% + 20%, one
+  //   group — the no-double-count rule live per record), 2 → chain B
+  //   (5% withholding group); rate ∈ {1.0, 2.5} by o_orderkey % 2.
+  private def taxCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderkey") <= 500)
+      .select(col("o_orderkey").cast("long").as("rec"),
+        ((col("o_orderkey") % 97) + 17).cast("double").as("price"),
+        when(col("o_custkey") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)).as("qty"),
+        ((col("o_orderkey") % 2) * 20.0).as("disc"),
+        (col("o_orderkey") % 3).cast("int").as("k"),
+        (lit(1.0) + (col("o_orderkey") % 2) * 1.5).as("rate"))
+
+  private def taxChains = {
+    import graft.engine.TaxCompute.TaxDef
+    Seq(
+      1 -> Seq(TaxDef(10, "t10", "percent", 10.0, sequence = 1),
+        TaxDef(20, "t20", "percent", 20.0, sequence = 2)),
+      2 -> Seq(TaxDef(5, "t5", "percent", 5.0)))
+  }
+
+  private def taxGroups = {
+    import graft.report.TaxTotals.GroupDef
+    Map(10L -> GroupDef(1, "Taxes", sequence = 1),
+      20L -> GroupDef(1, "Taxes", sequence = 1),
+      5L -> GroupDef(2, "Withholding", sequence = 2,
+        precedingSubtotal = Some("Withholding")))
+  }
+
+  /** The oracle replay of the corpus + per-record tax lines, shared by
+    * q177/q178/q180: raw = the rounded discounted subtotal; per record
+    * one sentinel row (gid −1, the price_subtotal on both currency legs)
+    * plus the record's group row. */
+  private val taxCorpusSql: String =
+    """o AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS rec,
+      |         CAST((o_orderkey % 97) + 17 AS DOUBLE) AS price,
+      |         CASE WHEN o_custkey % 2 = 0 THEN 1.0 ELSE -1.0 END AS qty,
+      |         (o_orderkey % 2) * 20.0 AS disc,
+      |         o_orderkey % 3 AS k,
+      |         1.0 + (o_orderkey % 2) * 1.5 AS rate
+      |  FROM orders WHERE o_orderkey <= 500),
+      |b AS (
+      |  SELECT rec, k, rate, round(price * (1 - disc / 100.0) * qty, 2) AS raw,
+      |         CASE WHEN round(price * (1 - disc / 100.0) * qty, 2) < 0
+      |              THEN -1.0 ELSE 1.0 END AS sg,
+      |         abs(round(price * (1 - disc / 100.0) * qty, 2)) AS ab
+      |  FROM o),
+      |det AS (
+      |  SELECT rec, CAST(-1 AS BIGINT) AS gid, raw AS base_amount,
+      |         0.0 AS tax_amount, round(raw / rate, 2) AS base_amount_company,
+      |         0.0 AS tax_amount_company
+      |  FROM b
+      |  UNION ALL
+      |  SELECT rec, 1, sg * ab,
+      |         sg * (round(ab * 0.10, 2) + round(ab * 0.20, 2)),
+      |         round(sg * ab / rate, 2),
+      |         round(sg * round(ab * 0.10, 2) / rate, 2)
+      |           + round(sg * round(ab * 0.20, 2) / rate, 2)
+      |  FROM b WHERE k = 1
+      |  UNION ALL
+      |  SELECT rec, 2, sg * ab, sg * round(ab * 0.05, 2),
+      |         round(sg * ab / rate, 2),
+      |         round(sg * round(ab * 0.05, 2) / rate, 2)
+      |  FROM b WHERE k = 2)""".stripMargin
+
+  /** q177 — `tax_details_per_record` (account_tax.py:372-384, the r15
+    * verdict's #4): the per-(record, tax-group) breakdown the reference
+    * also returns from `_aggregate_taxes`, exposed as a distributed
+    * frame instead of discarded — base counted once per record, taxes
+    * summed, the sentinel row carrying the record's price_subtotal, on
+    * BOTH currency legs (:415-417 — the company leg is the r15
+    * verdict's #2, aggregated on the same explode with a per-row rate).
+    * One scan, one groupBy; grain = records × (groups-per-record + 1),
+    * never wider than the tax-line explode itself. */
+  def q177(s: SparkSession, d: String): DataFrame = {
+    import graft.report.TaxTotals
+    TaxTotals.taxDetailsPerRecord(taxCorpus(s, d), col("rec"), col("price"),
+        col("qty"), col("disc"), col("k"), taxChains, taxGroups,
+        rate = Some(col("rate")))
+      .orderBy(col("rec"), col("gid"))
+  }
+
+  val q177Sql: String =
+    s"""WITH $taxCorpusSql
+      |SELECT rec, gid, base_amount, tax_amount, base_amount_company,
+      |       tax_amount_company
+      |FROM det ORDER BY rec, gid""".stripMargin
+
+  /** q178 — the `_aggregate_taxes` group rollup with the COMPANY-
+    * currency leg (:354-439, :415-417): per tax group, base/tax on the
+    * document leg and on the company leg (`currency.round(x / rate)`
+    * per record/line BEFORE aggregation), plus the sentinel row whose
+    * bases are the corpus' untaxed totals on each leg. The same single
+    * explode as q174's footer — one more struct field, no extra scan. */
+  def q178(s: SparkSession, d: String): DataFrame = {
+    import graft.report.TaxTotals
+    TaxTotals.aggregateTaxes(taxCorpus(s, d), col("rec"), col("price"),
+        col("qty"), col("disc"), col("k"), taxChains, taxGroups,
+        rate = Some(col("rate")))
+      .select(col("gid"), round(col("base_amount"), 2).as("base_amount"),
+        round(col("tax_amount"), 2).as("tax_amount"),
+        round(col("base_amount_company"), 2).as("base_amount_company"),
+        round(col("tax_amount_company"), 2).as("tax_amount_company"))
+      .orderBy(col("gid"))
+  }
+
+  val q178Sql: String =
+    s"""WITH $taxCorpusSql
+      |SELECT gid, round(sum(base_amount), 2) AS base_amount,
+      |       round(sum(tax_amount), 2) AS tax_amount,
+      |       round(sum(base_amount_company), 2) AS base_amount_company,
+      |       round(sum(tax_amount_company), 2) AS tax_amount_company
+      |FROM det GROUP BY gid ORDER BY gid""".stripMargin
+
+  /** q179 — the tax-totals footer over a corpus mixing SEVERAL tax
+    * chains (the r15 verdict's #3): `prepareTaxTotalsMulti` compiles
+    * each distinct chain once and a per-row key selects its exploded
+    * entry array (the LineTotals compile-per-variant mechanism), so the
+    * whole mixed-chain footer stays ONE fact scan (PlanAuditSpec pins
+    * it). Output = the q174 footer layout. */
+  def q179(s: SparkSession, d: String): DataFrame = {
+    import graft.report.TaxTotals
+    val s0 = s; import s0.implicits._
+    val t = TaxTotals.prepareTaxTotalsMulti(taxCorpus(s, d), col("rec"),
+      col("price"), col("qty"), col("disc"), col("k"), taxChains, taxGroups)
+    val rows =
+      t.groups.map(g => (1L, g.group.name, Option(g.baseAmount),
+        Option(g.taxAmount), Option.empty[Double])) ++
+      t.subtotals.map(st => (2L, st.name, Option.empty[Double],
+        Option.empty[Double], Option(st.amount))) :+
+      ((3L, "(totals)", Option(t.amountUntaxed), Option(t.amountTax),
+        Option(t.amountTotal)))
+    rows.toDF("sec", "name", "base_amount", "tax_amount", "amount")
+      .orderBy(col("sec"), col("name"))
+  }
+
+  val q179Sql: String =
+    s"""WITH $taxCorpusSql,
+      |g AS (
+      |  SELECT round(sum(CASE WHEN gid = 1 THEN base_amount END), 2) AS g1b,
+      |         round(sum(CASE WHEN gid = 1 THEN tax_amount END), 2) AS g1t,
+      |         round(sum(CASE WHEN gid = 2 THEN base_amount END), 2) AS g2b,
+      |         round(sum(CASE WHEN gid = 2 THEN tax_amount END), 2) AS g2t,
+      |         sum(CASE WHEN gid = -1 THEN base_amount END) AS raw_untaxed
+      |  FROM det)
+      |SELECT sec, name, base_amount, tax_amount, amount FROM (
+      |  SELECT CAST(1 AS BIGINT) AS sec, 'Taxes' AS name, g1b AS base_amount,
+      |         g1t AS tax_amount, CAST(NULL AS DOUBLE) AS amount FROM g
+      |  UNION ALL SELECT 1, 'Withholding', g2b, g2t, NULL FROM g
+      |  UNION ALL SELECT 2, 'Untaxed Amount', NULL, NULL,
+      |         round(raw_untaxed, 2) FROM g
+      |  UNION ALL SELECT 2, 'Withholding', NULL, NULL,
+      |         round(raw_untaxed + g1t, 2) FROM g
+      |  UNION ALL SELECT 3, '(totals)', round(raw_untaxed, 2),
+      |         round(g1t + g2t, 2),
+      |         round(round(raw_untaxed, 2) + round(g1t + g2t, 2), 2) FROM g
+      |) ORDER BY sec, name""".stripMargin
+
+  /** q180 — the register twin of the footer (the r15 verdict's #6): the
+    * sales/purchase wizards consume `tax_totals['groups_by_subtotal']`
+    * per invoice and fan the group amounts into rate columns with
+    * running grand totals (etl_account/wizard/sales_report.py:148-166).
+    * Composed distributed: [[graft.report.TaxTotals.taxDetailsPerRecord]]
+    * (the per-invoice footer frame) feeds the q53 register pivot
+    * ([[graft.registers.Registers.pivotRegister]]) — per-record columns
+    * untaxed/Taxes/Withholding plus the '(total)' row, one declarative
+    * plan, no driver loop over invoices. */
+  def q180(s: SparkSession, d: String): DataFrame = {
+    import graft.report.TaxTotals
+    import graft.registers.Registers
+    val det = TaxTotals.taxDetailsPerRecord(taxCorpus(s, d), col("rec"),
+      col("price"), col("qty"), col("disc"), col("k"), taxChains, taxGroups)
+    val facts = det.select(
+      lpad(col("rec").cast("string"), 6, "0").as("invoice"),
+      when(col("gid") === -1, lit("untaxed"))
+        .when(col("gid") === 1, lit("Taxes"))
+        .otherwise(lit("Withholding")).as("bucket"),
+      when(col("gid") === -1, col("base_amount"))
+        .otherwise(col("tax_amount")).as("amt"))
+    Registers.pivotRegister(facts, col("invoice"), col("bucket"),
+      Seq("untaxed", "Taxes", "Withholding"), col("amt"))
+  }
+
+  val q180Sql: String =
+    s"""WITH $taxCorpusSql,
+      |f AS (
+      |  SELECT lpad(CAST(rec AS VARCHAR), 6, '0') AS invoice,
+      |         CASE WHEN gid = -1 THEN 'untaxed'
+      |              WHEN gid = 1 THEN 'Taxes' ELSE 'Withholding' END AS bucket,
+      |         CASE WHEN gid = -1 THEN base_amount ELSE tax_amount END AS amt
+      |  FROM det),
+      |piv AS (
+      |  SELECT invoice AS group_key,
+      |         coalesce(round(sum(CASE WHEN bucket = 'untaxed' THEN amt END), 2), 0.0) AS untaxed,
+      |         coalesce(round(sum(CASE WHEN bucket = 'Taxes' THEN amt END), 2), 0.0) AS "Taxes",
+      |         coalesce(round(sum(CASE WHEN bucket = 'Withholding' THEN amt END), 2), 0.0) AS "Withholding"
+      |  FROM f GROUP BY invoice
+      |  UNION ALL
+      |  SELECT '(total)',
+      |         coalesce(round(sum(CASE WHEN bucket = 'untaxed' THEN amt END), 2), 0.0),
+      |         coalesce(round(sum(CASE WHEN bucket = 'Taxes' THEN amt END), 2), 0.0),
+      |         coalesce(round(sum(CASE WHEN bucket = 'Withholding' THEN amt END), 2), 0.0)
+      |  FROM f)
+      |SELECT * FROM piv ORDER BY group_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
     "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
@@ -1024,7 +1236,11 @@ object ReportOps {
     "q170_cash_flow_statement" -> (q170 _), "q171_vat_closing" -> (q171 _),
     "q172_generic_tax_report" -> (q172 _), "q173_tax_compute" -> (q173 _),
     "q174_tax_totals" -> (q174 _), "q175_journal_scoped_report" -> (q175 _),
-    "q176_line_totals" -> (q176 _))
+    "q176_line_totals" -> (q176 _),
+    "q177_tax_details_per_record" -> (q177 _),
+    "q178_tax_totals_company" -> (q178 _),
+    "q179_tax_totals_multichain" -> (q179 _),
+    "q180_register_tax_totals" -> (q180 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
@@ -1034,5 +1250,9 @@ object ReportOps {
     "q170_cash_flow_statement" -> q170Sql, "q171_vat_closing" -> q171Sql,
     "q172_generic_tax_report" -> q172Sql, "q173_tax_compute" -> q173Sql,
     "q174_tax_totals" -> q174Sql, "q175_journal_scoped_report" -> q175Sql,
-    "q176_line_totals" -> q176Sql)
+    "q176_line_totals" -> q176Sql,
+    "q177_tax_details_per_record" -> q177Sql,
+    "q178_tax_totals_company" -> q178Sql,
+    "q179_tax_totals_multichain" -> q179Sql,
+    "q180_register_tax_totals" -> q180Sql)
 }

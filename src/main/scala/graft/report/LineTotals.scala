@@ -45,11 +45,21 @@ object LineTotals {
   }
 
   /** Line totals at a FIXED partner decimal count (`dec` ∈ dp_dic's
-    * domain). `hasTaxes` selects the taxed branch per row (:337-351);
-    * `currencyPrecision` is the currency rounding inside compute_all. */
+    * domain {2, 3}). `hasTaxes` selects the taxed branch per row
+    * (:337-351); `currencyPrecision` is the currency rounding inside
+    * compute_all. A dp=0 partner CANNOT reach the line computation in
+    * the reference: `invoice_decimal or False` (:318-321) treats the
+    * falsy 0 as absent and falls back to 2, and dp_dic (:317) has no 0
+    * key besides — so out-of-domain decimals reject loudly here
+    * (callers model a 0-decimal partner by passing 2, exactly like the
+    * reference's coercion). */
   def compute(taxes: Seq[TaxDef], priceUnit: Column, quantity: Column,
               discountPct: Column, discountValue: Column, hasTaxes: Column,
               dec: Int, currencyPrecision: Int = 2): Totals = {
+    require(dec == 2 || dec == 3,
+      s"partner decimal count $dec is outside _compute_totals' dp_dic " +
+        "domain {2, 3} (account_move_line.py:317); the reference coerces " +
+        "a falsy 0 to 2 (:318-321) — pass 2 for a 0-decimal partner")
     val unit = discountedUnit(priceUnit, discountPct, discountValue, dec)
     val subtotal = round(quantity * unit, dec)
     val c = TaxCompute.compile(taxes, unit, quantity,

@@ -17,16 +17,25 @@ import graft.engine.TaxCompute.{Params, TaxDef}
   *     discount (:279-281), then the [[TaxCompute]]-compiled chain;
   *     `price_subtotal` = the dp-rounded total_excluded (:303); a line
   *     WITHOUT taxes contributes its currency-rounded subtotal and no
-  *     tax lines (:342-349);
+  *     tax lines (:342-349); each tax line also carries the COMPANY-
+  *     currency leg (:330-340): `base_amount = currency.round(base /
+  *     rate)`, `tax_amount = round(maybe_currency_round(amount / rate),
+  *     dp)` where the currency round applies under round_per_line;
   *  2. `_aggregate_taxes` (:354-439) groups the tax lines by tax GROUP
   *     with the no-double-count rule (:393-404): within one (group,
   *     line-record) the base counts ONCE — the FIRST tax line's base in
-  *     tax order — while tax amounts all add;
+  *     tax order — while tax amounts all add; the same accumulation also
+  *     runs per RECORD (`tax_details_per_record`, :372-384), and the
+  *     record-level company base is `currency.round(price_subtotal /
+  *     rate)` (:415-417);
   *  3. `_prepare_tax_totals` (:441-530): per-group dp rounding (:466-467),
   *     manual tax-line overrides replacing a group's tax amount
   *     (:469-475), group order by (sequence, id) (:479), and the subtotal
   *     partition by preceding_subtotal — each subtotal line shows
-  *     untaxed + the tax of the EARLIER subtotals (:503-513).
+  *     untaxed + the tax of the EARLIER subtotals (:503-513). The footer
+  *     itself uses only the document-currency leg (:463-467); the company
+  *     leg is exposed through [[aggregateTaxes]] / [[taxDetailsPerRecord]]
+  *     for `_aggregate_taxes` consumers.
   *
   * Scale: the per-line computation is the same codegen'd projection as
   * q173 — no UDF, no driver loop over lines; the untaxed subtotal rides
@@ -34,7 +43,10 @@ import graft.engine.TaxCompute.{Params, TaxDef}
   * so the whole summary is ONE scan into a two-level groupBy — (record,
   * group) then (group) — whose second level is bounded by the tax-group
   * dimension. Only per-group rows reach the driver; the subtotal layout
-  * is dimension-sized.
+  * is dimension-sized. A corpus mixing SEVERAL tax chains stays one scan
+  * too: each distinct chain compiles once and a per-row key selects its
+  * exploded entry array (the compile-per-variant/select-per-row mechanism
+  * of [[LineTotals.computePerPartner]]).
   *
   * The reference's `early_pay_discount_computation='excluded'` delta
   * branch (:307-324) is NOT implemented: the reference code in that
@@ -68,37 +80,83 @@ object TaxTotals {
   private def rndAt(v: Double, dec: Int): Double =
     BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  /** Distributed `_aggregate_taxes` core over a per-tax-line frame
-    * (record, gid, ord, base, amount): the once-per-record base rule is
-    * `min_by(base, ord)` under (record, gid), then the group rollup.
-    * Exposed for plan audits; [[prepareTaxTotals]] builds its input. */
-  private[graft] def aggregateByGroup(taxLines: DataFrame): DataFrame =
+  /** The footer's `round(tools.float_round(x, dp_dic[dp]), dp)` two-step
+    * (:443 `dp_dic = {2: 0.01, 3: 0.001, 0: 0.01}`, used :466-467,
+    * :508-513, :515-517). For dp ∈ {2,3} both steps round on the SAME
+    * grid, so they collapse to one HALF_UP round. For dp = 0 the grids
+    * DIFFER: float_round half-ups at CENTS first, then Python's `round`
+    * — HALF-EVEN — takes the cent value to the integer grid, so
+    * 2.50 → 2 (not 3) and 1.496 → 1.50 → 2 (a direct half-up round at
+    * 0 decimals would give 1). Any other dp raises, like the
+    * reference's dp_dic KeyError — silent one-round behavior at dp = 0
+    * is the one unacceptable outcome. */
+  private[graft] def footerRound(v: Double, dp: Int): Double = dp match {
+    case 2 | 3 => rndAt(v, dp)
+    case 0 => BigDecimal(rndAt(v, 2))
+      .setScale(0, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    case d => throw new IllegalArgumentException(
+      s"footer decimal count $d is outside the reference's dp_dic " +
+        "domain {0, 2, 3} (account_tax.py:443)")
+  }
+
+  /** `_aggregate_taxes`' per-record level (:372-384): one row per
+    * (record, tax group) with the once-per-record base rule —
+    * `min_by(base, ord)` under (record, group) — on BOTH currency legs,
+    * while tax amounts all add (:393-404). The sentinel group −1 row
+    * carries the record's untaxed subtotal: its `base_amount` is the
+    * record's `price_subtotal` (the reference's record-level
+    * base_amount_currency, :412-417) and its `base_amount_company` the
+    * `currency.round(price_subtotal / rate)` company leg. */
+  private[graft] def perRecordDetails(taxLines: DataFrame): DataFrame =
     taxLines
       .groupBy(col("rec"), col("gid"))
-      .agg(min_by(col("base"), col("ord")).as("base_once"),
-        sum(col("amount")).as("tax_amt"))
-      .groupBy(col("gid"))
-      .agg(sum(col("base_once")).as("base_amount"),
-        sum(col("tax_amt")).as("tax_amount"))
+      .agg(min_by(col("base"), col("ord")).as("base_amount"),
+        sum(col("amount")).as("tax_amount"),
+        min_by(col("base_co"), col("ord")).as("base_amount_company"),
+        sum(col("amount_co")).as("tax_amount_company"))
 
-  /** The distributed footer plan: per-group (base_amount, tax_amount)
-    * rows PLUS the sentinel group −1 carrying Σ price_subtotal (amount
-    * untaxed). Lazy — [[prepareTaxTotals]] collects it; exposed so plan
-    * audits can pin the one-scan shape. */
-  private[graft] def footerAggregate(lines: DataFrame, record: Column,
-                                     priceUnit: Column, quantity: Column,
-                                     discount: Column, hasTaxes: Column,
-                                     chain: Seq[TaxDef],
-                                     taxToGroup: Map[Long, GroupDef],
-                                     dp: Int, params: Params,
-                                     earlyPayDiscount: Option[(String, Double)])
-      : DataFrame = {
+  /** Distributed `_aggregate_taxes` group rollup over a per-tax-line
+    * frame (rec, gid, ord, base, amount, base_co, amount_co): the
+    * [[perRecordDetails]] level summed per group. Exposed for plan
+    * audits; [[footerAggregate]] builds its input. */
+  private[graft] def aggregateByGroup(taxLines: DataFrame): DataFrame =
+    perRecordDetails(taxLines)
+      .groupBy(col("gid"))
+      .agg(sum(col("base_amount")).as("base_amount"),
+        sum(col("tax_amount")).as("tax_amount"),
+        sum(col("base_amount_company")).as("base_amount_company"),
+        sum(col("tax_amount_company")).as("tax_amount_company"))
+
+  /** The per-tax-line explode feeding both aggregation levels: ONE scan
+    * whose every row becomes (sentinel −1 row + one row per compiled tax
+    * line of ITS chain). `chainKey` selects the row's chain among the
+    * compiled `chains`; a key matching no chain (or a chain that is
+    * empty) contributes like the reference's taxes-empty branch
+    * (:342-349) — the currency-rounded subtotal under the sentinel, no
+    * tax rows. `rate` is the document→company rate (amounts DIVIDE by
+    * it, :330, :415-417); None = company currency documents (rate 1). */
+  private[graft] def explodedTaxLines(lines: DataFrame, record: Column,
+                                      priceUnit: Column, quantity: Column,
+                                      discount: Column, chainKey: Column,
+                                      chains: Seq[(Int, Seq[TaxDef])],
+                                      taxToGroup: Map[Long, GroupDef],
+                                      dp: Int, params: Params,
+                                      earlyPayDiscount: Option[(String, Double)],
+                                      rate: Option[Column]): DataFrame = {
     require(!earlyPayDiscount.exists(_._1 == "excluded"),
       "early_pay_discount_computation='excluded' is unsupported: the " +
         "reference branch (account_tax.py:307-324) is broken as written " +
         "(tuple-building trailing commas) and untested — see scaladoc")
-    chain.foreach(t => require(taxToGroup.contains(t.id),
-      s"tax ${t.id} has no tax group mapping"))
+    require(dp == 2 || dp == 3,
+      s"line decimal count $dp is outside _compute_taxes_for_single_line's " +
+        "dp_dic domain {2, 3} (account_tax.py:265) — the reference raises " +
+        "KeyError; a dp=0 CURRENCY rounds the footer only (pass footerDp)")
+    chains.foreach { case (_, chain) =>
+      chain.foreach(t => require(taxToGroup.contains(t.id),
+        s"tax ${t.id} has no tax group mapping"))
+    }
+    require(chains.map(_._1).distinct.size == chains.size,
+      "duplicate chain keys")
 
     // :273 line discount, then :279-281 the early-pay 'included' scaling
     val afterDiscount = priceUnit * (lit(1.0) - coalesce(discount, lit(0.0)) / 100.0)
@@ -106,31 +164,96 @@ object TaxTotals {
       case Some(("included", pct)) => afterDiscount * ((100.0 - pct) / 100.0)
       case _ => afterDiscount
     }
-    val c = TaxCompute.compile(chain, price, quantity, params)
-
-    // price_subtotal: dp-rounded total_excluded for taxed lines (:303),
-    // currency-rounded price·qty for untaxed ones (:343)
-    val subtotal = when(hasTaxes, round(c.totalExcluded, dp))
-      .otherwise(round(price * quantity, params.precision))
-
-    // ONE scan: the untaxed subtotal rides the same explode under the
-    // sentinel group −1 (ord −1, amount 0), so both aggregation levels
-    // and the global untaxed sum come out of a single shuffle chain
-    val sentinel = struct(lit(-1L).as("gid"), lit(-1).as("ord"),
-      subtotal.as("base"), lit(0.0).as("amount"))
-    val entries = c.lines.zipWithIndex.map { case (l, i) =>
-      struct(lit(taxToGroup(l.tax.id).id).as("gid"), lit(i).as("ord"),
-        l.base.as("base"), l.amount.as("amount"))
+    val rt = rate.getOrElse(lit(1.0))
+    // company-currency conversions (:330-334, :415-417): bases currency-
+    // round after /rate; per-line tax amounts currency-round only under
+    // round_per_line, then dp-round either way
+    def baseCo(base: Column): Column = round(base / rt, params.precision)
+    def amtCo(amount: Column): Column = {
+      val conv = amount / rt
+      round(if (params.roundGlobally) conv else round(conv, params.precision), dp)
     }
-    val exploded = lines.select(record.as("rec"),
-        explode(when(hasTaxes, array(sentinel +: entries: _*))
-          .otherwise(array(sentinel))).as("e"))
+    def entry(gid: Column, ord: Column, base: Column, amount: Column) =
+      struct(gid.as("gid"), ord.as("ord"), base.as("base"),
+        amount.as("amount"), baseCo(base).as("base_co"),
+        amtCo(amount).as("amount_co"))
+
+    // the taxes-empty contribution (:342-349): currency-rounded subtotal
+    val untaxedArr = array(entry(lit(-1L), lit(-1),
+      round(price * quantity, params.precision), lit(0.0)))
+    // one compiled entry array per distinct chain; the row's key selects
+    val arr = chains.foldRight(untaxedArr) { case ((key, chain), other) =>
+      if (chain.isEmpty) when(chainKey === key, untaxedArr).otherwise(other)
+      else {
+        val c = TaxCompute.compile(chain, price, quantity, params)
+        // price_subtotal: dp-rounded total_excluded for taxed lines (:303)
+        val sentinel = entry(lit(-1L), lit(-1), round(c.totalExcluded, dp),
+          lit(0.0))
+        val entries = c.lines.zipWithIndex.map { case (l, i) =>
+          entry(lit(taxToGroup(l.tax.id).id), lit(i), l.base, l.amount)
+        }
+        when(chainKey === key, array(sentinel +: entries: _*)).otherwise(other)
+      }
+    }
+    lines.select(record.as("rec"), explode(arr).as("e"))
       .select(col("rec"), col("e.gid").as("gid"), col("e.ord").as("ord"),
-        col("e.base").as("base"), col("e.amount").as("amount"))
-    aggregateByGroup(exploded)
+        col("e.base").as("base"), col("e.amount").as("amount"),
+        col("e.base_co").as("base_co"), col("e.amount_co").as("amount_co"))
   }
 
-  /** Compute the tax totals of a document-line corpus.
+  /** The distributed footer plan: per-group (base, tax) rows on both
+    * currency legs PLUS the sentinel group −1 carrying Σ price_subtotal
+    * (amount untaxed, document and company). Lazy —
+    * [[prepareTaxTotalsMulti]] collects it; exposed so plan audits can
+    * pin the one-scan shape. */
+  private[graft] def footerAggregate(lines: DataFrame, record: Column,
+                                     priceUnit: Column, quantity: Column,
+                                     discount: Column, chainKey: Column,
+                                     chains: Seq[(Int, Seq[TaxDef])],
+                                     taxToGroup: Map[Long, GroupDef],
+                                     dp: Int, params: Params,
+                                     earlyPayDiscount: Option[(String, Double)],
+                                     rate: Option[Column]): DataFrame =
+    aggregateByGroup(explodedTaxLines(lines, record, priceUnit, quantity,
+      discount, chainKey, chains, taxToGroup, dp, params, earlyPayDiscount,
+      rate))
+
+  /** The `_aggregate_taxes` group frame (:354-439) as a distributed
+    * result: one row per tax group — (gid, base_amount, tax_amount,
+    * base_amount_company, tax_amount_company) — plus the sentinel row
+    * gid −1 whose base columns are the corpus' untaxed subtotal on each
+    * leg. Everything [[prepareTaxTotalsMulti]] computes, kept as a
+    * DataFrame for consumers aggregating further (registers, company-
+    * level bookings). */
+  def aggregateTaxes(lines: DataFrame, record: Column, priceUnit: Column,
+                     quantity: Column, discount: Column, chainKey: Column,
+                     chains: Seq[(Int, Seq[TaxDef])],
+                     taxToGroup: Map[Long, GroupDef],
+                     dp: Int = 2, params: Params = Params(),
+                     earlyPayDiscount: Option[(String, Double)] = None,
+                     rate: Option[Column] = None): DataFrame =
+    footerAggregate(lines, record, priceUnit, quantity, discount, chainKey,
+      chains, taxToGroup, dp, params, earlyPayDiscount, rate)
+
+  /** The reference's `tax_details_per_record` arm (:372-384) as a
+    * distributed frame: one row per (record, tax group) with base
+    * counted once per record and tax amounts summed, on both currency
+    * legs; the gid −1 row per record carries its price_subtotal (the
+    * record-level base, :412-417). Same single scan and explode as the
+    * footer — this is the footer's FIRST groupBy level, exposed instead
+    * of discarded. */
+  def taxDetailsPerRecord(lines: DataFrame, record: Column, priceUnit: Column,
+                          quantity: Column, discount: Column, chainKey: Column,
+                          chains: Seq[(Int, Seq[TaxDef])],
+                          taxToGroup: Map[Long, GroupDef],
+                          dp: Int = 2, params: Params = Params(),
+                          earlyPayDiscount: Option[(String, Double)] = None,
+                          rate: Option[Column] = None): DataFrame =
+    perRecordDetails(explodedTaxLines(lines, record, priceUnit, quantity,
+      discount, chainKey, chains, taxToGroup, dp, params, earlyPayDiscount,
+      rate))
+
+  /** Compute the tax totals of a single-chain document-line corpus.
     *
     * `record` identifies the line (the reference's base_line['record']);
     * `hasTaxes` marks lines carrying the chain (others contribute only
@@ -139,16 +262,44 @@ object TaxTotals {
     * `dp` is the partner's invoice_decimal (:265-272, default 2);
     * `params` forwards to [[TaxCompute.compile]]. `manualTaxLines` are
     * (group id, company tax amount) pairs from manually edited tax lines
-    * (:469-475). `earlyPayDiscount` = Some(("included"|"excluded"), pct). */
+    * (:469-475). `earlyPayDiscount` = Some(("included"|"excluded"), pct).
+    * `footerDp` overrides the FOOTER's decimal count when it differs
+    * from the line dp — the reference's no-partner path takes dp from
+    * `currency.decimal_places` (:446-449, domain {0,2,3} via dp_dic)
+    * while each line computes at the default 2. */
   def prepareTaxTotals(lines: DataFrame, record: Column, priceUnit: Column,
                        quantity: Column, discount: Column, hasTaxes: Column,
                        chain: Seq[TaxDef], taxToGroup: Map[Long, GroupDef],
                        dp: Int = 2, params: Params = Params(),
                        earlyPayDiscount: Option[(String, Double)] = None,
-                       manualTaxLines: Seq[(Long, Double)] = Nil): Totals = {
+                       manualTaxLines: Seq[(Long, Double)] = Nil,
+                       footerDp: Option[Int] = None): Totals =
+    prepareTaxTotalsMulti(lines, record, priceUnit, quantity, discount,
+      when(hasTaxes, lit(1)).otherwise(lit(0)), Seq(1 -> chain), taxToGroup,
+      dp, params, earlyPayDiscount, manualTaxLines, footerDp)
+
+  /** [[prepareTaxTotals]] over a corpus mixing SEVERAL tax chains — the
+    * reference's per-line `base_line['taxes']` (:277): each distinct
+    * chain compiles once, `chainKey` selects per row, the whole footer
+    * stays one scan. A key matching no chain behaves as the taxes-empty
+    * branch. */
+  def prepareTaxTotalsMulti(lines: DataFrame, record: Column,
+                            priceUnit: Column, quantity: Column,
+                            discount: Column, chainKey: Column,
+                            chains: Seq[(Int, Seq[TaxDef])],
+                            taxToGroup: Map[Long, GroupDef],
+                            dp: Int = 2, params: Params = Params(),
+                            earlyPayDiscount: Option[(String, Double)] = None,
+                            manualTaxLines: Seq[(Long, Double)] = Nil,
+                            footerDp: Option[Int] = None,
+                            rate: Option[Column] = None): Totals = {
+    val fdp = footerDp.getOrElse(dp)
+    def fRound(v: Double): Double = footerRound(v, fdp)
+    // the footer reads the DOCUMENT-currency leg (:463-467)
     val perGroup = footerAggregate(lines, record, priceUnit, quantity,
-        discount, hasTaxes, chain, taxToGroup, dp, params, earlyPayDiscount)
-      .collect()
+        discount, chainKey, chains, taxToGroup, dp, params, earlyPayDiscount,
+        rate)
+      .collect() // bounded by the tax-group dimension (+1 sentinel row)
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
 
     // ---- _prepare_tax_totals' driver-side layout (dimension-sized) ----
@@ -161,7 +312,7 @@ object TaxTotals {
         // manual tax-line edits replace the group's tax amount (:469-475)
         val manual = manualTaxLines.filter(_._1 == gid)
         val tax = if (manual.nonEmpty) manual.map(_._2).sum else t
-        GroupTotal(g, rndAt(b, dp), rndAt(tax, dp))
+        GroupTotal(g, fRound(b), fRound(tax))
       }
       .sortBy(gt => (gt.group.sequence, gt.group.id))
 
@@ -179,12 +330,16 @@ object TaxTotals {
     val order = subtotalOrder.keys.toSeq.sortBy(subtotalOrder)
     var amountTax = 0.0
     val subtotals = order.map { title =>
-      val st = Subtotal(title, rndAt(amountUntaxedRaw + amountTax, dp))
+      val st = Subtotal(title, fRound(amountUntaxedRaw + amountTax))
       amountTax += groupsBySubtotal(title).map(_.taxAmount).sum
       st
     }
-    val amountUntaxed = rndAt(amountUntaxedRaw, dp)
-    val amountTaxR = rndAt(amountTax, dp)
+    val amountUntaxed = fRound(amountUntaxedRaw)
+    // :515-517 — amount_tax and amount_total take ONLY the float_round
+    // step (dp_tools grid): at fdp 0 they stay on the CENT grid while
+    // the group/subtotal/untaxed values round to integers
+    val taxGridDec = if (fdp == 0) 2 else fdp
+    val amountTaxR = rndAt(amountTax, taxGridDec)
     // :519-520 — one group whose base differs from untaxed, or >1 group.
     // The reference compares via currency.compare_amounts (:524) — the
     // CURRENCY's rounding grid (params.precision), not the partner dp —
@@ -196,7 +351,7 @@ object TaxTotals {
       grid(groupTotals.head.baseAmount) != grid(amountUntaxed)) ||
       groupTotals.size > 1
     Totals(amountUntaxed, amountTaxR,
-      rndAt(amountUntaxed + amountTaxR, dp), groupTotals, subtotals, order,
-      displayTaxBase)
+      rndAt(amountUntaxed + amountTaxR, taxGridDec), groupTotals, subtotals,
+      order, displayTaxBase)
   }
 }

@@ -75,6 +75,20 @@ class GoldenLineTotalsSpec extends AnyFunSuite with BeforeAndAfterAll {
       == ((-179.5, -215.4)))
   }
 
+  test("decimals outside dp_dic {2,3} reject loudly (:317); the reference " +
+      "coerces a FALSY 0 to 2 (:318-321), so dp=0 partners pass 2") {
+    val ex = intercept[IllegalArgumentException] {
+      eval(t20, 100.0, 1.0, 0.0, 0.0, taxed = true, dec = 0)
+    }
+    assert(ex.getMessage.contains("dp_dic"))
+    intercept[IllegalArgumentException] {
+      eval(t20, 100.0, 1.0, 0.0, 0.0, taxed = true, dec = 4)
+    }
+    // the coercion target is the plain dec=2 computation
+    assert(eval(t20, 100.0, 1.0, 0.0, 0.0, taxed = true, dec = 2)
+      == ((100.0, 120.0)))
+  }
+
   test("per-partner selection compiles both decimals into one projection") {
     val s = spark; import s.implicits._
     val t = LineTotals.computePerPartner(t20, col("pu"), col("q"),

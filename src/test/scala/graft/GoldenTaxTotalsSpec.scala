@@ -39,10 +39,11 @@ class GoldenTaxTotalsSpec extends AnyFunSuite with BeforeAndAfterAll {
                      chain: Seq[TaxDef], groups: Map[Long, GroupDef],
                      dp: Int = 2, params: Params = Params(),
                      manual: Seq[(Long, Double)] = Nil,
-                     epd: Option[(String, Double)] = None): TaxTotals.Totals =
+                     epd: Option[(String, Double)] = None,
+                     footerDp: Option[Int] = None): TaxTotals.Totals =
     TaxTotals.prepareTaxTotals(linesDf(rows), col("rec"), col("price"),
       col("qty"), col("disc"), col("taxed"), chain, groups, dp, params,
-      epd, manual)
+      epd, manual, footerDp)
 
   private val G1 = GroupDef(1, "Taxes", sequence = 1)
   private val G2 = GroupDef(2, "Withholding", sequence = 2,
@@ -173,6 +174,114 @@ class GoldenTaxTotalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val t2 = totals(rows, chain, Map(10L -> G1), dp = 3,
       params = Params(precision = 2, taxDecimals = Some(3)))
     assert(!t2.displayTaxBase)
+  }
+
+  test("company-currency leg (:330-340, :415-417): bases currency-round after /rate, " +
+      "per-line tax amounts currency-round only under round_per_line") {
+    val s = spark; import s.implicits._
+    val chain = Seq(TaxDef(10, "10%", "percent", 10.0))
+    // two documents at different rates: 100.00 @ rate 2 and 55.50 @ rate 3
+    val lines = Seq((1L, 100.0, 2.0), (2L, 55.5, 3.0))
+      .toDF("rec", "price", "rate")
+    val agg = TaxTotals.aggregateTaxes(lines, col("rec"), col("price"),
+      lit(1.0), lit(0.0), lit(1), Seq(1 -> chain), Map(10L -> G1),
+      rate = Some(col("rate")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // G1 document: base 155.50, tax 10.00 + 5.55; company: base
+    // round(100/2) + round(55.50/3) = 50.00 + 18.50, tax round(10/2) +
+    // round(5.55/3) = 5.00 + 1.85 (gid = the GROUP id)
+    assert(agg(1L) == ((155.5, 15.55, 68.5, 6.85)))
+    // sentinel: the untaxed subtotal on both legs (:415-417)
+    assert(agg(-1L) == ((155.5, 0.0, 68.5, 0.0)))
+
+    // round_globally defers the currency round: 10.00/3 keeps its mills
+    // at dp 3 (3.333) where round_per_line first clamps to cents (3.33)
+    def taxCoAt(p: Params): Double =
+      TaxTotals.aggregateTaxes(Seq((1L, 100.0)).toDF("rec", "price"),
+        col("rec"), col("price"), lit(1.0), lit(0.0), lit(1),
+        Seq(1 -> chain), Map(10L -> G1), dp = 3, params = p,
+        rate = Some(lit(3.0)))
+        .filter(col("gid") === 1).head().getDouble(4)
+    assert(taxCoAt(Params(taxDecimals = Some(3))) == 3.33)
+    assert(taxCoAt(Params(taxDecimals = Some(3), roundGlobally = true)) == 3.333)
+  }
+
+  test("tax_details_per_record (:372-384): base once per (record, group), " +
+      "taxes summed, sentinel row = the record's price_subtotal") {
+    val s = spark; import s.implicits._
+    // two taxes sharing G1 so the no-double-count rule shows PER RECORD
+    val chain = Seq(
+      TaxDef(10, "10%", "percent", 10.0, sequence = 1),
+      TaxDef(20, "20%", "percent", 20.0, sequence = 2))
+    val lines = Seq((1L, 1000.0), (2L, 500.0)).toDF("rec", "price")
+    val det = TaxTotals.taxDetailsPerRecord(lines, col("rec"), col("price"),
+      lit(1.0), lit(0.0), lit(1), Seq(1 -> chain), Map(10L -> G1, 20L -> G1))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(det((1L, 1L)) == ((1000.0, 300.0)))
+    assert(det((2L, 1L)) == ((500.0, 150.0)))
+    assert(det((1L, -1L)) == ((1000.0, 0.0)) && det((2L, -1L)) == ((500.0, 0.0)))
+    assert(det.size == 4)
+  }
+
+  test("mixed-chain corpus (:277): per-row chain selection equals running each chain alone") {
+    val s = spark; import s.implicits._
+    val chainA = Seq(TaxDef(10, "10%", "percent", 10.0))
+    val chainB = Seq(TaxDef(21, "21%", "percent", 21.0,
+      includeBaseAmount = true, sequence = 1),
+      TaxDef(5, "wh", "percent", 5.0, sequence = 2))
+    val groups = Map(10L -> G1, 21L -> G1, 5L -> G2)
+    // keys: 1 → chainA, 2 → chainB, 0 → untaxed (matches no chain)
+    val corpus = Seq((1L, 100.0, 1), (2L, 200.0, 2), (3L, 50.0, 0))
+      .toDF("rec", "price", "k")
+    val t = TaxTotals.prepareTaxTotalsMulti(corpus, col("rec"), col("price"),
+      lit(1.0), lit(0.0), col("k"), Seq(1 -> chainA, 2 -> chainB), groups)
+    // chainB on 200: 21% → 42 (include_base), then 5% on 242 → 12.10;
+    // G2's once-per-record base is ITS first tax line's base, 242
+    assert(t.amountUntaxed == 350.0)
+    assert(t.groups == Seq(
+      GroupTotal(G1, 300.0, 52.0), GroupTotal(G2, 242.0, 12.1)))
+    assert(t.amountTax == 64.1 && t.amountTotal == 414.1)
+    // the same totals as the three single-chain corpora summed
+    def alone(rows: Seq[(Long, Double)], chain: Seq[TaxDef]): TaxTotals.Totals =
+      TaxTotals.prepareTaxTotals(rows.toDF("rec", "price"), col("rec"),
+        col("price"), lit(1.0), lit(0.0), lit(chain.nonEmpty), chain, groups)
+    val parts = Seq(alone(Seq((1L, 100.0)), chainA),
+      alone(Seq((2L, 200.0)), chainB), alone(Seq((3L, 50.0)), Nil))
+    assert(t.amountUntaxed == parts.map(_.amountUntaxed).sum)
+    assert(t.amountTax == parts.map(_.amountTax).sum)
+  }
+
+  test("dp=0 footer (:443 `0: 0.01`): half-up at CENTS then half-even to " +
+      "integers — not one direct half-up round") {
+    // the two-grid composition where the collapses diverge:
+    assert(TaxTotals.footerRound(2.5, 0) == 2.0,   // half-even, not 3
+      "round(float_round(2.5, 0.01), 0) is banker's at the integer grid")
+    assert(TaxTotals.footerRound(3.5, 0) == 4.0)
+    assert(TaxTotals.footerRound(1.496, 0) == 2.0, // via 1.50; one round → 1
+      "the cent grid must round FIRST")
+    assert(TaxTotals.footerRound(1000.5, 0) == 1000.0)
+    intercept[IllegalArgumentException](TaxTotals.footerRound(1.0, 1))
+    intercept[IllegalArgumentException](TaxTotals.footerRound(1.0, 4))
+
+    // the no-partner path (:446-449): lines compute at the default dp 2,
+    // the FOOTER rounds at the 0-decimal currency's two-step grid
+    val chain = Seq(TaxDef(10, "10%", "percent", 10.0))
+    val t = totals(Seq((1L, 1000.5, 1.0, 0.0, true)), chain, Map(10L -> G1),
+      dp = 2, footerDp = Some(0))
+    assert(t.amountUntaxed == 1000.0, "1000.50 → half-even → 1000, not 1001")
+    assert(t.groups == Seq(GroupTotal(G1, 1000.0, 100.0)))
+    assert(t.amountTax == 100.0 && t.amountTotal == 1100.0)
+    assert(t.subtotals == Seq(Subtotal("Untaxed Amount", 1000.0)))
+    // line-level dp 0 is OUTSIDE _compute_taxes_for_single_line's dp_dic
+    // (:265) — loud, like the reference's KeyError
+    val ex = intercept[IllegalArgumentException] {
+      totals(Seq((1L, 10.0, 1.0, 0.0, true)), chain, Map(10L -> G1), dp = 0)
+    }
+    assert(ex.getMessage.contains("dp_dic"))
   }
 
   test("group order follows (sequence, id); negative quantities re-sign (:479, :92-99)") {

@@ -404,15 +404,51 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("l_quantity").cast("double").as("p"), lit(1.0).as("q"),
         lit(0.0).as("disc"), (col("l_orderkey") % 7 =!= 0).as("taxed"))
     val agg = TaxTotals.footerAggregate(li, col("rec"), col("p"), col("q"),
-      col("disc"), col("taxed"),
-      Seq(TaxDef(1, "t10", "percent", 10.0), TaxDef(2, "t20", "percent", 20.0)),
-      Map(1L -> GroupDef(1, "G1"), 2L -> GroupDef(2, "G2")), 2, Params(), None)
+      col("disc"), when(col("taxed"), lit(1)).otherwise(lit(0)),
+      Seq(1 -> Seq(TaxDef(1, "t10", "percent", 10.0),
+        TaxDef(2, "t20", "percent", 20.0))),
+      Map(1L -> GroupDef(1, "G1"), 2L -> GroupDef(2, "G2")), 2, Params(),
+      None, None)
     assert(agg.count() > 0)
     val p = agg.queryExecution.executedPlan.toString
     assert("Scan parquet".r.findAllIn(p).length == 1,
       s"the footer must read the fact exactly once:\n$p")
     assert(!p.contains("UDF("))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("MIXED-chain tax footer: per-row chain selection stays ONE fact scan, " +
+      "no join/union of per-chain branches") {
+    // the compile-per-variant/select-per-row mechanism (r15 verdict #3):
+    // three chains over one corpus must not fork the scan per chain —
+    // each chain's exploded entry array rides the same projection
+    import org.apache.spark.sql.functions._
+    import graft.engine.TaxCompute.{Params, TaxDef}
+    import graft.report.TaxTotals
+    import graft.report.TaxTotals.GroupDef
+    val li = Tables.lineitem(spark, sf)
+      .select(monotonically_increasing_id().as("rec"),
+        col("l_quantity").cast("double").as("p"), lit(1.0).as("q"),
+        lit(0.0).as("disc"), (col("l_orderkey") % 3).cast("int").as("k"))
+    val chains = Seq(
+      1 -> Seq(TaxDef(1, "t10", "percent", 10.0, sequence = 1),
+        TaxDef(2, "t20", "percent", 20.0, sequence = 2)),
+      2 -> Seq(TaxDef(3, "t5", "percent", 5.0)))
+    val groups = Map(1L -> GroupDef(1, "G1"), 2L -> GroupDef(1, "G1"),
+      3L -> GroupDef(2, "G2"))
+    for (frame <- Seq(
+        TaxTotals.footerAggregate(li, col("rec"), col("p"), col("q"),
+          col("disc"), col("k"), chains, groups, 2, Params(), None, None),
+        TaxTotals.taxDetailsPerRecord(li, col("rec"), col("p"), col("q"),
+          col("disc"), col("k"), chains, groups))) {
+      assert(frame.count() > 0)
+      val p = frame.queryExecution.executedPlan.toString
+      assert("Scan parquet".r.findAllIn(p).length == 1,
+        s"a mixed-chain corpus must read the fact exactly once:\n$p")
+      assert(!p.contains("UDF("))
+      assert(!p.contains("Join") && !p.contains("Union"),
+        "chain selection must be a projection, not a plan fork")
+    }
   }
 
   test("GLOBAL sweep: no query plans a cartesian product, a non-scalar " +
