@@ -1187,9 +1187,12 @@ object ReportOps {
     * running grand totals (etl_account/wizard/sales_report.py:148-166).
     * Composed distributed: [[graft.report.TaxTotals.taxDetailsPerRecord]]
     * (the per-invoice footer frame) feeds the q53 register pivot
-    * ([[graft.registers.Registers.pivotRegister]]) — per-record columns
-    * untaxed/Taxes/Withholding plus the '(total)' row, one declarative
-    * plan, no driver loop over invoices. */
+    * ([[graft.registers.Registers.pivotRegisterRollup]]) — per-record
+    * columns untaxed/Taxes/Withholding plus the '(total)' row derived
+    * from the pivoted detail exactly like the wizard's running totals
+    * accumulate the written (rounded) cells, one declarative plan, no
+    * driver loop over invoices, the explode+detail exchange computed
+    * once. */
   def q180(s: SparkSession, d: String): DataFrame = {
     import graft.report.TaxTotals
     import graft.registers.Registers
@@ -1202,7 +1205,7 @@ object ReportOps {
         .otherwise(lit("Withholding")).as("bucket"),
       when(col("gid") === -1, col("base_amount"))
         .otherwise(col("tax_amount")).as("amt"))
-    Registers.pivotRegister(facts, col("invoice"), col("bucket"),
+    Registers.pivotRegisterRollup(facts, col("invoice"), col("bucket"),
       Seq("untaxed", "Taxes", "Withholding"), col("amt"))
   }
 
@@ -1219,14 +1222,14 @@ object ReportOps {
       |         coalesce(round(sum(CASE WHEN bucket = 'untaxed' THEN amt END), 2), 0.0) AS untaxed,
       |         coalesce(round(sum(CASE WHEN bucket = 'Taxes' THEN amt END), 2), 0.0) AS "Taxes",
       |         coalesce(round(sum(CASE WHEN bucket = 'Withholding' THEN amt END), 2), 0.0) AS "Withholding"
-      |  FROM f GROUP BY invoice
+      |  FROM f GROUP BY invoice)
+      |SELECT * FROM (
+      |  SELECT * FROM piv
       |  UNION ALL
-      |  SELECT '(total)',
-      |         coalesce(round(sum(CASE WHEN bucket = 'untaxed' THEN amt END), 2), 0.0),
-      |         coalesce(round(sum(CASE WHEN bucket = 'Taxes' THEN amt END), 2), 0.0),
-      |         coalesce(round(sum(CASE WHEN bucket = 'Withholding' THEN amt END), 2), 0.0)
-      |  FROM f)
-      |SELECT * FROM piv ORDER BY group_key""".stripMargin
+      |  -- the running totals accumulate the written (rounded) cells
+      |  SELECT '(total)', round(sum(untaxed), 2), round(sum("Taxes"), 2),
+      |         round(sum("Withholding"), 2) FROM piv
+      |) ORDER BY group_key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),

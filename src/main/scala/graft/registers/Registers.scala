@@ -28,4 +28,28 @@ object Registers {
       .na.fill(0.0, pivotValues)
       .orderBy(col("group_key"))
   }
+
+  /** [[pivotRegister]] with the grand-total row derived FROM the pivoted
+    * detail instead of a second pass over `facts`. This is the closer
+    * twin of the reference's row loop — its running totals accumulate
+    * the per-row DISPLAYED (rounded) cell values
+    * (etl_account/wizard/sales_report.py:174-190 `total_* += ...` after
+    * each written cell), so the total of a column is the sum of its
+    * rounded cells — and the fact side feeds ONE aggregation chain: the
+    * total branch re-aggregates the detail's exchange (reused, not
+    * rescanned), which matters when `facts` is itself an expensive
+    * subplan (q180 feeds the tax-totals explode through it). */
+  def pivotRegisterRollup(facts: DataFrame, groupCol: Column,
+                          pivotCol: Column, pivotValues: Seq[String],
+                          amount: Column): DataFrame = {
+    require(pivotValues.nonEmpty, "pivotValues must be non-empty")
+    val detail = facts.groupBy(groupCol.as("group_key"))
+      .pivot(pivotCol, pivotValues)
+      .agg(round(sum(amount), 2))
+      .na.fill(0.0, pivotValues)
+    val total = detail.groupBy(lit("(total)").as("group_key"))
+      .agg(round(sum(col(pivotValues.head)), 2).as(pivotValues.head),
+        pivotValues.tail.map(v => round(sum(col(v)), 2).as(v)): _*)
+    detail.unionByName(total).orderBy(col("group_key"))
+  }
 }

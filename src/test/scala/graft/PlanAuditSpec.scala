@@ -417,6 +417,19 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
   }
 
+  test("q180 register rollup: the grand-total row reuses the detail's " +
+      "exchange — the tax-totals explode is not re-scanned") {
+    // pivotRegisterRollup derives '(total)' FROM the pivoted detail; at
+    // runtime the shared aggregate exchange must be computed once (AQE
+    // reuses the stage), not re-run from a second parquet pass
+    val df = Queries.all("q180_register_tax_totals")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
+        || "Scan parquet".r.findAllIn(p).length == 1,
+      s"the total row must not trigger a second fact pass:\n$p")
+  }
+
   test("MIXED-chain tax footer: per-row chain selection stays ONE fact scan, " +
       "no join/union of per-chain branches") {
     // the compile-per-variant/select-per-row mechanism (r15 verdict #3):
