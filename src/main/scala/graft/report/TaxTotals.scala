@@ -101,31 +101,41 @@ object TaxTotals {
 
   /** `_aggregate_taxes`' per-record level (:372-384): one row per
     * (record, tax group) with the once-per-record base rule —
-    * `min_by(base, ord)` under (record, group) — on BOTH currency legs,
-    * while tax amounts all add (:393-404). The sentinel group −1 row
-    * carries the record's untaxed subtotal: its `base_amount` is the
-    * record's `price_subtotal` (the reference's record-level
-    * base_amount_currency, :412-417) and its `base_amount_company` the
-    * `currency.round(price_subtotal / rate)` company leg. */
-  private[graft] def perRecordDetails(taxLines: DataFrame): DataFrame =
+    * `min_by(base, ord)` under (record, group) — on each present
+    * currency leg, while tax amounts all add (:393-404). The sentinel
+    * group −1 row carries the record's untaxed subtotal: its
+    * `base_amount` is the record's `price_subtotal` (the reference's
+    * record-level base_amount_currency, :412-417) and its
+    * `base_amount_company` the `currency.round(price_subtotal / rate)`
+    * company leg. The company columns aggregate only when the explode
+    * built them (footer callers drop them, so they are never computed
+    * there — see [[explodedTaxLines]]). */
+  private[graft] def perRecordDetails(taxLines: DataFrame): DataFrame = {
+    val company =
+      if (!taxLines.columns.contains("base_co")) Nil
+      else Seq(min_by(col("base_co"), col("ord")).as("base_amount_company"),
+        sum(col("amount_co")).as("tax_amount_company"))
     taxLines
       .groupBy(col("rec"), col("gid"))
       .agg(min_by(col("base"), col("ord")).as("base_amount"),
-        sum(col("amount")).as("tax_amount"),
-        min_by(col("base_co"), col("ord")).as("base_amount_company"),
-        sum(col("amount_co")).as("tax_amount_company"))
+        (sum(col("amount")).as("tax_amount") +: company): _*)
+  }
 
   /** Distributed `_aggregate_taxes` group rollup over a per-tax-line
-    * frame (rec, gid, ord, base, amount, base_co, amount_co): the
+    * frame (rec, gid, ord, base, amount [, base_co, amount_co]): the
     * [[perRecordDetails]] level summed per group. Exposed for plan
     * audits; [[footerAggregate]] builds its input. */
-  private[graft] def aggregateByGroup(taxLines: DataFrame): DataFrame =
-    perRecordDetails(taxLines)
+  private[graft] def aggregateByGroup(taxLines: DataFrame): DataFrame = {
+    val details = perRecordDetails(taxLines)
+    val company =
+      if (!details.columns.contains("base_amount_company")) Nil
+      else Seq(sum(col("base_amount_company")).as("base_amount_company"),
+        sum(col("tax_amount_company")).as("tax_amount_company"))
+    details
       .groupBy(col("gid"))
       .agg(sum(col("base_amount")).as("base_amount"),
-        sum(col("tax_amount")).as("tax_amount"),
-        sum(col("base_amount_company")).as("base_amount_company"),
-        sum(col("tax_amount_company")).as("tax_amount_company"))
+        (sum(col("tax_amount")).as("tax_amount") +: company): _*)
+  }
 
   /** The per-tax-line explode feeding both aggregation levels: ONE scan
     * whose every row becomes (sentinel −1 row + one row per compiled tax
@@ -133,8 +143,12 @@ object TaxTotals {
     * compiled `chains`; a key matching no chain (or a chain that is
     * empty) contributes like the reference's taxes-empty branch
     * (:342-349) — the currency-rounded subtotal under the sentinel, no
-    * tax rows. `rate` is the document→company rate (amounts DIVIDE by
-    * it, :330, :415-417); None = company currency documents (rate 1). */
+    * tax rows. `companyLeg` = Some(rate) additionally builds the
+    * company-currency fields (amounts DIVIDE by the document→company
+    * rate, :330, :415-417; pass lit(1.0) for company-currency
+    * documents); None skips them entirely — the footer only reads the
+    * document leg (:463-467), so it never pays for the conversion
+    * arithmetic or the extra aggregate buffers. */
   private[graft] def explodedTaxLines(lines: DataFrame, record: Column,
                                       priceUnit: Column, quantity: Column,
                                       discount: Column, chainKey: Column,
@@ -142,7 +156,7 @@ object TaxTotals {
                                       taxToGroup: Map[Long, GroupDef],
                                       dp: Int, params: Params,
                                       earlyPayDiscount: Option[(String, Double)],
-                                      rate: Option[Column]): DataFrame = {
+                                      companyLeg: Option[Column]): DataFrame = {
     require(!earlyPayDiscount.exists(_._1 == "excluded"),
       "early_pay_discount_computation='excluded' is unsupported: the " +
         "reference branch (account_tax.py:307-324) is broken as written " +
@@ -164,19 +178,19 @@ object TaxTotals {
       case Some(("included", pct)) => afterDiscount * ((100.0 - pct) / 100.0)
       case _ => afterDiscount
     }
-    val rt = rate.getOrElse(lit(1.0))
     // company-currency conversions (:330-334, :415-417): bases currency-
     // round after /rate; per-line tax amounts currency-round only under
     // round_per_line, then dp-round either way
-    def baseCo(base: Column): Column = round(base / rt, params.precision)
-    def amtCo(amount: Column): Column = {
-      val conv = amount / rt
-      round(if (params.roundGlobally) conv else round(conv, params.precision), dp)
-    }
+    def companyFields(base: Column, amount: Column): Seq[Column] =
+      companyLeg.toSeq.flatMap { rt =>
+        val conv = amount / rt
+        Seq(round(base / rt, params.precision).as("base_co"),
+          round(if (params.roundGlobally) conv
+            else round(conv, params.precision), dp).as("amount_co"))
+      }
     def entry(gid: Column, ord: Column, base: Column, amount: Column) =
-      struct(gid.as("gid"), ord.as("ord"), base.as("base"),
-        amount.as("amount"), baseCo(base).as("base_co"),
-        amtCo(amount).as("amount_co"))
+      struct((Seq(gid.as("gid"), ord.as("ord"), base.as("base"),
+        amount.as("amount")) ++ companyFields(base, amount)): _*)
 
     // the taxes-empty contribution (:342-349): currency-rounded subtotal
     val untaxedArr = array(entry(lit(-1L), lit(-1),
@@ -195,28 +209,32 @@ object TaxTotals {
         when(chainKey === key, array(sentinel +: entries: _*)).otherwise(other)
       }
     }
+    val companyCols =
+      if (companyLeg.isEmpty) Nil
+      else Seq(col("e.base_co").as("base_co"),
+        col("e.amount_co").as("amount_co"))
     lines.select(record.as("rec"), explode(arr).as("e"))
-      .select(col("rec"), col("e.gid").as("gid"), col("e.ord").as("ord"),
-        col("e.base").as("base"), col("e.amount").as("amount"),
-        col("e.base_co").as("base_co"), col("e.amount_co").as("amount_co"))
+      .select((Seq(col("rec"), col("e.gid").as("gid"),
+        col("e.ord").as("ord"), col("e.base").as("base"),
+        col("e.amount").as("amount")) ++ companyCols): _*)
   }
 
-  /** The distributed footer plan: per-group (base, tax) rows on both
-    * currency legs PLUS the sentinel group −1 carrying Σ price_subtotal
-    * (amount untaxed, document and company). Lazy —
-    * [[prepareTaxTotalsMulti]] collects it; exposed so plan audits can
-    * pin the one-scan shape. */
+  /** The distributed footer plan: per-group (base, tax) rows on the
+    * DOCUMENT leg (`_prepare_tax_totals` reads only that one, :463-467)
+    * PLUS the sentinel group −1 carrying Σ price_subtotal (amount
+    * untaxed). Lazy — [[prepareTaxTotalsMulti]] collects it; exposed so
+    * plan audits can pin the one-scan shape. */
   private[graft] def footerAggregate(lines: DataFrame, record: Column,
                                      priceUnit: Column, quantity: Column,
                                      discount: Column, chainKey: Column,
                                      chains: Seq[(Int, Seq[TaxDef])],
                                      taxToGroup: Map[Long, GroupDef],
                                      dp: Int, params: Params,
-                                     earlyPayDiscount: Option[(String, Double)],
-                                     rate: Option[Column]): DataFrame =
+                                     earlyPayDiscount: Option[(String, Double)])
+      : DataFrame =
     aggregateByGroup(explodedTaxLines(lines, record, priceUnit, quantity,
       discount, chainKey, chains, taxToGroup, dp, params, earlyPayDiscount,
-      rate))
+      companyLeg = None))
 
   /** The `_aggregate_taxes` group frame (:354-439) as a distributed
     * result: one row per tax group — (gid, base_amount, tax_amount,
@@ -232,8 +250,9 @@ object TaxTotals {
                      dp: Int = 2, params: Params = Params(),
                      earlyPayDiscount: Option[(String, Double)] = None,
                      rate: Option[Column] = None): DataFrame =
-    footerAggregate(lines, record, priceUnit, quantity, discount, chainKey,
-      chains, taxToGroup, dp, params, earlyPayDiscount, rate)
+    aggregateByGroup(explodedTaxLines(lines, record, priceUnit, quantity,
+      discount, chainKey, chains, taxToGroup, dp, params, earlyPayDiscount,
+      companyLeg = Some(rate.getOrElse(lit(1.0)))))
 
   /** The reference's `tax_details_per_record` arm (:372-384) as a
     * distributed frame: one row per (record, tax group) with base
@@ -251,7 +270,7 @@ object TaxTotals {
                           rate: Option[Column] = None): DataFrame =
     perRecordDetails(explodedTaxLines(lines, record, priceUnit, quantity,
       discount, chainKey, chains, taxToGroup, dp, params, earlyPayDiscount,
-      rate))
+      companyLeg = Some(rate.getOrElse(lit(1.0)))))
 
   /** Compute the tax totals of a single-chain document-line corpus.
     *
@@ -291,14 +310,13 @@ object TaxTotals {
                             dp: Int = 2, params: Params = Params(),
                             earlyPayDiscount: Option[(String, Double)] = None,
                             manualTaxLines: Seq[(Long, Double)] = Nil,
-                            footerDp: Option[Int] = None,
-                            rate: Option[Column] = None): Totals = {
+                            footerDp: Option[Int] = None): Totals = {
     val fdp = footerDp.getOrElse(dp)
     def fRound(v: Double): Double = footerRound(v, fdp)
-    // the footer reads the DOCUMENT-currency leg (:463-467)
+    // the footer reads the DOCUMENT-currency leg only (:463-467), so
+    // its explode never builds the company fields
     val perGroup = footerAggregate(lines, record, priceUnit, quantity,
-        discount, chainKey, chains, taxToGroup, dp, params, earlyPayDiscount,
-        rate)
+        discount, chainKey, chains, taxToGroup, dp, params, earlyPayDiscount)
       .collect() // bounded by the tax-group dimension (+1 sentinel row)
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
 

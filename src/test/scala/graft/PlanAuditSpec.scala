@@ -408,7 +408,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(1 -> Seq(TaxDef(1, "t10", "percent", 10.0),
         TaxDef(2, "t20", "percent", 20.0))),
       Map(1L -> GroupDef(1, "G1"), 2L -> GroupDef(2, "G2")), 2, Params(),
-      None, None)
+      None)
     assert(agg.count() > 0)
     val p = agg.queryExecution.executedPlan.toString
     assert("Scan parquet".r.findAllIn(p).length == 1,
@@ -451,7 +451,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       3L -> GroupDef(2, "G2"))
     for (frame <- Seq(
         TaxTotals.footerAggregate(li, col("rec"), col("p"), col("q"),
-          col("disc"), col("k"), chains, groups, 2, Params(), None, None),
+          col("disc"), col("k"), chains, groups, 2, Params(), None),
         TaxTotals.taxDetailsPerRecord(li, col("rec"), col("p"), col("q"),
           col("disc"), col("k"), chains, groups))) {
       assert(frame.count() > 0)
