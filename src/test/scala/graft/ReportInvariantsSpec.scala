@@ -252,6 +252,53 @@ class ReportInvariantsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- round-16 operators ---------------------------------------------
+
+  test("mixed-chain tax aggregate equals the per-chain aggregates merged " +
+      "(random chains, random rates, both currency legs)") {
+    // the per-row chain selection (prepareTaxTotalsMulti's explode) must
+    // agree with running each chain alone on its own slice — including
+    // the untaxed slice's sentinel contributions and the company leg
+    val s = spark; import s.implicits._
+    import graft.report.TaxTotals
+    import graft.report.TaxTotals.GroupDef
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val chainA = randomChain(rnd, 2, split = false)
+      val chainB = randomChain(rnd, 2, split = false)
+        .map(t => t.copy(id = t.id + 10))
+      val groups =
+        chainA.map(t => t.id -> GroupDef(1 + t.id % 2, s"G${1 + t.id % 2}",
+          sequence = (1 + t.id % 2).toInt)).toMap ++
+        chainB.map(t => t.id -> GroupDef(3 + t.id % 2, s"G${3 + t.id % 2}",
+          sequence = (3 + t.id % 2).toInt)).toMap
+      val corpus = Seq.tabulate(40) { i =>
+        (i.toLong, (rnd.nextInt(20000) - 5000) / 100.0,
+          (rnd.nextInt(9) + 1).toDouble, (rnd.nextInt(4) * 10).toDouble,
+          i % 3, 1.0 + (i % 3) * 1.5)
+      }.toDF("rec", "price", "qty", "disc", "k", "rate")
+      def collect(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+        df.collect().map(r => r.getLong(0) ->
+          (1 to 4).map(r.getDouble).toSeq).toMap
+      val multi = collect(TaxTotals.aggregateTaxes(corpus, col("rec"),
+        col("price"), col("qty"), col("disc"), col("k"),
+        Seq(1 -> chainA, 2 -> chainB), groups, rate = Some(col("rate"))))
+      def part(k: Int, chains: Seq[(Int, Seq[graft.engine.TaxCompute.TaxDef])]) =
+        collect(TaxTotals.aggregateTaxes(corpus.filter(col("k") === k),
+          col("rec"), col("price"), col("qty"), col("disc"), col("k"),
+          chains, groups, rate = Some(col("rate"))))
+      val parts = Seq(part(0, Seq(1 -> chainA)), part(1, Seq(1 -> chainA)),
+        part(2, Seq(2 -> chainB)))
+      val gids = multi.keySet
+      assert(gids == parts.flatMap(_.keySet).toSet, s"seed $seed gid sets")
+      for (g <- gids; m <- 0 to 3) {
+        val merged = parts.flatMap(_.get(g).map(_(m))).sum
+        assert(math.abs(multi(g)(m) - merged) < 1e-6,
+          s"seed $seed gid $g measure $m: ${multi(g)(m)} vs $merged")
+      }
+    }
+  }
+
   test("line totals ignore the chain entirely on untaxed rows") {
     val s = spark; import s.implicits._
     import graft.engine.TaxCompute.TaxDef
