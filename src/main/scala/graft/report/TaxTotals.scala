@@ -272,6 +272,27 @@ object TaxTotals {
       discount, chainKey, chains, taxToGroup, dp, params, earlyPayDiscount,
       companyLeg = Some(rate.getOrElse(lit(1.0)))))
 
+  /** The cash-rounding footer arm of `_compute_tax_totals`
+    * (etl_account/models/account_move.py:667-673): a move carrying a
+    * 'rounding' line shows `amount_total_rounded = amount_total −
+    * balance`, with the balance sign FLIPPED for out_refund / in_invoice
+    * moves (:670-671); the sales/purchase wizards consume the same line
+    * as `round_off = −1 · balance` (wizard/sales_report.py:169-171).
+    * Returned raw — the reference rounds only in formatLang (display,
+    * out of scope per SURVEY §2.1). The rounding LINE's own construction
+    * (:676-770) is ORM line-write orchestration around core Odoo's
+    * `account.cash.rounding.compute_difference` — the rounding-unit
+    * policy is NOT part of the reference snapshot, so only its
+    * observable footer arithmetic has a twin here. */
+  def amountTotalRounded(totals: Totals, roundingBalance: Double,
+                         moveType: String): Double = {
+    val balance =
+      if (moveType == "out_refund" || moveType == "in_invoice")
+        -roundingBalance
+      else roundingBalance
+    totals.amountTotal - balance
+  }
+
   /** Compute the tax totals of a single-chain document-line corpus.
     *
     * `record` identifies the line (the reference's base_line['record']);

@@ -284,6 +284,21 @@ class GoldenTaxTotalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("dp_dic"))
   }
 
+  test("cash-rounding footer arm (account_move.py:667-673): balance sign " +
+      "flips for out_refund / in_invoice") {
+    val chain = Seq(TaxDef(10, "10%", "percent", 10.0))
+    val t = totals(Seq((1L, 100.04, 1.0, 0.0, true)), chain, Map(10L -> G1))
+    assert(t.amountTotal == 110.04)
+    // a 0.04 rounding line: customer invoice subtracts the raw balance,
+    // vendor bill / customer refund subtract the flipped one (raw
+    // arithmetic — the reference rounds only at formatLang)
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(near(TaxTotals.amountTotalRounded(t, 0.04, "out_invoice"), 110.0))
+    assert(near(TaxTotals.amountTotalRounded(t, 0.04, "in_invoice"), 110.08))
+    assert(near(TaxTotals.amountTotalRounded(t, 0.04, "out_refund"), 110.08))
+    assert(near(TaxTotals.amountTotalRounded(t, 0.04, "in_refund"), 110.0))
+  }
+
   test("group order follows (sequence, id); negative quantities re-sign (:479, :92-99)") {
     val g9 = GroupDef(9, "Late", sequence = 1) // same sequence as G1, higher id
     val chain = Seq(
