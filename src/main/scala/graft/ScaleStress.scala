@@ -75,11 +75,17 @@ object ScaleStress {
   // family — the one relational shape where per-KEY density growth
   // (copies share partkey) could hide superlinear matching, so it gets
   // measured, not argued.
+  // r17: the tax-footer family joins the measured set now that its
+  // fixture is corpus-proportional (o_orderkey % 7, was a ≤500 cap —
+  // VERDICT r16 "what's wrong" #1): q178 times the explode → two-level
+  // groupBy rollup, q180 the same detail frame through the register
+  // pivot. Both ride the scaled orders table directly.
   private val relGates = Seq(
     "q1_agg", "q3_star_join", "q17_multi_period",
     "q47_general_ledger", "q48_aged_handler", "q50_running_ledger",
     "q54_report_runner", "q74_journal_report",
-    "q78_fifo_remaining", "q79_fifo_allocation")
+    "q78_fifo_remaining", "q79_fifo_allocation",
+    "q178_tax_totals_company", "q180_register_tax_totals")
   private val relControlGates = Seq("q31_dedup_exact")
   // q34's OUTPUT is corpus-construction-driven (word-level near-dup mass
   // across the 2/3-overlap copies grows with factor², because copies

@@ -1016,18 +1016,26 @@ object ReportOps {
       |  round(sum(CASE WHEN taxed THEN price_total - price_subtotal ELSE 0 END), 3) AS sum_tax
       |FROM tot GROUP BY dec3 ORDER BY dec3""".stripMargin
 
-  // ---- shared fixture for q177/q178/q179/q180 — the `_aggregate_taxes`
+  // ---- shared fixture for q177–q182 — the `_aggregate_taxes`
   // family (graft.report.TaxTotals): a mixed-chain document corpus over
   // orders (o_orderkey is UNIQUE, so each row is a genuine record).
   // Tie-free per Parity.scala: integer prices, discounts ∈ {0%, 20%}
   // keep every unit at ONE even-digit decimal, so the 10/20/5 percent
   // amounts and the /2.5 company-rate conversions all land on exact
-  // 2-decimal values — no .xx5 rounding boundary on either engine.
+  // 2-decimal values — no .xx5 rounding boundary on either engine
+  // (price stays an integer in 17..113 for EVERY orderkey, so the
+  // property is selection-independent).
   //   key = o_orderkey % 3: 0 → untaxed, 1 → chain A (10% + 20%, one
   //   group — the no-double-count rule live per record), 2 → chain B
   //   (5% withholding group); rate ∈ {1.0, 2.5} by o_orderkey % 2.
+  // The record bound is a MODULUS (~1/7 of orders), not a fixed key cap,
+  // so the family grows with the corpus: sf tiers exercise it
+  // proportionally and the scale-stress rel dirs (×f order copies,
+  // offset 1e8 — coprime to 7, so every copy contributes ~1/7) actually
+  // measure the explode's ×10/×30/×100 growth instead of re-timing a
+  // 500-record fixture (VERDICT r16 "what's wrong" #1).
   private def taxCorpus(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).filter(col("o_orderkey") <= 500)
+    Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
       .select(col("o_orderkey").cast("long").as("rec"),
         ((col("o_orderkey") % 97) + 17).cast("double").as("price"),
         when(col("o_custkey") % 2 === 0, lit(1.0)).otherwise(lit(-1.0)).as("qty"),
@@ -1063,7 +1071,7 @@ object ReportOps {
       |         (o_orderkey % 2) * 20.0 AS disc,
       |         o_orderkey % 3 AS k,
       |         1.0 + (o_orderkey % 2) * 1.5 AS rate
-      |  FROM orders WHERE o_orderkey <= 500),
+      |  FROM orders WHERE o_orderkey % 7 = 0),
       |b AS (
       |  SELECT rec, k, rate, round(price * (1 - disc / 100.0) * qty, 2) AS raw,
       |         CASE WHEN round(price * (1 - disc / 100.0) * qty, 2) < 0
@@ -1199,7 +1207,10 @@ object ReportOps {
     val det = TaxTotals.taxDetailsPerRecord(taxCorpus(s, d), col("rec"),
       col("price"), col("qty"), col("disc"), col("k"), taxChains, taxGroups)
     val facts = det.select(
-      lpad(col("rec").cast("string"), 6, "0").as("invoice"),
+      // width 12 covers the scale-stress rel dirs' offset key space
+      // (copy i adds i·1e8): lpad TRUNCATES beyond its width, which
+      // would silently merge invoices across copies at 6
+      lpad(col("rec").cast("string"), 12, "0").as("invoice"),
       when(col("gid") === -1, lit("untaxed"))
         .when(col("gid") === 1, lit("Taxes"))
         .otherwise(lit("Withholding")).as("bucket"),
@@ -1212,7 +1223,7 @@ object ReportOps {
   val q180Sql: String =
     s"""WITH $taxCorpusSql,
       |f AS (
-      |  SELECT lpad(CAST(rec AS VARCHAR), 6, '0') AS invoice,
+      |  SELECT lpad(CAST(rec AS VARCHAR), 12, '0') AS invoice,
       |         CASE WHEN gid = -1 THEN 'untaxed'
       |              WHEN gid = 1 THEN 'Taxes' ELSE 'Withholding' END AS bucket,
       |         CASE WHEN gid = -1 THEN base_amount ELSE tax_amount END AS amt
@@ -1231,6 +1242,105 @@ object ReportOps {
       |         round(sum("Withholding"), 2) FROM piv
       |) ORDER BY group_key""".stripMargin
 
+  /** q181 — the cash-rounding footer arm (the r16 verdict's #1:
+    * [[graft.report.TaxTotals.amountTotalRounded]] was golden-pinned but
+    * gate-unreachable). The corpus splits into the four move types
+    * (etl_account/models/account_move.py:667-673) by `rec % 4`; each
+    * type's batch gets the q179 footer plus a rounding-line balance
+    * accumulated from its records on the cent grid, and the output
+    * replays `amount_total_rounded = amount_total − balance` with the
+    * sign FLIPPED for out_refund / in_invoice (:670-671 — the wizards'
+    * `round_off = −1 · balance`, wizard/sales_report.py:169-171).
+    * Scale: the balances are ONE distributed aggregation (4 rows reach
+    * the driver); the footer loop is bounded by the move-type dimension
+    * (4), each iteration the q179 one-scan two-level plan on a
+    * pushdown-filtered slice. */
+  def q181(s: SparkSession, d: String): DataFrame = {
+    import graft.report.TaxTotals
+    val s0 = s; import s0.implicits._
+    val corpus = taxCorpus(s, d)
+    // per-move-type rounding-line balances: integer cent counts summed
+    // distributed, divided once — exact on the cent grid
+    val bal = corpus.groupBy((col("rec") % 4).as("mt"))
+      .agg(round(sum(col("rec") % 19 - 9) / 100.0, 2).as("bal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val moveTypes = Seq(0L -> "out_invoice", 1L -> "out_refund",
+      2L -> "in_invoice", 3L -> "in_refund")
+    val rows = moveTypes.map { case (mt, name) =>
+      val t = TaxTotals.prepareTaxTotalsMulti(
+        corpus.filter(col("rec") % 4 === mt), col("rec"), col("price"),
+        col("qty"), col("disc"), col("k"), taxChains, taxGroups)
+      val b = bal.getOrElse(mt, 0.0)
+      (name, t.amountTotal, b, TaxTotals.amountTotalRounded(t, b, name))
+    }
+    rows.toDF("move_type", "amount_total", "rounding_balance", "raw_rounded")
+      .select(col("move_type"), round(col("amount_total"), 2).as("amount_total"),
+        col("rounding_balance"),
+        round(col("raw_rounded"), 2).as("amount_total_rounded"))
+      .orderBy(col("move_type"))
+  }
+
+  val q181Sql: String =
+    s"""WITH $taxCorpusSql,
+      |s AS (
+      |  SELECT rec % 4 AS mt,
+      |         round(sum(CASE WHEN gid = -1 THEN base_amount END), 2) AS untaxed,
+      |         round(sum(CASE WHEN gid = 1 THEN tax_amount END), 2) AS g1t,
+      |         round(sum(CASE WHEN gid = 2 THEN tax_amount END), 2) AS g2t
+      |  FROM det GROUP BY rec % 4),
+      |bal AS (
+      |  SELECT rec % 4 AS mt, round(sum(rec % 19 - 9) / 100.0, 2) AS bal
+      |  FROM o GROUP BY rec % 4),
+      |t AS (
+      |  SELECT s.mt,
+      |         round(untaxed + round(coalesce(g1t, 0) + coalesce(g2t, 0), 2), 2) AS amount_total,
+      |         bal.bal AS bal
+      |  FROM s JOIN bal ON s.mt = bal.mt)
+      |SELECT CASE mt WHEN 0 THEN 'out_invoice' WHEN 1 THEN 'out_refund'
+      |            WHEN 2 THEN 'in_invoice' ELSE 'in_refund' END AS move_type,
+      |       amount_total, bal AS rounding_balance,
+      |       round(amount_total
+      |             - (CASE WHEN mt IN (1, 2) THEN -bal ELSE bal END), 2)
+      |         AS amount_total_rounded
+      |FROM t ORDER BY move_type""".stripMargin
+
+  /** q182 — `_aggregate_taxes` under the reference's DEFAULT
+    * `grouping_key_generator` (account_tax.py:356-358: group by the TAX,
+    * `tax_repartition_line.tax_id` — the r16 verdict's #3): the same
+    * corpus aggregated per TAX instead of per tax group, so chain A's
+    * two taxes (10% and 20%, which SHARE group 1 in q178) each carry
+    * their own base and amount, exactly what a by-tax consumer (tax
+    * audit, repartition bookings) reads. Document leg only — the rate
+    * is not passed, exercising the company-leg-free path of
+    * [[graft.report.TaxTotals.aggregateTaxes]] end-to-end. Same one
+    * scan → explode → two-level groupBy; the second level is bounded by
+    * the TAX dimension. */
+  def q182(s: SparkSession, d: String): DataFrame = {
+    import graft.report.TaxTotals
+    TaxTotals.aggregateTaxes(taxCorpus(s, d), col("rec"), col("price"),
+        col("qty"), col("disc"), col("k"), taxChains, taxGroups,
+        groupingKey = Some(TaxTotals.byTax))
+      .select(col("gid"), round(col("base_amount"), 2).as("base_amount"),
+        round(col("tax_amount"), 2).as("tax_amount"))
+      .orderBy(col("gid"))
+  }
+
+  val q182Sql: String =
+    s"""WITH $taxCorpusSql,
+      |dtx AS (
+      |  SELECT rec, CAST(-1 AS BIGINT) AS gid, raw AS base_amount,
+      |         0.0 AS tax_amount
+      |  FROM b
+      |  UNION ALL
+      |  SELECT rec, 10, sg * ab, sg * round(ab * 0.10, 2) FROM b WHERE k = 1
+      |  UNION ALL
+      |  SELECT rec, 20, sg * ab, sg * round(ab * 0.20, 2) FROM b WHERE k = 1
+      |  UNION ALL
+      |  SELECT rec, 5, sg * ab, sg * round(ab * 0.05, 2) FROM b WHERE k = 2)
+      |SELECT gid, round(sum(base_amount), 2) AS base_amount,
+      |       round(sum(tax_amount), 2) AS tax_amount
+      |FROM dtx GROUP BY gid ORDER BY gid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
     "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
@@ -1243,7 +1353,9 @@ object ReportOps {
     "q177_tax_details_per_record" -> (q177 _),
     "q178_tax_totals_company" -> (q178 _),
     "q179_tax_totals_multichain" -> (q179 _),
-    "q180_register_tax_totals" -> (q180 _))
+    "q180_register_tax_totals" -> (q180 _),
+    "q181_cash_rounding_footer" -> (q181 _),
+    "q182_tax_agg_by_tax" -> (q182 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
@@ -1257,5 +1369,7 @@ object ReportOps {
     "q177_tax_details_per_record" -> q177Sql,
     "q178_tax_totals_company" -> q178Sql,
     "q179_tax_totals_multichain" -> q179Sql,
-    "q180_register_tax_totals" -> q180Sql)
+    "q180_register_tax_totals" -> q180Sql,
+    "q181_cash_rounding_footer" -> q181Sql,
+    "q182_tax_agg_by_tax" -> q182Sql)
 }

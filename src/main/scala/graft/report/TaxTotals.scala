@@ -100,19 +100,22 @@ object TaxTotals {
   }
 
   /** `_aggregate_taxes`' per-record level (:372-384): one row per
-    * (record, tax group) with the once-per-record base rule —
-    * `min_by(base, ord)` under (record, group) — on each present
+    * (record, grouping key) with the once-per-record base rule —
+    * `min_by(base, ord)` under (record, gid) — on each present
     * currency leg, while tax amounts all add (:393-404). The sentinel
     * group −1 row carries the record's untaxed subtotal: its
     * `base_amount` is the record's `price_subtotal` (the reference's
     * record-level base_amount_currency, :412-417) and its
     * `base_amount_company` the `currency.round(price_subtotal / rate)`
-    * company leg. The company columns aggregate only when the explode
-    * built them (footer callers drop them, so they are never computed
-    * there — see [[explodedTaxLines]]). */
-  private[graft] def perRecordDetails(taxLines: DataFrame): DataFrame = {
+    * company leg. `hasCompanyLeg` states whether [[explodedTaxLines]]
+    * built the company columns (footer callers don't, so they are
+    * never computed there) — threaded explicitly so a caller frame
+    * that happens to carry a `base_co` column can't flip the
+    * aggregation shape silently. */
+  private[graft] def perRecordDetails(taxLines: DataFrame,
+                                      hasCompanyLeg: Boolean): DataFrame = {
     val company =
-      if (!taxLines.columns.contains("base_co")) Nil
+      if (!hasCompanyLeg) Nil
       else Seq(min_by(col("base_co"), col("ord")).as("base_amount_company"),
         sum(col("amount_co")).as("tax_amount_company"))
     taxLines
@@ -125,10 +128,11 @@ object TaxTotals {
     * frame (rec, gid, ord, base, amount [, base_co, amount_co]): the
     * [[perRecordDetails]] level summed per group. Exposed for plan
     * audits; [[footerAggregate]] builds its input. */
-  private[graft] def aggregateByGroup(taxLines: DataFrame): DataFrame = {
-    val details = perRecordDetails(taxLines)
+  private[graft] def aggregateByGroup(taxLines: DataFrame,
+                                      hasCompanyLeg: Boolean): DataFrame = {
+    val details = perRecordDetails(taxLines, hasCompanyLeg)
     val company =
-      if (!details.columns.contains("base_amount_company")) Nil
+      if (!hasCompanyLeg) Nil
       else Seq(sum(col("base_amount_company")).as("base_amount_company"),
         sum(col("tax_amount_company")).as("tax_amount_company"))
     details
@@ -148,7 +152,28 @@ object TaxTotals {
     * rate, :330, :415-417; pass lit(1.0) for company-currency
     * documents); None skips them entirely — the footer only reads the
     * document leg (:463-467), so it never pays for the conversion
-    * arithmetic or the extra aggregate buffers. */
+    * arithmetic or the extra aggregate buffers.
+    *
+    * `groupingKey` mirrors `_aggregate_taxes`' `grouping_key_generator`
+    * (:356-358, :425-426): None = the footer's by-tax-GROUP generator
+    * (`_prepare_tax_totals` passes `{'tax_group': tax.tax_group_id}`,
+    * :456-460), so gid = `taxToGroup(tax.id).id`; Some(f) = a custom
+    * generator over the tax — [[byTax]] is the reference's DEFAULT
+    * (`tax_repartition_line.tax_id`, :357). Custom keys must avoid the
+    * sentinel −1 (checked against every chain tax up front, since the
+    * chains are static). `taxToGroup` must cover every chain tax only
+    * under the default generator.
+    *
+    * `filterTaxValues` mirrors `filter_tax_values_to_apply` (:422):
+    * a POST-compute filter — the chain computes in full (affect-base /
+    * price-included interactions intact, and the sentinel keeps the
+    * full-chain `price_subtotal`) and only the AGGREGATION drops the
+    * failing tax lines, exactly like the reference skips them inside
+    * the accumulation loop. This is NOT pre-filtering the chain, which
+    * would recompute the surviving taxes on different bases. The
+    * predicate sees (chainKey, tax) — per-chain variation stands in for
+    * the reference's base_line argument, whose consumers key off tax
+    * attributes (e.g. cash-basis exigibility). */
   private[graft] def explodedTaxLines(lines: DataFrame, record: Column,
                                       priceUnit: Column, quantity: Column,
                                       discount: Column, chainKey: Column,
@@ -156,7 +181,9 @@ object TaxTotals {
                                       taxToGroup: Map[Long, GroupDef],
                                       dp: Int, params: Params,
                                       earlyPayDiscount: Option[(String, Double)],
-                                      companyLeg: Option[Column]): DataFrame = {
+                                      companyLeg: Option[Column],
+                                      groupingKey: Option[TaxDef => Long] = None,
+                                      filterTaxValues: Option[(Int, TaxDef) => Boolean] = None): DataFrame = {
     require(!earlyPayDiscount.exists(_._1 == "excluded"),
       "early_pay_discount_computation='excluded' is unsupported: the " +
         "reference branch (account_tax.py:307-324) is broken as written " +
@@ -166,11 +193,19 @@ object TaxTotals {
         "dp_dic domain {2, 3} (account_tax.py:265) — the reference raises " +
         "KeyError; a dp=0 CURRENCY rounds the footer only (pass footerDp)")
     chains.foreach { case (_, chain) =>
-      chain.foreach(t => require(taxToGroup.contains(t.id),
-        s"tax ${t.id} has no tax group mapping"))
+      chain.foreach { t =>
+        groupingKey match {
+          case None => require(taxToGroup.contains(t.id),
+            s"tax ${t.id} has no tax group mapping")
+          case Some(f) => require(f(t) != -1L,
+            s"grouping key of tax ${t.id} collides with the sentinel -1")
+        }
+      }
     }
     require(chains.map(_._1).distinct.size == chains.size,
       "duplicate chain keys")
+    val gidOf: TaxDef => Long =
+      groupingKey.getOrElse(t => taxToGroup(t.id).id)
 
     // :273 line discount, then :279-281 the early-pay 'included' scaling
     val afterDiscount = priceUnit * (lit(1.0) - coalesce(discount, lit(0.0)) / 100.0)
@@ -203,9 +238,13 @@ object TaxTotals {
         // price_subtotal: dp-rounded total_excluded for taxed lines (:303)
         val sentinel = entry(lit(-1L), lit(-1), round(c.totalExcluded, dp),
           lit(0.0))
-        val entries = c.lines.zipWithIndex.map { case (l, i) =>
-          entry(lit(taxToGroup(l.tax.id).id), lit(i), l.base, l.amount)
-        }
+        // ord = the tax-order index BEFORE filtering, so the first-base
+        // rule still picks the first SURVIVING line in tax order (the
+        // reference initializes the base from the first non-skipped
+        // tax_values, :394-399)
+        val entries = c.lines.zipWithIndex
+          .filter { case (l, _) => filterTaxValues.forall(p => p(key, l.tax)) }
+          .map { case (l, i) => entry(lit(gidOf(l.tax)), lit(i), l.base, l.amount) }
         when(chainKey === key, array(sentinel +: entries: _*)).otherwise(other)
       }
     }
@@ -234,43 +273,81 @@ object TaxTotals {
       : DataFrame =
     aggregateByGroup(explodedTaxLines(lines, record, priceUnit, quantity,
       discount, chainKey, chains, taxToGroup, dp, params, earlyPayDiscount,
-      companyLeg = None))
+      companyLeg = None), hasCompanyLeg = false)
+
+  /** The reference's DEFAULT `grouping_key_generator` (:356-358): group
+    * by the TAX itself (`tax_values['tax_repartition_line'].tax_id`) —
+    * what `_aggregate_taxes` does when the caller passes no generator;
+    * the footer overrides it with the by-tax-GROUP generator
+    * (:456-460), which is this module's None default. */
+  val byTax: TaxDef => Long = _.id
 
   /** The `_aggregate_taxes` group frame (:354-439) as a distributed
-    * result: one row per tax group — (gid, base_amount, tax_amount,
-    * base_amount_company, tax_amount_company) — plus the sentinel row
-    * gid −1 whose base columns are the corpus' untaxed subtotal on each
-    * leg. Everything [[prepareTaxTotalsMulti]] computes, kept as a
+    * result: one row per grouping key — (gid, base_amount, tax_amount
+    * [, base_amount_company, tax_amount_company]) — plus the sentinel
+    * row gid −1 whose base columns are the corpus' untaxed subtotal on
+    * each leg. Everything [[prepareTaxTotalsMulti]] computes, kept as a
     * DataFrame for consumers aggregating further (registers, company-
-    * level bookings). */
+    * level bookings).
+    *
+    * `rate` = Some(col) builds the company-currency leg by dividing
+    * through the document→company rate (:330-340, :415-417; pass
+    * Some(lit(1.0)) for company-currency documents); None SKIPS the
+    * company columns entirely — consumers reading only the document leg
+    * (registers) never pay the conversion arithmetic or the extra
+    * aggregate buffers. `groupingKey` / `filterTaxValues` as on
+    * [[explodedTaxLines]]: None groups by tax GROUP like the footer;
+    * [[byTax]] is the reference's default by-TAX generator; the filter
+    * drops tax lines from the aggregation post-compute (:422).
+    *
+    * `record` must identify the LINE (the reference's
+    * base_line['record']), not a parent document: the once-per-record
+    * base rule resolves ties by tax order WITHIN one record, so a
+    * record spanning several lines would collapse their bases
+    * nondeterministically (the reference itself overwrites the
+    * record-level base per base_line, :428-434 — same contract). */
   def aggregateTaxes(lines: DataFrame, record: Column, priceUnit: Column,
                      quantity: Column, discount: Column, chainKey: Column,
                      chains: Seq[(Int, Seq[TaxDef])],
                      taxToGroup: Map[Long, GroupDef],
                      dp: Int = 2, params: Params = Params(),
                      earlyPayDiscount: Option[(String, Double)] = None,
-                     rate: Option[Column] = None): DataFrame =
+                     rate: Option[Column] = None,
+                     groupingKey: Option[TaxDef => Long] = None,
+                     filterTaxValues: Option[(Int, TaxDef) => Boolean] = None): DataFrame =
     aggregateByGroup(explodedTaxLines(lines, record, priceUnit, quantity,
       discount, chainKey, chains, taxToGroup, dp, params, earlyPayDiscount,
-      companyLeg = Some(rate.getOrElse(lit(1.0)))))
+      companyLeg = rate, groupingKey = groupingKey,
+      filterTaxValues = filterTaxValues), hasCompanyLeg = rate.nonEmpty)
 
   /** The reference's `tax_details_per_record` arm (:372-384) as a
-    * distributed frame: one row per (record, tax group) with base
-    * counted once per record and tax amounts summed, on both currency
-    * legs; the gid −1 row per record carries its price_subtotal (the
-    * record-level base, :412-417). Same single scan and explode as the
-    * footer — this is the footer's FIRST groupBy level, exposed instead
-    * of discarded. */
+    * distributed frame: one row per (record, grouping key) with base
+    * counted once per record and tax amounts summed; the gid −1 row per
+    * record carries its price_subtotal (the record-level base,
+    * :412-417). Same single scan and explode as the footer — this is
+    * the footer's FIRST groupBy level, exposed instead of discarded.
+    *
+    * `record` MUST be line-unique (one physical line per record id):
+    * the sentinel rows all share ord −1, so an invoice-keyed record
+    * over multi-line invoices would surface an ARBITRARY single line's
+    * price_subtotal as the record base — silently lossy. Pre-aggregate
+    * to one row per record (or keep the line id) before calling;
+    * [[aggregateTaxes]] documents the same contract. `rate`,
+    * `groupingKey`, `filterTaxValues` as on [[aggregateTaxes]] —
+    * rate = None skips the company leg. */
   def taxDetailsPerRecord(lines: DataFrame, record: Column, priceUnit: Column,
                           quantity: Column, discount: Column, chainKey: Column,
                           chains: Seq[(Int, Seq[TaxDef])],
                           taxToGroup: Map[Long, GroupDef],
                           dp: Int = 2, params: Params = Params(),
                           earlyPayDiscount: Option[(String, Double)] = None,
-                          rate: Option[Column] = None): DataFrame =
+                          rate: Option[Column] = None,
+                          groupingKey: Option[TaxDef => Long] = None,
+                          filterTaxValues: Option[(Int, TaxDef) => Boolean] = None): DataFrame =
     perRecordDetails(explodedTaxLines(lines, record, priceUnit, quantity,
       discount, chainKey, chains, taxToGroup, dp, params, earlyPayDiscount,
-      companyLeg = Some(rate.getOrElse(lit(1.0)))))
+      companyLeg = rate, groupingKey = groupingKey,
+      filterTaxValues = filterTaxValues), hasCompanyLeg = rate.nonEmpty)
 
   /** The cash-rounding footer arm of `_compute_tax_totals`
     * (etl_account/models/account_move.py:667-673): a move carrying a

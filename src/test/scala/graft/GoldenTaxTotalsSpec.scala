@@ -299,6 +299,86 @@ class GoldenTaxTotalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(near(TaxTotals.amountTotalRounded(t, 0.04, "in_refund"), 110.0))
   }
 
+  test("grouping_key_generator (:356-358, :425-426): the DEFAULT generator " +
+      "groups by TAX; an explicit by-group generator is byte-identical to None") {
+    val s = spark; import s.implicits._
+    // two taxes SHARING one group: by-GROUP they collapse (base once),
+    // by-TAX each keeps its own base and amount — the reference's
+    // default `{'tax': tax_repartition_line.tax_id}`
+    val chain = Seq(
+      TaxDef(10, "10%", "percent", 10.0, sequence = 1),
+      TaxDef(20, "20%", "percent", 20.0, sequence = 2))
+    val groups = Map(10L -> G1, 20L -> G1)
+    val lines = Seq((1L, 1000.0), (2L, 500.0)).toDF("rec", "price")
+    def agg(gk: Option[TaxDef => Long]): Map[Long, (Double, Double)] =
+      TaxTotals.aggregateTaxes(lines, col("rec"), col("price"), lit(1.0),
+        lit(0.0), lit(1), Seq(1 -> chain), groups, groupingKey = gk)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+    val byTax = agg(Some(TaxTotals.byTax))
+    assert(byTax == Map(
+      -1L -> ((1500.0, 0.0)),   // sentinel: untaxed subtotal
+      10L -> ((1500.0, 150.0)), // each TAX carries its own base
+      20L -> ((1500.0, 300.0))))
+    // an explicit generator reproducing the by-group default must be
+    // byte-identical to passing None (the r16 verdict's #3 pin)
+    assert(agg(Some(t => groups(t.id).id)).toSeq.sortBy(_._1)
+      == agg(None).toSeq.sortBy(_._1))
+    // a generator colliding with the sentinel −1 rejects up front
+    val ex = intercept[IllegalArgumentException] {
+      agg(Some(_ => -1L))
+    }
+    assert(ex.getMessage.contains("sentinel"))
+  }
+
+  test("filter_tax_values_to_apply (:422) is POST-compute: the chain computes " +
+      "in full, only the aggregation drops the filtered tax lines") {
+    val s = spark; import s.implicits._
+    // 20% include_base then 10%: filtering OUT the 20% must leave the
+    // 10%'s amounts computed on the INCLUDED base (120 on 1200), not
+    // recomputed on 1000 — pre-filtering the chain would give 100
+    val chain = Seq(
+      TaxDef(20, "20%", "percent", 20.0, includeBaseAmount = true, sequence = 1),
+      TaxDef(10, "10%", "percent", 10.0, sequence = 2))
+    val groups = Map(20L -> G1, 10L -> G1)
+    val lines = Seq((1L, 1000.0)).toDF("rec", "price")
+    val agg = TaxTotals.aggregateTaxes(lines, col("rec"), col("price"),
+      lit(1.0), lit(0.0), lit(1), Seq(1 -> chain), groups,
+      filterTaxValues = Some((_, t) => t.id != 20L))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // the group's base is the first SURVIVING line's (the 10%'s, 1200);
+    // the sentinel keeps the full-chain price_subtotal (1000)
+    assert(agg == Map(-1L -> ((1000.0, 0.0)), 1L -> ((1200.0, 120.0))))
+    // filtering everything leaves only the sentinel — the record's
+    // subtotal still counts (the reference's global base adds per
+    // base_line BEFORE the filter loop, :415-417)
+    val none = TaxTotals.aggregateTaxes(lines, col("rec"), col("price"),
+      lit(1.0), lit(0.0), lit(1), Seq(1 -> chain), groups,
+      filterTaxValues = Some((_, _) => false))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(none == Map(-1L -> ((1000.0, 0.0))))
+  }
+
+  test("rate = None skips the company leg entirely (document-leg schema)") {
+    val s = spark; import s.implicits._
+    val chain = Seq(TaxDef(10, "10%", "percent", 10.0))
+    val lines = Seq((1L, 100.0)).toDF("rec", "price")
+    for (df <- Seq(
+        TaxTotals.aggregateTaxes(lines, col("rec"), col("price"), lit(1.0),
+          lit(0.0), lit(1), Seq(1 -> chain), Map(10L -> G1)),
+        TaxTotals.taxDetailsPerRecord(lines, col("rec"), col("price"),
+          lit(1.0), lit(0.0), lit(1), Seq(1 -> chain), Map(10L -> G1))))
+      assert(!df.columns.exists(_.endsWith("_company")),
+        s"rate=None must not build company columns: ${df.columns.mkString(",")}")
+    // a company-currency document that WANTS the leg passes lit(1.0)
+    val withLeg = TaxTotals.aggregateTaxes(lines, col("rec"), col("price"),
+      lit(1.0), lit(0.0), lit(1), Seq(1 -> chain), Map(10L -> G1),
+      rate = Some(lit(1.0)))
+    assert(withLeg.columns.count(_.endsWith("_company")) == 2)
+  }
+
   test("group order follows (sequence, id); negative quantities re-sign (:479, :92-99)") {
     val g9 = GroupDef(9, "Late", sequence = 1) // same sequence as G1, higher id
     val chain = Seq(

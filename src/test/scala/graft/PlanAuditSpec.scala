@@ -453,7 +453,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         TaxTotals.footerAggregate(li, col("rec"), col("p"), col("q"),
           col("disc"), col("k"), chains, groups, 2, Params(), None),
         TaxTotals.taxDetailsPerRecord(li, col("rec"), col("p"), col("q"),
-          col("disc"), col("k"), chains, groups))) {
+          col("disc"), col("k"), chains, groups),
+        // the by-TAX generator (r17) rides the identical plan shape
+        TaxTotals.aggregateTaxes(li, col("rec"), col("p"), col("q"),
+          col("disc"), col("k"), chains, groups,
+          groupingKey = Some(TaxTotals.byTax)))) {
       assert(frame.count() > 0)
       val p = frame.queryExecution.executedPlan.toString
       assert("Scan parquet".r.findAllIn(p).length == 1,
