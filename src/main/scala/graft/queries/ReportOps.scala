@@ -1251,10 +1251,12 @@ object ReportOps {
     * replays `amount_total_rounded = amount_total − balance` with the
     * sign FLIPPED for out_refund / in_invoice (:670-671 — the wizards'
     * `round_off = −1 · balance`, wizard/sales_report.py:169-171).
-    * Scale: the balances are ONE distributed aggregation (4 rows reach
-    * the driver); the footer loop is bounded by the move-type dimension
-    * (4), each iteration the q179 one-scan two-level plan on a
-    * pushdown-filtered slice. */
+    * Scale: TWO distributed aggregations total — the balances (4 rows
+    * reach the driver) and [[graft.report.TaxTotals
+    * .prepareTaxTotalsSliced]], which computes all four batches'
+    * footers in ONE scan → explode → (slice, rec, gid) → (slice, gid)
+    * plan; no per-batch job, so the shape holds for millions of moves
+    * across a bounded slice dimension. */
   def q181(s: SparkSession, d: String): DataFrame = {
     import graft.report.TaxTotals
     val s0 = s; import s0.implicits._
@@ -1264,12 +1266,13 @@ object ReportOps {
     val bal = corpus.groupBy((col("rec") % 4).as("mt"))
       .agg(round(sum(col("rec") % 19 - 9) / 100.0, 2).as("bal"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val totals = TaxTotals.prepareTaxTotalsSliced(corpus, col("rec") % 4,
+      col("rec"), col("price"), col("qty"), col("disc"), col("k"),
+      taxChains, taxGroups)
     val moveTypes = Seq(0L -> "out_invoice", 1L -> "out_refund",
       2L -> "in_invoice", 3L -> "in_refund")
     val rows = moveTypes.map { case (mt, name) =>
-      val t = TaxTotals.prepareTaxTotalsMulti(
-        corpus.filter(col("rec") % 4 === mt), col("rec"), col("price"),
-        col("qty"), col("disc"), col("k"), taxChains, taxGroups)
+      val t = totals(mt)
       val b = bal.getOrElse(mt, 0.0)
       (name, t.amountTotal, b, TaxTotals.amountTotalRounded(t, b, name))
     }

@@ -409,16 +409,84 @@ object TaxTotals {
                             earlyPayDiscount: Option[(String, Double)] = None,
                             manualTaxLines: Seq[(Long, Double)] = Nil,
                             footerDp: Option[Int] = None): Totals = {
-    val fdp = footerDp.getOrElse(dp)
-    def fRound(v: Double): Double = footerRound(v, fdp)
     // the footer reads the DOCUMENT-currency leg only (:463-467), so
     // its explode never builds the company fields
     val perGroup = footerAggregate(lines, record, priceUnit, quantity,
         discount, chainKey, chains, taxToGroup, dp, params, earlyPayDiscount)
       .collect() // bounded by the tax-group dimension (+1 sentinel row)
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    layoutTotals(perGroup, taxToGroup, footerDp.getOrElse(dp), params,
+      manualTaxLines)
+  }
 
-    // ---- _prepare_tax_totals' driver-side layout (dimension-sized) ----
+  /** Footers for SEVERAL document batches in ONE plan — the wizard shape
+    * (each register iterates invoices/moves and reads
+    * `_compute_tax_totals` per batch): `slice` keys the batch (move
+    * type, journal, company…), and the result maps slice → [[Totals]],
+    * each laid out by the SAME `_prepare_tax_totals` arithmetic as
+    * [[prepareTaxTotalsMulti]]. One scan → explode → (slice, record,
+    * group) → (slice, group); only slices × (groups + 1) rows reach the
+    * driver, so a corpus of millions of documents across a bounded
+    * slice dimension still runs as one distributed plan instead of one
+    * job per batch. `manualBySlice` carries each slice's manual
+    * tax-line overrides (:469-475). */
+  def prepareTaxTotalsSliced(lines: DataFrame, slice: Column, record: Column,
+                             priceUnit: Column, quantity: Column,
+                             discount: Column, chainKey: Column,
+                             chains: Seq[(Int, Seq[TaxDef])],
+                             taxToGroup: Map[Long, GroupDef],
+                             dp: Int = 2, params: Params = Params(),
+                             earlyPayDiscount: Option[(String, Double)] = None,
+                             manualBySlice: Map[Long, Seq[(Long, Double)]] = Map(),
+                             footerDp: Option[Int] = None): Map[Long, Totals] = {
+    val perSliceGroup = footerAggregateSliced(lines, slice, record,
+      priceUnit, quantity, discount, chainKey, chains, taxToGroup, dp,
+      params, earlyPayDiscount)
+      .collect() // bounded by slices × (tax-group dimension + 1)
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    perSliceGroup.keys.map(_._1).toSeq.distinct.map { s =>
+      val perGroup = perSliceGroup.collect {
+        case ((`s`, gid), bt) => gid -> bt
+      }
+      s -> layoutTotals(perGroup, taxToGroup, footerDp.getOrElse(dp), params,
+        manualBySlice.getOrElse(s, Nil))
+    }.toMap
+  }
+
+  /** [[prepareTaxTotalsSliced]]'s distributed side, lazy — exposed so
+    * plan audits can pin the one-scan shape. The slice key rides INSIDE
+    * the record struct through the explode (every physical line belongs
+    * to exactly one batch), so the per-record level is the usual
+    * (rec, gid) groupBy and the second level regroups on the slice
+    * field it carries. */
+  private[graft] def footerAggregateSliced(lines: DataFrame, slice: Column,
+                                           record: Column, priceUnit: Column,
+                                           quantity: Column, discount: Column,
+                                           chainKey: Column,
+                                           chains: Seq[(Int, Seq[TaxDef])],
+                                           taxToGroup: Map[Long, GroupDef],
+                                           dp: Int, params: Params,
+                                           earlyPayDiscount: Option[(String, Double)])
+      : DataFrame = {
+    val exploded = explodedTaxLines(lines,
+      struct(slice.cast("long").as("s"), record.as("r")), priceUnit,
+      quantity, discount, chainKey, chains, taxToGroup, dp, params,
+      earlyPayDiscount, companyLeg = None)
+    perRecordDetails(exploded, hasCompanyLeg = false)
+      .groupBy(col("rec.s").as("slice"), col("gid"))
+      .agg(sum(col("base_amount")).as("base_amount"),
+        sum(col("tax_amount")).as("tax_amount"))
+  }
+
+  /** `_prepare_tax_totals`' driver-side layout (:441-530) over a
+    * collected per-group map — dimension-sized, shared by the
+    * whole-corpus and sliced footers so the two can never diverge. */
+  private def layoutTotals(perGroup: Map[Long, (Double, Double)],
+                           taxToGroup: Map[Long, GroupDef], fdp: Int,
+                           params: Params,
+                           manualTaxLines: Seq[(Long, Double)]): Totals = {
+    def fRound(v: Double): Double = footerRound(v, fdp)
     val amountUntaxedRaw = perGroup.get(-1L).map(_._1).getOrElse(0.0)
     val groupTotals = perGroup.keys.filter(_ >= 0).toSeq
       .map { gid =>

@@ -379,6 +379,37 @@ class GoldenTaxTotalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withLeg.columns.count(_.endsWith("_company")) == 2)
   }
 
+  test("sliced footer == per-slice footers (one plan, same layout arithmetic)") {
+    val s = spark; import s.implicits._
+    val chainA = Seq(TaxDef(10, "10%", "percent", 10.0))
+    val chainB = Seq(TaxDef(5, "wh", "percent", 5.0))
+    val groups = Map(10L -> G1, 5L -> G2)
+    // three batches over a mixed-chain corpus, one of them with a
+    // manual override; batch 2 has an untaxed line riding along
+    val corpus = Seq(
+      (0L, 1L, 1000.0, 1), (0L, 2L, 500.0, 2),
+      (1L, 3L, 77.0, 1), (1L, 4L, 13.0, 1),
+      (2L, 5L, 250.0, 2), (2L, 6L, 40.0, 0))
+      .toDF("mt", "rec", "price", "k")
+    val chains = Seq(1 -> chainA, 2 -> chainB)
+    val manual = Map(1L -> Seq((1L, 9.5)))
+    val sliced = TaxTotals.prepareTaxTotalsSliced(corpus, col("mt"),
+      col("rec"), col("price"), lit(1.0), lit(0.0), col("k"), chains,
+      groups, manualBySlice = manual)
+    assert(sliced.keySet == Set(0L, 1L, 2L))
+    for (mt <- Seq(0L, 1L, 2L)) {
+      val alone = TaxTotals.prepareTaxTotalsMulti(
+        corpus.filter(col("mt") === mt), col("rec"), col("price"),
+        lit(1.0), lit(0.0), col("k"), chains, groups,
+        manualTaxLines = manual.getOrElse(mt, Nil))
+      assert(sliced(mt) == alone, s"slice $mt")
+    }
+    // spot-pin one slice by hand: batch 1 = 77 + 13 at 10%, manual 9.5
+    assert(sliced(1L).amountUntaxed == 90.0)
+    assert(sliced(1L).groups == Seq(GroupTotal(G1, 90.0, 9.5)))
+    assert(sliced(1L).amountTotal == 99.5)
+  }
+
   test("group order follows (sequence, id); negative quantities re-sign (:479, :92-99)") {
     val g9 = GroupDef(9, "Late", sequence = 1) // same sequence as G1, higher id
     val chain = Seq(

@@ -457,7 +457,11 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
         // the by-TAX generator (r17) rides the identical plan shape
         TaxTotals.aggregateTaxes(li, col("rec"), col("p"), col("q"),
           col("disc"), col("k"), chains, groups,
-          groupingKey = Some(TaxTotals.byTax)))) {
+          groupingKey = Some(TaxTotals.byTax)),
+        // the sliced footer (r17): N batches' footers, still ONE scan
+        TaxTotals.footerAggregateSliced(li, col("rec") % 4, col("rec"),
+          col("p"), col("q"), col("disc"), col("k"), chains, groups, 2,
+          Params(), None))) {
       assert(frame.count() > 0)
       val p = frame.queryExecution.executedPlan.toString
       assert("Scan parquet".r.findAllIn(p).length == 1,
