@@ -1344,6 +1344,49 @@ object ReportOps {
       |       round(sum(tax_amount), 2) AS tax_amount
       |FROM dtx GROUP BY gid ORDER BY gid""".stripMargin
 
+  /** q183 — `filter_tax_values_to_apply` (account_tax.py:422) live at the
+    * gate level, on a chain where POST-compute filtering is observably
+    * different from pre-filtering: chain A becomes 10% include_base +
+    * 20%, and the filter drops the 10% FROM THE AGGREGATION ONLY. The
+    * surviving 20% keeps the amounts the full chain computed — base
+    * `ab + t1` (the included base) and amount `round((ab + t1) · 0.2)` —
+    * where pre-filtering the chain would recompute it on the bare base.
+    * The sentinel keeps the full-chain price_subtotal, like the
+    * reference's global base accumulating BEFORE the filter loop
+    * (:415-417). Same one-scan explode plan as q178. */
+  def q183(s: SparkSession, d: String): DataFrame = {
+    import graft.engine.TaxCompute.TaxDef
+    import graft.report.TaxTotals
+    val chains = Seq(
+      1 -> Seq(TaxDef(10, "t10", "percent", 10.0, includeBaseAmount = true,
+        sequence = 1), TaxDef(20, "t20", "percent", 20.0, sequence = 2)),
+      2 -> Seq(TaxDef(5, "t5", "percent", 5.0)))
+    TaxTotals.aggregateTaxes(taxCorpus(s, d), col("rec"), col("price"),
+        col("qty"), col("disc"), col("k"), chains, taxGroups,
+        filterTaxValues = Some((_, t) => t.id != 10L))
+      .select(col("gid"), round(col("base_amount"), 2).as("base_amount"),
+        round(col("tax_amount"), 2).as("tax_amount"))
+      .orderBy(col("gid"))
+  }
+
+  val q183Sql: String =
+    s"""WITH $taxCorpusSql,
+      |flt AS (
+      |  SELECT rec, CAST(-1 AS BIGINT) AS gid, raw AS base_amount,
+      |         0.0 AS tax_amount
+      |  FROM b
+      |  UNION ALL
+      |  -- the 10% include_base line is filtered AFTER compute: the 20%
+      |  -- keeps the included base ab + t1 and its amount on that base
+      |  SELECT rec, 1, sg * (ab + round(ab * 0.10, 2)),
+      |         sg * round((ab + round(ab * 0.10, 2)) * 0.20, 2)
+      |  FROM b WHERE k = 1
+      |  UNION ALL
+      |  SELECT rec, 2, sg * ab, sg * round(ab * 0.05, 2) FROM b WHERE k = 2)
+      |SELECT gid, round(sum(base_amount), 2) AS base_amount,
+      |       round(sum(tax_amount), 2) AS tax_amount
+      |FROM flt GROUP BY gid ORDER BY gid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_general_ledger" -> (q47 _), "q48_aged_handler" -> (q48 _),
     "q50_running_ledger" -> (q50 _), "q51_groupby_chain" -> (q51 _),
@@ -1358,7 +1401,8 @@ object ReportOps {
     "q179_tax_totals_multichain" -> (q179 _),
     "q180_register_tax_totals" -> (q180 _),
     "q181_cash_rounding_footer" -> (q181 _),
-    "q182_tax_agg_by_tax" -> (q182 _))
+    "q182_tax_agg_by_tax" -> (q182 _),
+    "q183_tax_agg_filtered" -> (q183 _))
 
   val oracle: Map[String, String] = Map(
     "q47_general_ledger" -> q47Sql, "q48_aged_handler" -> q48Sql,
@@ -1374,5 +1418,6 @@ object ReportOps {
     "q179_tax_totals_multichain" -> q179Sql,
     "q180_register_tax_totals" -> q180Sql,
     "q181_cash_rounding_footer" -> q181Sql,
-    "q182_tax_agg_by_tax" -> q182Sql)
+    "q182_tax_agg_by_tax" -> q182Sql,
+    "q183_tax_agg_filtered" -> q183Sql)
 }
