@@ -1272,7 +1272,9 @@ object ReportOps {
     val moveTypes = Seq(0L -> "out_invoice", 1L -> "out_refund",
       2L -> "in_invoice", 3L -> "in_refund")
     val rows = moveTypes.map { case (mt, name) =>
-      val t = totals(mt)
+      // an absent slice = no records of that move type = the zero footer
+      val t = totals.getOrElse(mt,
+        TaxTotals.Totals(0.0, 0.0, 0.0, Nil, Nil, Nil, displayTaxBase = false))
       val b = bal.getOrElse(mt, 0.0)
       (name, t.amountTotal, b, TaxTotals.amountTotalRounded(t, b, name))
     }

@@ -429,7 +429,11 @@ object TaxTotals {
     * driver, so a corpus of millions of documents across a bounded
     * slice dimension still runs as one distributed plan instead of one
     * job per batch. `manualBySlice` carries each slice's manual
-    * tax-line overrides (:469-475). */
+    * tax-line overrides (:469-475). A slice with no records is ABSENT
+    * from the map (there is no row to learn it from) — callers
+    * enumerating a fixed slice dimension should treat absence as the
+    * all-zero footer, which is what the whole-corpus API returns on an
+    * empty frame. */
   def prepareTaxTotalsSliced(lines: DataFrame, slice: Column, record: Column,
                              priceUnit: Column, quantity: Column,
                              discount: Column, chainKey: Column,
