@@ -80,11 +80,16 @@ object ScaleStress {
   // VERDICT r16 "what's wrong" #1): q178 times the explode → two-level
   // groupBy rollup, q180 the same detail frame through the register
   // pivot. Both ride the scaled orders table directly.
+  // r18 (VERDICT r17 #3): q177 — the per-record detail frame itself,
+  // the family's LARGEST intermediate (fact-sized output, one groupBy
+  // level instead of two) — was only plan-swept; it joins the measured
+  // set so its top-decade exponent is read, not argued.
   private val relGates = Seq(
     "q1_agg", "q3_star_join", "q17_multi_period",
     "q47_general_ledger", "q48_aged_handler", "q50_running_ledger",
     "q54_report_runner", "q74_journal_report",
     "q78_fifo_remaining", "q79_fifo_allocation",
+    "q177_tax_details_per_record",
     "q178_tax_totals_company", "q180_register_tax_totals")
   private val relControlGates = Seq("q31_dedup_exact")
   // q34's OUTPUT is corpus-construction-driven (word-level near-dup mass

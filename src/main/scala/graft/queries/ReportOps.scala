@@ -1296,11 +1296,16 @@ object ReportOps {
       |bal AS (
       |  SELECT rec % 4 AS mt, round(sum(rec % 19 - 9) / 100.0, 2) AS bal
       |  FROM o GROUP BY rec % 4),
+      |-- the Scala side always emits all four move types (an absent
+      |-- slice is the zero footer), so the oracle enumerates the fixed
+      |-- slice dimension instead of inner-joining per present type
       |t AS (
-      |  SELECT s.mt,
-      |         round(untaxed + round(coalesce(g1t, 0) + coalesce(g2t, 0), 2), 2) AS amount_total,
-      |         bal.bal AS bal
-      |  FROM s JOIN bal ON s.mt = bal.mt)
+      |  SELECT mts.mt,
+      |         round(coalesce(untaxed, 0) + round(coalesce(g1t, 0) + coalesce(g2t, 0), 2), 2) AS amount_total,
+      |         coalesce(bal.bal, 0.0) AS bal
+      |  FROM (VALUES (0), (1), (2), (3)) AS mts(mt)
+      |  LEFT JOIN s ON s.mt = mts.mt
+      |  LEFT JOIN bal ON bal.mt = mts.mt)
       |SELECT CASE mt WHEN 0 THEN 'out_invoice' WHEN 1 THEN 'out_refund'
       |            WHEN 2 THEN 'in_invoice' ELSE 'in_refund' END AS move_type,
       |       amount_total, bal AS rounding_balance,

@@ -334,7 +334,19 @@ object TaxTotals {
     * to one row per record (or keep the line id) before calling;
     * [[aggregateTaxes]] documents the same contract. `rate`,
     * `groupingKey`, `filterTaxValues` as on [[aggregateTaxes]] —
-    * rate = None skips the company leg. */
+    * rate = None skips the company leg.
+    *
+    * SUPERSET vs the reference for records with NO surviving tax: the
+    * sentinel gid −1 row is emitted for EVERY record (untaxed lines,
+    * empty chains, and records whose taxes were all dropped by
+    * `filterTaxValues`), whereas the reference's defaultdict
+    * materializes a `tax_details_per_record` entry only inside the
+    * per-tax loop (:428-434) — a record none of whose taxes survive is
+    * simply ABSENT there. The global/footer level is unaffected (the
+    * reference accumulates the record base BEFORE the filter loop,
+    * :415-417, and so does the sentinel here); consumers wanting the
+    * reference's absent-record shape filter the frame to records that
+    * also carry a gid ≥ 0 row. */
   def taxDetailsPerRecord(lines: DataFrame, record: Column, priceUnit: Column,
                           quantity: Column, discount: Column, chainKey: Column,
                           chains: Seq[(Int, Seq[TaxDef])],
@@ -429,11 +441,15 @@ object TaxTotals {
     * driver, so a corpus of millions of documents across a bounded
     * slice dimension still runs as one distributed plan instead of one
     * job per batch. `manualBySlice` carries each slice's manual
-    * tax-line overrides (:469-475). A slice with no records is ABSENT
-    * from the map (there is no row to learn it from) — callers
-    * enumerating a fixed slice dimension should treat absence as the
-    * all-zero footer, which is what the whole-corpus API returns on an
-    * empty frame. */
+    * tax-line overrides (:469-475); every key must name a slice PRESENT
+    * in the corpus — an unmatched key rejects loudly instead of
+    * dropping the override. A slice with no records is ABSENT from the
+    * map (there is no row to learn it from) — callers enumerating a
+    * fixed slice dimension should treat absence as the all-zero footer,
+    * which is what the whole-corpus API returns on an empty frame (and
+    * apply any overrides for such slices driver-side). The slice
+    * column must be integral (loud type check; null slice values
+    * reject at collect time). */
   def prepareTaxTotalsSliced(lines: DataFrame, slice: Column, record: Column,
                              priceUnit: Column, quantity: Column,
                              discount: Column, chainKey: Column,
@@ -447,8 +463,22 @@ object TaxTotals {
       priceUnit, quantity, discount, chainKey, chains, taxToGroup, dp,
       params, earlyPayDiscount)
       .collect() // bounded by slices × (tax-group dimension + 1)
-      .map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getDouble(2), r.getDouble(3)))).toMap
+      .map { r =>
+        // the type check in footerAggregateSliced rules out non-integral
+        // slices; a NULL value would still group under a null key (and
+        // getLong would read it as 0, merging it into slice 0) — reject
+        require(!r.isNullAt(0),
+          "null slice key: every line must carry a non-null slice value")
+        (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))
+      }.toMap
+    // a mistyped slice key in manualBySlice would otherwise vanish
+    // silently — the override applies to no batch and nothing signals it
+    val unusedManual = manualBySlice.keySet -- perSliceGroup.keys.map(_._1)
+    require(unusedManual.isEmpty,
+      s"manualBySlice keys ${unusedManual.toSeq.sorted.mkString(", ")} " +
+        "match no slice in the corpus — manual tax-line overrides would " +
+        "be dropped silently (empty slices are ABSENT from the result; " +
+        "apply their overrides to the all-zero footer driver-side)")
     perSliceGroup.keys.map(_._1).toSeq.distinct.map { s =>
       val perGroup = perSliceGroup.collect {
         case ((`s`, gid), bt) => gid -> bt
@@ -473,6 +503,20 @@ object TaxTotals {
                                            dp: Int, params: Params,
                                            earlyPayDiscount: Option[(String, Double)])
       : DataFrame = {
+    // the slice key is widened to long for the driver-side map; a
+    // string/double/date slice would survive the cast as nulls or
+    // truncated values and land rows under the wrong batch silently —
+    // reject non-integral slice types at plan-build time
+    val sliceType = lines.select(slice).schema.head.dataType
+    require(sliceType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"slice column must be an integral type (byte/short/int/long), " +
+      s"got $sliceType — cast explicitly only if the conversion is " +
+      "genuinely lossless for every row")
     val exploded = explodedTaxLines(lines,
       struct(slice.cast("long").as("s"), record.as("r")), priceUnit,
       quantity, discount, chainKey, chains, taxToGroup, dp, params,

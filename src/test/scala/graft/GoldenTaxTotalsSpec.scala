@@ -410,6 +410,39 @@ class GoldenTaxTotalsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sliced(1L).amountTotal == 99.5)
   }
 
+  test("sliced footer rejects non-integral and null slice keys, unused overrides (r17 verdict #2 / ADVICE)") {
+    val s = spark; import s.implicits._
+    val chain = Seq(TaxDef(10, "10%", "percent", 10.0))
+    val groups = Map(10L -> G1)
+    def sliced(df: DataFrame, sliceCol: String,
+               manual: Map[Long, Seq[(Long, Double)]] = Map()) =
+      TaxTotals.prepareTaxTotalsSliced(df, col(sliceCol), col("rec"),
+        col("price"), lit(1.0), lit(0.0), lit(1), Seq(1 -> chain), groups,
+        manualBySlice = manual)
+    // a string slice would cast to null/garbage silently — reject at build
+    val strSlice = Seq(("a", 1L, 100.0)).toDF("mt", "rec", "price")
+    val e1 = intercept[IllegalArgumentException](sliced(strSlice, "mt"))
+    assert(e1.getMessage.contains("integral"))
+    // a double slice truncates — reject too
+    val dblSlice = Seq((1.5, 1L, 100.0)).toDF("mt", "rec", "price")
+    assert(intercept[IllegalArgumentException](sliced(dblSlice, "mt"))
+      .getMessage.contains("integral"))
+    // a NULL slice value would merge into slice 0 via getLong — reject
+    val nullSlice = Seq((Some(0L), 1L, 100.0), (None, 2L, 50.0))
+      .toDF("mt", "rec", "price")
+    val e2 = intercept[IllegalArgumentException](sliced(nullSlice, "mt"))
+    assert(e2.getMessage.contains("null slice"))
+    // a manual override keyed to a slice with no rows must fail loudly,
+    // not vanish (ADVICE r17 #2)
+    val ok = Seq((0L, 1L, 100.0)).toDF("mt", "rec", "price")
+    val e3 = intercept[IllegalArgumentException](
+      sliced(ok, "mt", manual = Map(3L -> Seq((1L, 9.9)))))
+    assert(e3.getMessage.contains("match no slice"))
+    // int/short slices widen losslessly — accepted
+    val intSlice = Seq((1, 1L, 100.0)).toDF("mt", "rec", "price")
+    assert(sliced(intSlice, "mt").keySet == Set(1L))
+  }
+
   test("group order follows (sequence, id); negative quantities re-sign (:479, :92-99)") {
     val g9 = GroupDef(9, "Late", sequence = 1) // same sequence as G1, higher id
     val chain = Seq(
