@@ -443,13 +443,21 @@ object TaxTotals {
     * job per batch. `manualBySlice` carries each slice's manual
     * tax-line overrides (:469-475); every key must name a slice PRESENT
     * in the corpus — an unmatched key rejects loudly instead of
-    * dropping the override. A slice with no records is ABSENT from the
-    * map (there is no row to learn it from) — callers enumerating a
-    * fixed slice dimension should treat absence as the all-zero footer,
-    * which is what the whole-corpus API returns on an empty frame (and
-    * apply any overrides for such slices driver-side). The slice
-    * column must be integral (loud type check; null slice values
-    * reject at collect time). */
+    * dropping the override. The reject is deliberately strict even
+    * though an empty slice's override would be an arithmetic NO-OP
+    * anyway (manual amounts only REPLACE a group row the aggregation
+    * produced, :469-475 — here and in the reference an override for an
+    * absent group is dropped, so nothing is lost by rejecting): a
+    * mistyped key and a legitimately-empty slice are indistinguishable
+    * from the data, and silent typo-shaped number loss is the worse
+    * failure for an engine whose output is financial. A fixed-dimension
+    * caller whose slices may legitimately be empty intersects its
+    * override map with the slices it knows are present. A slice with no
+    * records is ABSENT from the result map (there is no row to learn it
+    * from) — callers enumerating a fixed slice dimension should treat
+    * absence as the all-zero footer, which is what the whole-corpus API
+    * returns on an empty frame. The slice column must be integral (loud
+    * type check; null slice values reject at collect time). */
   def prepareTaxTotalsSliced(lines: DataFrame, slice: Column, record: Column,
                              priceUnit: Column, quantity: Column,
                              discount: Column, chainKey: Column,
