@@ -105,7 +105,30 @@ object TaxCompute {
     compile(taxes, priceUnit, quantity, Params(precision = precision))
 
   def compile(taxes: Seq[TaxDef], priceUnit: Column, quantity: Column,
-              params: Params): Compiled = {
+              params: Params): Compiled =
+    compile(taxes, priceUnit, quantity, params, (_, c) => c)
+
+  /** [[compile]] with a MATERIALIZATION hook (r18 optimization): `mat` is
+    * called at every sequential accumulation point (raw base, sign, the
+    * excluded total, each tax's rounded amount / factorized amount /
+    * rounding-error distribution scalars) with a stable name and the
+    * expression; it returns the Column the rest of the compilation should
+    * reference. The default is identity — one fully inlined expression
+    * tree, semantically what this compiler always produced. A caller that
+    * instead REGISTERS each expression as a named projection column and
+    * returns an attribute reference (see
+    * [[graft.report.TaxTotals.explodedTaxLines]]) cuts the tree at every
+    * hook point: the same arithmetic over the same values, but each hook
+    * value is computed ONCE per row and shared by reference instead of
+    * being re-inlined into every consumer. Without the cut, a two-tax
+    * chain with a company leg unrolls to a ~3000-node generator tree
+    * whose single generated method exceeds the JVM's JIT compilation
+    * threshold (measured: 842 KB of codegen, 58 KB max method bytecode —
+    * HotSpot refuses methods > 8 KB, so the hot path ran INTERPRETED at
+    * ~50 µs/row). Pure restructuring: every hook value is bit-identical
+    * (same double ops in the same order), only the sharing changes. */
+  def compile(taxes: Seq[TaxDef], priceUnit: Column, quantity: Column,
+              params: Params, mat: (String, Column) => Column): Compiled = {
     // 'python' (safe-eval'd per-row formulas) is OUT OF SCOPE by design
     // (SURVEY §4.3: no embedded interpreter in public Spark); the compiler
     // rejects the chain HERE, at compile time, so a caller porting such a
@@ -125,11 +148,11 @@ object TaxCompute {
     def rnd(c: Column): Column = round(c, precDec)
     val absMult = math.abs(params.fixedMultiplicator)
 
-    val rawBase = rndC(priceUnit * quantity)
+    val rawBase = mat("raw_base", rndC(priceUnit * quantity))
     // zero base: the fixed multiplicator supplies the sign (:94-95)
     val zeroSign = if (params.fixedMultiplicator < 0) -1.0 else 1.0
-    val sign = when(rawBase === 0.0, lit(zeroSign))
-      .otherwise(when(rawBase < 0, lit(-1.0)).otherwise(lit(1.0)))
+    val sign = mat("sign", when(rawBase === 0.0, lit(zeroSign))
+      .otherwise(when(rawBase < 0, lit(-1.0)).otherwise(lit(1.0))))
     val absBase = abs(rawBase)
 
     def factorSum(t: TaxDef): Double = t.repartition.map(_.factor).sum / 100.0
@@ -169,7 +192,8 @@ object TaxCompute {
     }
     // :144-145 — currency.round FIRST, then float_round at the tax
     // precision (a no-op when they agree; both kept for fidelity)
-    val totalExcluded = rnd(rndC(recomputeBase(b, inclFixed, inclPct, inclDiv)))
+    val totalExcluded =
+      mat("total_excluded", rnd(rndC(recomputeBase(b, inclFixed, inclPct, inclDiv))))
 
     // ---- forward pass (:148-249) --------------------------------------
     // the reference forces force_price_include=False here (:179): the
@@ -208,8 +232,8 @@ object TaxCompute {
           cumulatedIncl = lit(0.0)
           a
         } else computeAmount(tax, taxBase)
-      val taxAmount = rnd(taxAmount0)
-      val factorized = rnd(taxAmount * f)
+      val taxAmount = mat(s"tax_amount_$i", rnd(taxAmount0))
+      val factorized = mat(s"factorized_$i", rnd(taxAmount * f))
       if (tax.priceInclude && !checkpoints.contains(i))
         cumulatedIncl = cumulatedIncl + factorized
 
@@ -217,8 +241,9 @@ object TaxCompute {
       val lineAmounts = tax.repartition.map(r => rnd(taxAmount * (r.factor / 100.0)))
       val totalError = rnd(factorized - lineAmounts.reduce(_ + _))
       // int(|err| / unit) with an epsilon against float-division dust
-      val steps = floor(abs(totalError) / unit + 1e-7).cast("int")
-      val perStep = when(steps > 0, rnd(totalError / steps)).otherwise(lit(0.0))
+      val steps = mat(s"steps_$i", floor(abs(totalError) / unit + 1e-7).cast("int"))
+      val perStep =
+        mat(s"per_step_$i", when(steps > 0, rnd(totalError / steps)).otherwise(lit(0.0)))
       for ((r, j) <- tax.repartition.zipWithIndex) {
         val amt = lineAmounts(j) + when(lit(j) < steps, perStep).otherwise(lit(0.0))
         lines += TaxLine(tax, r, sign * amt, rnd(sign * taxBase))

@@ -207,12 +207,30 @@ object TaxTotals {
     val gidOf: TaxDef => Long =
       groupingKey.getOrElse(t => taxToGroup(t.id).id)
 
+    // r18 optimization: every sequential accumulation point of the chain
+    // compilation (and the shared discounted price) is MATERIALIZED as a
+    // named projection column instead of re-inlined into each consumer
+    // expression — [[TaxCompute.compile]]'s mat hook documents why (the
+    // fully inlined generator tree exceeded the JVM's JIT method limit
+    // and ran interpreted). Values are bit-identical; only sharing
+    // changes. The columns are computed UNCONDITIONALLY per row (the old
+    // when-chain evaluated only the row's own chain lazily) — pure
+    // JIT-compiled double arithmetic, orders of magnitude cheaper than
+    // the interpreted evaluation it replaces, and safe: no branch can
+    // throw (double division yields ±Inf/NaN, consumed only by the row's
+    // own chain entries via the chainKey selection).
+    val matBuf = scala.collection.mutable.ArrayBuffer[(String, Column)]()
+    def register(name: String, c: Column): Column = {
+      matBuf += name -> c
+      col(name)
+    }
+
     // :273 line discount, then :279-281 the early-pay 'included' scaling
     val afterDiscount = priceUnit * (lit(1.0) - coalesce(discount, lit(0.0)) / 100.0)
-    val price = earlyPayDiscount match {
+    val price = register("__tc_price", earlyPayDiscount match {
       case Some(("included", pct)) => afterDiscount * ((100.0 - pct) / 100.0)
       case _ => afterDiscount
-    }
+    })
     // company-currency conversions (:330-334, :415-417): bases currency-
     // round after /rate; per-line tax amounts currency-round only under
     // round_per_line, then dp-round either way
@@ -234,7 +252,8 @@ object TaxTotals {
     val arr = chains.foldRight(untaxedArr) { case ((key, chain), other) =>
       if (chain.isEmpty) when(chainKey === key, untaxedArr).otherwise(other)
       else {
-        val c = TaxCompute.compile(chain, price, quantity, params)
+        val c = TaxCompute.compile(chain, price, quantity, params,
+          (n, e) => register(s"__tc_${key}_$n", e))
         // price_subtotal: dp-rounded total_excluded for taxed lines (:303)
         val sentinel = entry(lit(-1L), lit(-1), round(c.totalExcluded, dp),
           lit(0.0))
@@ -252,7 +271,25 @@ object TaxTotals {
       if (companyLeg.isEmpty) Nil
       else Seq(col("e.base_co").as("base_co"),
         col("e.amount_co").as("amount_co"))
-    lines.select(record.as("rec"), explode(arr).as("e"))
+    // one chained select per materialized column: each may reference the
+    // previous ones, so they cannot share a single projection; Catalyst
+    // keeps the multiply-referenced ones as real columns (CollapseProject
+    // refuses to duplicate non-cheap expressions) and inlines the rest
+    val withMats = matBuf.foldLeft(lines) { case (df, (n, c)) =>
+      df.select(col("*"), c.as(n))
+    }
+    // `record` gets a GENERATOR-FREE projection of its own before the
+    // explode: putting an aliased struct() in the same projection as a
+    // generator lets the analyzer's generator extraction strip the
+    // struct's field aliases (observed on the sliced footer's (s, r)
+    // record struct, which then fails rec.s resolution). The entry ARRAY
+    // stays an expression in the generator projection deliberately —
+    // aliasing it as a single-use column would let CollapseProject
+    // re-inline every materialized column into one giant expression
+    // (measured: 1.5 MB of codegen, compile failure, interpreted
+    // fallback), undoing the mat cut.
+    withMats.select(col("*"), record.as("__tc_rec"))
+      .select(col("__tc_rec").as("rec"), explode(arr).as("e"))
       .select((Seq(col("rec"), col("e.gid").as("gid"),
         col("e.ord").as("ord"), col("e.base").as("base"),
         col("e.amount").as("amount")) ++ companyCols): _*)
