@@ -352,11 +352,19 @@ object ReportOps {
         col("__matched").cast("double").as("amount"),
         greatest(col("dd"), col("cd")).as("max_d"))
     // the statement runs several actions over both inputs — cache the
-    // small fixture frames so each action doesn't replay the FIFO chain
+    // small fixture frames so each action doesn't replay the FIFO chain.
+    // repartition(1) before caching (r18): the fixture is bounded by
+    // construction (o_orderkey <= 600, ~2.4k lines), but without the
+    // compaction every one of the statement's ~36 AQE stage-jobs re-read
+    // a 32-partition cache — 1063 near-empty tasks for one collect
+    // (measured; 153 tasks and ~1 s less wall with the compaction). At
+    // production scale the equivalent is right-sizing the cached
+    // period-activity frames, not a constant: the partition count here
+    // follows the KNOWN fixture bound, like a broadcast dim.
     val linesC = lines
       .select("line_id", "move_id", "account", "atype", "tag", "d", "balance")
-      .cache()
-    val partialsC = partials.cache()
+      .repartition(1).cache()
+    val partialsC = partials.repartition(1).cache()
     val r = CashFlowStatement.compute(linesC, partialsC,
       Seq("a0"), LocalDate.of(1995, 1, 1), LocalDate.of(1995, 12, 31))
     linesC.unpersist(); partialsC.unpersist()
