@@ -8,25 +8,25 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native Catalyst expression: sequential double-precision dot product of
-  * two float vectors — the hot kernel of the similarity-search path
-  * (SURVEY §4.3 allows exactly this kind of optional codegen extension).
+/** Native Catalyst expression: sequential squared L2 distance between two
+  * numeric vectors — the hot kernel of the k-means / PQ training and
+  * serving paths (r18 optimization; the [[VectorDotExpr]] rationale
+  * applies verbatim). Element types may be float or double on EITHER side
+  * independently — the trainer compares array<float> embeddings against
+  * array<double> centroids, the coreset path double against double.
   *
-  * Why not `aggregate(zip_with(...))`: that plan casts both arrays to
-  * ARRAY<DOUBLE> (two fresh arrays per row), builds a zipped array, then
-  * folds with per-element lambda dispatch. This expression reads the float
-  * slices directly and accumulates in one registerized loop inside
-  * whole-stage codegen — no allocation, no virtual calls.
-  *
-  * Semantics match the composed form bit-for-bit: elements are widened
-  * float→double and accumulated strictly left-to-right (same IEEE sum as
-  * DuckDB's list_dot_product on DOUBLE[]), so oracle parity is preserved.
-  * Null if either side is null; requires equal lengths. A NULL ELEMENT
-  * contributes 0.0 to the sum — checked explicitly (isNullAt) in BOTH the
-  * interpreted and codegen paths, so parquet's default containsNull=true
-  * arrays evaluate identically everywhere (toFloatArray would NPE
-  * interpreted while unsafe getFloat silently read 0.0f). */
-final case class VectorDotExpr(left: Expression, right: Expression)
+  * Semantics match the composed
+  * `aggregate(zip_with(v, c, (x, y) => (x.cast(double) - y)²), 0.0, _+_)`
+  * form bit-for-bit on null-free vectors: each element widens to double,
+  * the difference squares in double, and the accumulation is strictly
+  * left-to-right (same IEEE sum as DuckDB's list fold, which every
+  * consumer's oracle replays). Null if either ARRAY is null; requires
+  * equal lengths; a null ELEMENT contributes 0.0 (the [[VectorDotExpr]]
+  * convention — parquet's containsNull=true default must not NPE), where
+  * the composed form would return null. No fixture carries null elements;
+  * [[graft.VectorD2Spec]] pins the parity on real data.
+  */
+final case class VectorD2Expr(left: Expression, right: Expression)
   extends BinaryExpression {
 
   private def elemOk(dt: DataType): Boolean = dt match {
@@ -34,31 +34,27 @@ final case class VectorDotExpr(left: Expression, right: Expression)
     case _ => false
   }
 
-  private def isFloat(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
-
-  // r18: element types widened to float|double per side — the IVF scoring
-  // paths dot float embeddings against double centroid/plane literals; the
-  // former float-only signature forced a per-row array<double> cast copy
-  // per centroid. Per-element widening is unchanged: each element reads as
-  // double exactly as the cast produced.
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemOk(left.dataType) && elemOk(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vector_dot expects two array<float|double>, got " +
+      s"vector_d2 expects two array<float|double>, got " +
         s"(${left.dataType}, ${right.dataType})")
+
   override def dataType: DataType = DoubleType
-  override def prettyName: String = "vector_dot"
+  override def prettyName: String = "vector_d2"
+
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     require(n == y.numElements(),
-      s"vector_dot: length mismatch $n vs ${y.numElements()}")
+      s"vector_d2: length mismatch $n vs ${y.numElements()}")
     val lf = isFloat(left.dataType)
     val rf = isFloat(right.dataType)
     var acc = 0.0
@@ -70,7 +66,8 @@ final case class VectorDotExpr(left: Expression, right: Expression)
       val yv =
         if (y.isNullAt(i)) 0.0
         else if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      val d = xv - yv
+      acc += d * d
       i += 1
     }
     acc
@@ -87,25 +84,26 @@ final case class VectorDotExpr(left: Expression, right: Expression)
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  throw new IllegalArgumentException(
-         |    "vector_dot: length mismatch " + $n + " vs " + $b.numElements());
+         |    "vector_d2: length mismatch " + $n + " vs " + $b.numElements());
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double ${acc}_x = $a.isNullAt($i) ? 0.0 : ${get(a, i, isFloat(left.dataType))};
          |  double ${acc}_y = $b.isNullAt($i) ? 0.0 : ${get(b, i, isFloat(right.dataType))};
-         |  $acc += ${acc}_x * ${acc}_y;
+         |  double ${acc}_d = ${acc}_x - ${acc}_y;
+         |  $acc += ${acc}_d * ${acc}_d;
          |}
          |${ev.value} = $acc;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
-                                                 newRight: Expression): VectorDotExpr =
+                                                 newRight: Expression): VectorD2Expr =
     copy(left = newLeft, right = newRight)
 }
 
-object VectorDot {
-  /** Column-API entry point: `dot(col("a"), col("b"))`. */
-  def dot(a: Column, b: Column): Column =
-    Bridge.column(VectorDotExpr(Bridge.expression(a), Bridge.expression(b)))
+object VectorD2 {
+  /** Column-API entry point: `d2(col("a"), col("b"))`. */
+  def d2(a: Column, b: Column): Column =
+    Bridge.column(VectorD2Expr(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -25,9 +25,11 @@ object KMeansQuantizer {
 
   private val Q = 1000000.0
 
+  // native codegen'd kernel (r18): bit-identical to the former
+  // aggregate(zip_with(...)) fold on null-free vectors, without the
+  // per-row zipped-array allocation and per-element lambda dispatch
   private def d2(vec: Column, cen: Column): Column =
-    aggregate(zip_with(vec, cen, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorD2.d2(vec, cen)
 
   /** Map-side nearest-centroid assignment of `vecs` (`vec_id`,
     * `embedding`) to a persisted `centroids` frame (`cid`, `cvec`) — the

@@ -240,8 +240,12 @@ object DedupOps {
     * a map-side-combinable shuffle of the shingle rows, instead of a K×
     * row blowup (the scale-correct distributed MinHash plan). */
   private def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles3Raw(docs)
-      .select(col("doc_id"), Parity.strHash(col("s")).as("sid"))
+    // portable 3-gram hashes via the native kernel (r18) — one byte pass
+    // per document, bit-identical to the former shingles3Raw + strHash
+    // chain (word array + shingle strings per row); the min over these
+    // hash values IS the signature, so portability is load-bearing
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.PortableNgramHash.of(col("text"), 3)).as("sid"))
     val minCols = (0 until MhK).map(k =>
       min((lit(53L * k + 7L) * col("sid") + lit(97L * k + 13L)) % MhP).as(s"m$k"))
     sh.groupBy(col("doc_id"))

@@ -52,19 +52,15 @@ object SelectionOps {
     * n_bigrams, score) — shared with the composed pipeline [[q150]]. */
   private[queries] def dsirScores(s: SparkSession, d: String): DataFrame = {
     val B = FeatureBuckets
-    // project the split FIRST — a split() referenced inside the zip_with
-    // lambda would re-evaluate per element (no CSE across HOF boundaries)
-    val ws = Tables.documents(s, d)
+    // bigram hashes via the native portable n-gram kernel (r18) — one
+    // byte pass per document, bit-identical to the former
+    // split + zip_with(concat_ws) + strHash chain (which allocated the
+    // word array, two slice copies, and every bigram string per row)
+    val nf = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        split(col("text"), " ").as("ws"))
-    val nf = ws
+        explode(graft.functions.PortableNgramHash.of(col("text"), 2)).as("bh"))
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(zip_with(
-          slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("bg"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        pmod(Parity.strHash(col("bg")), lit(B)).as("b"))
+        pmod(col("bh"), lit(B)).as("b"))
       .groupBy(col("doc_id"), col("lang"), col("source"), col("b"))
       .agg(count(lit(1)).as("c"))
     // both marginals in ONE pass over nf (sum + filtered sum share the
@@ -339,10 +335,11 @@ object SelectionOps {
     * codebooks, q148/q151 LUTs) already ship as broadcast frames. */
   val LiteralCentersMaxElems = 4096
 
-  /** The coreset distance fold (strict left-to-right IEEE, doubles). */
+  /** The coreset distance fold (strict left-to-right IEEE, doubles) —
+    * the native codegen'd kernel, bit-identical to the former
+    * aggregate(zip_with(...)) form on null-free vectors (r18). */
   private def cenD2(vec: Column, cen: Column): Column =
-    aggregate(zip_with(vec, cen, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorD2.d2(vec, cen)
 
   /** Nearest-center map for a driver-held center set: every vector of `v`
     * (columns `vec_id`, `vd` array<double>) → (vec_id, vd, cid, d2) under
@@ -455,8 +452,7 @@ object SelectionOps {
   /** The exact-IEEE squared distance fold both the trainer and the q85
     * oracle use (left-to-right, float cast to double per element). */
   private def pqD2(vec: Column, cen: Column): Column =
-    aggregate(zip_with(vec, cen, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorD2.d2(vec, cen)
 
   /** Per PQ block: (sub-vectors, assignment, centroids) from the
     * deterministic trainer — shared by [[q147]] (encoding), [[q148]]

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorD2
+
+/** The native vector_d2 expression must agree bit-for-bit with the
+  * composed aggregate(zip_with((x.cast(double) - y)²)) fold it replaces
+  * (the k-means / PQ / coreset distance), in both the interpreted and
+  * whole-stage-codegen paths, for float and double element types on
+  * either side. */
+class VectorD2Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withCodegenOff[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try f finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", prev)
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  private def fixture = {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 200).map { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextFloat() - 0.5f),
+        Array.fill(64)(rnd.nextDouble() - 0.5))
+    }.toDF("id", "a", "b") // a: array<float>, b: array<double>
+  }
+
+  /** The exact fold every caller used before the kernel. */
+  private val composed =
+    aggregate(
+      zip_with(col("a"), col("b"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("vector_d2(float, double) == aggregate(zip_with) bit-for-bit (codegen)") {
+    val s = spark; import s.implicits._
+    val out = fixture
+      .select(VectorD2.d2(col("a"), col("b")).as("fast"), composed.as("slow"))
+      .as[(Double, Double)].collect()
+    assert(out.forall { case (f, sl) => f == sl })
+  }
+
+  test("vector_d2(float, double) == aggregate(zip_with) interpreted") {
+    val s = spark; import s.implicits._
+    withCodegenOff {
+      val out = fixture
+        .select(VectorD2.d2(col("a"), col("b")).as("fast"), composed.as("slow"))
+        .as[(Double, Double)].collect()
+      assert(out.forall { case (f, sl) => f == sl })
+    }
+  }
+
+  test("vector_d2(double, double) == composed double fold") {
+    val s = spark; import s.implicits._
+    val dd = fixture.select(col("id"),
+      col("a").cast("array<double>").as("a"), col("b"))
+    val composedDD = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val out = dd
+      .select(VectorD2.d2(col("a"), col("b")).as("fast"), composedDD.as("slow"))
+      .as[(Double, Double)].collect()
+    assert(out.forall { case (f, sl) => f == sl })
+  }
+
+  test("vector_d2 is null-safe and length-checked") {
+    val s = spark; import s.implicits._
+    val df = Seq((Some(Array(1f, 2f)), None: Option[Array[Double]]))
+      .toDF("a", "b")
+    val out = df.select(VectorD2.d2(col("a"), col("b"))).collect()
+    assert(out.head.isNullAt(0))
+    val bad = Seq((Array(1f, 2f), Array(1.0))).toDF("a", "b")
+    assertThrows[Exception](bad.select(VectorD2.d2(col("a"), col("b"))).collect())
+  }
+
+  test("widened vector_dot: (float, double) == cast-then-dot, both paths") {
+    val s = spark; import s.implicits._
+    val viaCast = aggregate(
+      zip_with(col("a").cast("array<double>"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val both = fixture.select(
+      graft.functions.VectorDot.dot(col("a"), col("b")).as("fast"),
+      viaCast.as("slow"))
+    val out = both.as[(Double, Double)].collect()
+    assert(out.forall { case (f, sl) => f == sl })
+    withCodegenOff {
+      val out2 = both.as[(Double, Double)].collect()
+      assert(out2.forall { case (f, sl) => f == sl })
+    }
+  }
+}
