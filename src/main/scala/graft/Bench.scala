@@ -352,6 +352,11 @@ object Bench {
   private def sJson(ss: Seq[String]): String =
     ss.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+  /** `$SPARK_GRAFT_CPUS` as a JSON value: a bare number when it is one
+    * (the always case), a quoted string otherwise — never invalid JSON. */
+  private def jnum(s: String): String =
+    if (s.nonEmpty && s.forall(_.isDigit)) s else "\"" + jstr(s) + "\""
+
   /** Full JSON string escape (backslash, quote, ALL control chars) — drift
     * entries embed raw exception messages, and Spark messages routinely
     * contain newlines that would break the one-line stdout contract. */
@@ -651,7 +656,15 @@ object Bench {
     val minTotal = byName.map(_._2.min).sum + bySetup.map(_._2.min).sum
     val maxTotal = byName.map(_._2.max).sum + bySetup.map(_._2.max).sum
     def fmtJ(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians_incl_setup","queries":${qJson(med)},"setup":${qJson(setupMed)},"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"total_anchor_io":$totalAnchorIo,"anchor_io_valid":$ioAnchorValid,"anchored_runs":$anchoredRuns,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"anchor_probe_io_sec":$AnchorProbeIoSec,"ambient_inflated":$inflated,"schema_warnings":${sJson(anchorWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
+    // scaling-measurement ground truth (r19, VERDICT r18 #2): echo the
+    // effective core count, master and shuffle partitioning the children
+    // ran with, so the driver's suspect_cpus heuristic can check the bench
+    // against what it asked for instead of guessing. Placed AFTER the
+    // per-query block: the driver's stored artifact keeps only a tail of
+    // stdout, and everything BEFORE the (large) queries object is what
+    // truncation eats. Additions only — no timing-path change.
+    val cpusEcho = s""""cpus":${jnum(cpus)},"master":"local[${jstr(cpus)}]","shuffle_partitions":${jnum(cpus)}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","semantics":"sum_of_per_query_medians_incl_setup","queries":${qJson(med)},"setup":${qJson(setupMed)},$cpusEcho,"sf":"$sfDir","runs":${samples.size},"runs_attempted":$attempts,"min_total":$minTotal,"max_total":$maxTotal,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"total_anchor_io":$totalAnchorIo,"anchor_io_valid":$ioAnchorValid,"anchored_runs":$anchoredRuns,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"anchor_probe_io_sec":$AnchorProbeIoSec,"ambient_inflated":$inflated,"schema_warnings":${sJson(anchorWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0}}""")
     // full spread snapshot (per-query min/med/max + raw samples) — the
     // driver's BENCH tail truncates at 2000 chars, this file never does
     val detail = byName.map { case (n, vs) =>
@@ -668,7 +681,7 @@ object Bench {
       .mkString("[", ",", "]")
     Files.createDirectories(Paths.get("target"))
     val detailJson =
-      s"""{"sf":"$sfDir","written_utc":"${java.time.Instant.now()}","runs":${samples.size},"runs_attempted":$attempts,"parsed_attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"total_anchor_io":$totalAnchorIo,"anchor_io_valid":$ioAnchorValid,"anchored_runs":$anchoredRuns,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"anchor_probe_io_sec":$AnchorProbeIoSec,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(anchorWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"setup":$setupDetail,"per_query":$detail}"""
+      s"""{"sf":"$sfDir",$cpusEcho,"written_utc":"${java.time.Instant.now()}","runs":${samples.size},"runs_attempted":$attempts,"parsed_attempt_probes_cpu_io":$allProbes,"run_totals":$runTotals,"run_n_failed":$runFailed,"total_med":$total,"total_norm":$totalNorm,"total_norm_lb":$totalNormLb,"total_anchor":$totalAnchor,"total_anchor_io":$totalAnchorIo,"anchor_io_valid":$ioAnchorValid,"anchored_runs":$anchoredRuns,"anchor_probe_cpu_sec":$AnchorProbeCpuSec,"anchor_probe_io_sec":$AnchorProbeIoSec,"probe_sec":${fmtJ(cpuProbes)},"inflation":${fmtJ(cpuFactors)},"probe_io_sec":${fmtJ(ioProbes)},"inflation_io":${fmtJ(ioFactors)},"ambient_inflated":$inflated,"schema_warnings":${sJson(anchorWarnings.map(jstr))},"n_failed":$nFailed,"failed_queries":${sJson(failedQueries)},"invalid":${nFailed > 0},"setup":$setupDetail,"per_query":$detail}"""
     Files.writeString(Paths.get("target/bench_runs_latest.json"), detailJson)
     // ROUND-STAMPED COMMITTED COPY (r10, VERDICT r9 #1): the driver's
     // official BENCH_r{N}.json keeps only a 2000-char stdout `tail` and a

@@ -21,10 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the difference squares in double, and the accumulation is strictly
   * left-to-right (same IEEE sum as DuckDB's list fold, which every
   * consumer's oracle replays). Null if either ARRAY is null; requires
-  * equal lengths; a null ELEMENT contributes 0.0 (the [[VectorDotExpr]]
-  * convention — parquet's containsNull=true default must not NPE), where
-  * the composed form would return null. No fixture carries null elements;
-  * [[graft.VectorD2Spec]] pins the parity on real data.
+  * equal lengths; a null ELEMENT is REJECTED LOUDLY (r19, VERDICT r18
+  * what's-wrong #3 — the [[VectorDotExpr]] convention): the composed form
+  * null-propagates, so a kernel contributing 0.0 (the pre-r19 convention)
+  * would silently diverge from any oracle on a corpus with nullable
+  * embeddings. No fixture carries null elements, so the reject is dead
+  * code today; [[graft.VectorD2Spec]] pins both the parity on real data
+  * and the null-element throw.
   */
 final case class VectorD2Expr(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -60,12 +63,13 @@ final case class VectorD2Expr(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv =
-        if (x.isNullAt(i)) 0.0
-        else if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv =
-        if (y.isNullAt(i)) 0.0
-        else if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"vector_d2: null element at index $i — nullable embeddings " +
+            "are not supported (the composed form null-propagates; " +
+            "align the caller explicitly)")
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       val d = xv - yv
       acc += d * d
       i += 1
@@ -88,8 +92,13 @@ final case class VectorD2Expr(left: Expression, right: Expression)
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double ${acc}_x = $a.isNullAt($i) ? 0.0 : ${get(a, i, isFloat(left.dataType))};
-         |  double ${acc}_y = $b.isNullAt($i) ? 0.0 : ${get(b, i, isFloat(right.dataType))};
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "vector_d2: null element at index " + $i +
+         |      " — nullable embeddings are not supported");
+         |  }
+         |  double ${acc}_x = ${get(a, i, isFloat(left.dataType))};
+         |  double ${acc}_y = ${get(b, i, isFloat(right.dataType))};
          |  double ${acc}_d = ${acc}_x - ${acc}_y;
          |  $acc += ${acc}_d * ${acc}_d;
          |}

@@ -21,11 +21,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics match the composed form bit-for-bit: elements are widened
   * float→double and accumulated strictly left-to-right (same IEEE sum as
   * DuckDB's list_dot_product on DOUBLE[]), so oracle parity is preserved.
-  * Null if either side is null; requires equal lengths. A NULL ELEMENT
-  * contributes 0.0 to the sum — checked explicitly (isNullAt) in BOTH the
-  * interpreted and codegen paths, so parquet's default containsNull=true
-  * arrays evaluate identically everywhere (toFloatArray would NPE
-  * interpreted while unsafe getFloat silently read 0.0f). */
+  * Null if either side is null; requires equal lengths. A NULL ELEMENT is
+  * REJECTED LOUDLY (r19, VERDICT r18 what's-wrong #3): the composed
+  * `aggregate(zip_with(...))` form null-propagates, so a kernel that
+  * contributed 0.0 (the pre-r19 convention) would silently diverge from
+  * any oracle the moment a corpus ships nullable embeddings. No fixture
+  * carries null elements, so the reject is dead code today — it exists so
+  * that a future corpus fails the job with a named error instead of
+  * passing with wrong numbers. Checked explicitly (isNullAt) in BOTH the
+  * interpreted and codegen paths (VectorD2Spec pins the throw). */
 final case class VectorDotExpr(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -64,12 +68,13 @@ final case class VectorDotExpr(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv =
-        if (x.isNullAt(i)) 0.0
-        else if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv =
-        if (y.isNullAt(i)) 0.0
-        else if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"vector_dot: null element at index $i — nullable embeddings " +
+            "are not supported (the composed form null-propagates; " +
+            "align the caller explicitly)")
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
       i += 1
     }
@@ -91,8 +96,13 @@ final case class VectorDotExpr(left: Expression, right: Expression)
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double ${acc}_x = $a.isNullAt($i) ? 0.0 : ${get(a, i, isFloat(left.dataType))};
-         |  double ${acc}_y = $b.isNullAt($i) ? 0.0 : ${get(b, i, isFloat(right.dataType))};
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "vector_dot: null element at index " + $i +
+         |      " — nullable embeddings are not supported");
+         |  }
+         |  double ${acc}_x = ${get(a, i, isFloat(left.dataType))};
+         |  double ${acc}_y = ${get(b, i, isFloat(right.dataType))};
          |  $acc += ${acc}_x * ${acc}_y;
          |}
          |${ev.value} = $acc;

@@ -184,19 +184,33 @@ object DedupOps {
     // and shuffle-joins it at corpus scale, both correct. Pinned: the
     // self-join consumes the decorated index twice — without the pin
     // each side re-runs the hot-set and size aggregations.
-    val shN = pin(sh.join(sizes, Seq("doc_id")))
-    val lt = lit(math.max(threshold - 1e-4, 0.0))
-    val pairs = shN.as("a").join(shN.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * lt <= col("b.n") && col("b.n") * lt <= col("a.n"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.n").as("n1"), col("b.n").as("n2"))
+    val shN = sh.join(sizes, Seq("doc_id"))
+    // Pair emission via the native posting-list kernel (r19, VERDICT r18
+    // #3): ONE exchange of the decorated index into per-shingle posting
+    // lists, then [[graft.functions.JaccardPairEmitExpr]] emits the
+    // length-filtered candidate pairs per list. The former self-join
+    // (`shN.as("a") ⋈ shN.as("b") ON a.s = b.s AND a.doc_id < b.doc_id
+    // AND a.n·lt ≤ b.n AND b.n·lt ≤ a.n`) shuffled the index TWICE (both
+    // join sides) and paid the join's sorts; the emitted pair multiset is
+    // identical by construction (kernel scaladoc; JaccardPairEmitSpec pins
+    // it against the join form), so the pair aggregation below is
+    // byte-identical. Per-key work stays cap²-bounded — the df cap is
+    // enforced upstream, a posting list never exceeds `cap` entries.
+    // shN now has ONE consumer, so the r10-era pin on it is gone (the
+    // A/B that justified it priced TWO join-side reads).
+    val ltV = math.max(threshold - 1e-4, 0.0)
+    val pairs = shN
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ps"))
+      .select(explode(graft.functions.JaccardPairEmit.of(col("ps"), ltV)).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.n1").as("n1"), col("p.n2").as("n2"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
-    (pairs, () => { shN.unpersist(); sh0.unpersist(); () })
+    (pairs, () => { sh0.unpersist(); () })
   }
 
   def q32(s: SparkSession, d: String): DataFrame =
@@ -395,30 +409,22 @@ object DedupOps {
     * shared linear-cost front of q34's pair emission and q169's
     * histogram pair counting. One definition, so the two gates cannot
     * drift apart on the signature semantics. */
-  private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    // Straight from word INSTANCES: Σ_w cnt(w)·sign_b(hw(w)) over a doc's
-    // distinct-word counts is identically Σ over raw instances of
-    // sign_b(hw) — so the per-(doc, word) count aggregation the textbook
-    // formulation (and the oracle CTE) writes is skipped entirely, and the
-    // ONLY shuffle before the probe is doc_id-keyed 16-buffer partials
-    // (map-side combined; the exchange carries one row per doc per task).
-    // Word ids are map-side strHash — no dictionary, no global sort.
-    val h = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .select(col("doc_id"),
-        ((Parity.strHash(col("w")) * lit(2654435761L)) % 65536L).as("hw"))
-    // All 16 bit-plane sums as aggregation buffers of ONE groupBy (no 16×
-    // row blowup): bit b = sign of sum(±1) over the doc's word instances.
-    val bitCols = (0 until 16).map { b =>
-      when(sum(shiftright(col("hw"), b) % 2 * lit(2) - lit(1)) > 0,
-        lit(1L << b)).otherwise(lit(0L)).as(s"p$b")
-    }
-    h.groupBy(col("doc_id"))
-      .agg(bitCols.head, bitCols.tail: _*)
-      .withColumn("sh", (0 until 16).map(b => col(s"p$b")).reduce(_ + _))
-      .select(col("doc_id"), col("sh"))
-  }
+  private def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    // The whole signature is the native one-pass kernel (r19, VERDICT r18
+    // #5): [[graft.functions.SimHash16Expr]] computes the per-word
+    // portable hash, the 16-bit bucket and the ±1 bit votes over word
+    // INSTANCES inside the scan — a purely row-local function of the
+    // text, so the former explode(split) + 16-buffer groupBy(doc_id)
+    // aggregation (one row per word instance, one exchange per corpus)
+    // is gone: NO shuffle exists before the pigeonhole probe (q34) /
+    // signature histogram (q169). Bit-identical to the composed form
+    // (kernel scaladoc; SimHash16ParitySpec pins it, incl. the r18-era
+    // formulation rebuilt expression-by-expression); the `sh >= 0`
+    // filter reproduces the old shape's absence of no-word documents
+    // (explode emitted no row for them — the kernel returns −1).
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.SimHash16.of(col("text")).as("sh"))
+      .filter(col("sh") >= 0)
 
   /** q34's pair-emission body: signature build + pigeonhole half-probe,
     * returning (`d1`, `d2`, `dist`) unsorted. */

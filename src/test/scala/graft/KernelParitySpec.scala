@@ -166,4 +166,117 @@ class KernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(filtered == reference)
     assert(reference.nonEmpty, "fixture must exercise the pair path")
   }
+
+  private def withCodegenOff[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try f finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", prev)
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("pair emitter = index self-join: identical pair-row multiset (r19)") {
+    // the posting-list kernel replaced the shN ⋈ shN self-join inside
+    // jaccardPairsBuild; this pins the EMITTED pair rows (pre-aggregation,
+    // as a multiset) against the join form on real data with the skew
+    // fixture's hot prefix planted, in both execution paths.
+    val docs0 = Tables.documents(spark, "/root/testdata/sf0.001")
+    val docs = docs0.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(lit("common portal header shared across every page "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val sh0 = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHash.distinctOf(col("text"))).as("s"))
+    val cap = docs.agg(greatest(lit(5L),
+      floor(count(lit(1)) / lit(100)).cast("long")).as("cap"))
+    val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(cap)).filter(col("df") > col("cap")).select(col("s"))
+    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shN = sh.join(sizes, Seq("doc_id"))
+    val ltV = 0.5 - 1e-4
+    def multiset(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    def viaKernel() = multiset(shN.groupBy(col("s"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ps"))
+      .select(explode(graft.functions.JaccardPairEmit.of(col("ps"), ltV)).as("p"))
+      .select(col("p.d1"), col("p.d2"), col("p.n1"), col("p.n2")).collect())
+    val lt = lit(ltV)
+    val viaJoin = multiset(shN.as("a").join(shN.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * lt <= col("b.n") && col("b.n") * lt <= col("a.n"))
+      .select(col("a.doc_id"), col("b.doc_id"), col("a.n"), col("b.n"))
+      .collect())
+    assert(viaJoin.nonEmpty, "fixture must exercise the pair path")
+    assert(viaKernel() == viaJoin)
+    withCodegenOff { assert(viaKernel() == viaJoin) }
+  }
+
+  test("pair emitter unit semantics: ordering, bound boundary, degenerate lists") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    def list(entries: (Long, Long)*): ArrayData =
+      new GenericArrayData(entries.map { case (d, n) =>
+        val r = new GenericInternalRow(2); r.setLong(0, d); r.setLong(1, n); r
+      }.toArray[Any])
+    def emit(lt: Double, entries: (Long, Long)*): Seq[(Long, Long, Long, Long)] = {
+      val out = graft.functions.JaccardPairEmitExpr.emit(list(entries: _*), lt)
+      (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 4)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    }
+    // canonical order (d1 < d2) regardless of arrival order
+    assert(emit(0.0, (7L, 3L), (2L, 5L)) == Seq((2L, 7L, 5L, 3L)))
+    // boundary: the bound is <=, exactly like the Column form
+    assert(emit(0.5, (1L, 2L), (2L, 4L)) == Seq((1L, 2L, 2L, 4L))) // 4*0.5 == 2
+    assert(emit(0.5, (1L, 2L), (2L, 5L)) == Seq.empty)             // 5*0.5 > 2
+    // empty / singleton lists emit nothing
+    assert(emit(0.5) == Seq.empty)
+    assert(emit(0.5, (1L, 9L)) == Seq.empty)
+    // three docs: all C(3,2) pairs in sorted order
+    assert(emit(0.0, (3L, 1L), (1L, 1L), (2L, 1L)) ==
+      Seq((1L, 2L, 1L, 1L), (1L, 3L, 1L, 1L), (2L, 3L, 1L, 1L)))
+  }
+
+  test("simhash16 kernel is bit-identical to the exploded formulation") {
+    val s = spark; import s.implicits._
+    // corpus + non-ASCII words + documents with NO nonempty words (the
+    // composed form emits no signature row for those; the kernel returns
+    // −1 and the caller's `sh >= 0` filter reproduces the absence)
+    val texts = corpus ++ Seq("héllo wörld mixed ascii", "çé ü",
+      "   ", " ", "a héllo b", "naïve approach to naïve bayes")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val reference: Map[Long, Long] = {
+      val h = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .select(col("doc_id"),
+          ((graft.queries.Parity.strHash(col("w")) * lit(2654435761L)) % 65536L).as("hw"))
+      val bitCols = (0 until 16).map { b =>
+        when(sum(shiftright(col("hw"), b) % 2 * lit(2) - lit(1)) > 0,
+          lit(1L << b)).otherwise(lit(0L)).as(s"p$b")
+      }
+      h.groupBy(col("doc_id"))
+        .agg(bitCols.head, bitCols.tail: _*)
+        .withColumn("sh", (0 until 16).map(b => col(s"p$b")).reduce(_ + _))
+        .select(col("doc_id"), col("sh"))
+        .as[(Long, Long)].collect().toMap
+    }
+    def kernel(): Map[Long, Long] = docs
+      .select(col("doc_id"), graft.functions.SimHash16.of(col("text")).as("sh"))
+      .filter(col("sh") >= 0)
+      .as[(Long, Long)].collect().toMap
+    assert(reference.nonEmpty)
+    assert(kernel() == reference)
+    withCodegenOff { assert(kernel() == reference) }
+    // the no-word documents really are exercised and really are absent
+    val noWord = docs.filter(trim(col("text")) === "")
+      .select(col("doc_id")).as[Long].collect()
+    assert(noWord.nonEmpty && noWord.forall(id => !reference.contains(id)))
+  }
 }

@@ -90,6 +90,28 @@ class VectorD2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[Exception](bad.select(VectorD2.d2(col("a"), col("b"))).collect())
   }
 
+  test("null ELEMENT is rejected loudly, both kernels, both paths (r19)") {
+    // VERDICT r18 what's-wrong #3: the composed forms null-propagate, the
+    // pre-r19 kernels contributed 0.0 — a silent divergence waiting for a
+    // corpus with nullable embeddings. Pin the loud reject instead.
+    val s = spark; import s.implicits._
+    val df = Seq((Seq(Some(1f), None, Some(3f)), Seq(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    def checkThrows(c: org.apache.spark.sql.Column): Unit = {
+      val e = intercept[Exception](df.select(c).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("null element")),
+        s"expected the named null-element reject, got: $e")
+    }
+    checkThrows(VectorD2.d2(col("a"), col("b")))
+    checkThrows(graft.functions.VectorDot.dot(col("a"), col("b")))
+    withCodegenOff {
+      checkThrows(VectorD2.d2(col("a"), col("b")))
+      checkThrows(graft.functions.VectorDot.dot(col("a"), col("b")))
+    }
+  }
+
   test("widened vector_dot: (float, double) == cast-then-dot, both paths") {
     val s = spark; import s.implicits._
     val viaCast = aggregate(

@@ -63,17 +63,26 @@ class VectorDotSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertThrows[Exception](bad.select(VectorDot.dot(col("a"), col("b"))).collect())
   }
 
-  test("null ELEMENTS contribute 0.0, identically in both eval paths") {
+  test("null ELEMENTS are rejected loudly, identically in both eval paths") {
+    // r19 (VERDICT r18 what's-wrong #3): the pre-r19 kernels contributed
+    // 0.0 for a null element where the composed aggregate(zip_with(...))
+    // form null-propagates — a silent divergence waiting for a corpus with
+    // nullable embeddings. The kernel now fails with a named error.
     val s = spark; import s.implicits._
     val df = Seq((
       Seq(Option(1.0f), Option.empty[Float], Option(3.0f)),
       Seq(Option(2.0f), Option(5.0f), Option(1.0f))))
       .toDF("a", "b")
-    val expected = 1.0 * 2.0 + 0.0 + 3.0 * 1.0
-    val codegen = df.select(VectorDot.dot(col("a"), col("b"))).head.getDouble(0)
-    val interp = withCodegenOff(
-      df.select(VectorDot.dot(col("a"), col("b"))).head.getDouble(0))
-    assert(codegen == expected && interp == expected)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val eCodegen = intercept[Exception](
+      df.select(VectorDot.dot(col("a"), col("b"))).collect())
+    assert(msgs(eCodegen).exists(_.contains("null element")))
+    withCodegenOff {
+      val eInterp = intercept[Exception](
+        df.select(VectorDot.dot(col("a"), col("b"))).collect())
+      assert(msgs(eInterp).exists(_.contains("null element")))
+    }
   }
 
   test("vector_dot available from SQL after extension install") {
