@@ -87,6 +87,9 @@ object Scratch3 {
       }
       spark.sparkContext.addSparkListener(listener)
       if (mode.contains("noaqe")) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      if (mode.contains("p1")) spark.conf.set("spark.sql.shuffle.partitions", "1")
+      if (mode.contains("nobc")) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      if (mode.contains("shj")) spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       t(s"[$i] compute (the one collect)") {
         r = CashFlowStatement.compute(linesC, partialsC,
           Seq("a0"), LocalDate.of(1995, 1, 1), LocalDate.of(1995, 12, 31))
@@ -94,6 +97,9 @@ object Scratch3 {
       Thread.sleep(500)
       spark.sparkContext.removeSparkListener(listener)
       if (mode.contains("noaqe")) spark.conf.set("spark.sql.adaptive.enabled", "true")
+      if (mode.contains("p1")) spark.conf.set("spark.sql.shuffle.partitions", "32")
+      if (mode.contains("nobc")) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      if (mode.contains("shj")) spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
       println(s"[scratch] jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} " +
         s"taskTimeSum=${taskMs.get / 1000.0}s")
       linesC.unpersist(); partialsC.unpersist()

@@ -313,6 +313,40 @@ object ReportOps {
   def q170(s: SparkSession, d: String): DataFrame = {
     import graft.operators.FifoValuation
     import graft.report.CashFlowStatement
+    // STATIC PLAN for the statement (r19, VERDICT r18 next-list #1): the
+    // statement's whole body computes over two BOUNDED fixture frames
+    // (o_orderkey <= 600, ~2.4 k rows — the repartition(1) rationale
+    // below). At that size AQE's value is zero and its cost dominates:
+    // the one union collect ran as 27 driver-sequenced stage-jobs (153
+    // tasks, ~160 ms of replan+schedule each — measured, Scratch3), i.e.
+    // the gate was driver-bound, scaling ratio 0.79. With AQE off and the
+    // shuffle partitioning matched to the single-partition cached inputs,
+    // the SAME plan runs as ~10 jobs / 19 tasks: warm compute 4.3 → 3.0 s
+    // (jobs = the final collect + one per broadcast build; the planner
+    // still picks broadcast joins from the cached frames' statistics).
+    // Both knobs follow the KNOWN fixture bound, exactly like the
+    // repartition(1) caches — a production statement over unbounded
+    // journals keeps the session's AQE and partitioning (the bounded
+    // period-activity frames are the dimension-class exception, not the
+    // rule); restored in the finally. Alternatives measured and rejected:
+    // AQE on + 1 shuffle partition (25 jobs, no win — replanning is the
+    // cost, not the task count); AQE off + no broadcasts (task-time
+    // blowup, 26 s). Results are conf-independent (integral-valued sums,
+    // per-row cent flooring) — the oracle crosscheck pins that.
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "1")
+    try q170Body(s, d)
+    finally {
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.shuffle.partitions", prevSp)
+    }
+  }
+
+  private def q170Body(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.FifoValuation
+    import graft.report.CashFlowStatement
     // the synthetic lineitem does NOT key on (orderkey, linenumber) —
     // dedupe to one row per pair (deterministic: lowest partkey/suppkey)
     // so the derived line ids are unique; (okey, ln, partkey, suppkey)

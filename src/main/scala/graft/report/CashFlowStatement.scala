@@ -151,23 +151,42 @@ object CashFlowStatement {
     // move, keyed by the OUTSIDE (move, account), signed by side
     val lid = lines.select(col("line_id"), col("move_id").as("o_move"),
       col("account").as("o_account"))
-    val r1 = effPartials
-      .join(nonLiq.filter(col("balance") < 0).select(col("line_id").as("credit_id")),
-        Seq("credit_id"), "left_semi")
-      .join(lid, col("debit_id") === col("line_id"))
+    // BOTH reconciliation sides in ONE join chain (r19, VERDICT r18 #1 —
+    // the statement's job count): the two mirrored branches (r1: partials
+    // whose CREDIT is a negative counterpart line, keyed by the debit's
+    // outside move, rec = +amount; r2: partials whose DEBIT is a positive
+    // counterpart line, keyed by the credit's outside move, rec =
+    // −amount) used to run the semi-join / lid-join / anti-join trio
+    // TWICE. Tagging each partial with its key side and giving the
+    // counterpart lines the matching side label folds them into one
+    // union-sided pass — 6 joins → 3, mapping:
+    //   r1 ≡ side "c" rows (key = credit_id, other = debit_id,  rec = +amount)
+    //   r2 ≡ side "d" rows (key = debit_id,  other = credit_id, rec = −amount)
+    // A partial can legitimately appear on BOTH sides (its credit line a
+    // negative counterpart AND its debit line a positive one) — the union
+    // preserves the two rows exactly as the two branches did. Zero-balance
+    // counterpart lines matched NEITHER branch (< 0 / > 0) and get no side
+    // label here.
+    val sided = effPartials
+      .select(col("credit_id").as("key_id"), col("debit_id").as("other_id"),
+        col("amount").as("rec"), lit("c").as("side"))
+      .unionByName(effPartials
+        .select(col("debit_id").as("key_id"), col("credit_id").as("other_id"),
+          (-col("amount")).as("rec"), lit("d").as("side")))
+    val sidedCounterparts = nonLiq
+      .select(col("line_id").as("key_id"),
+        when(col("balance") < 0, "c").when(col("balance") > 0, "d").as("side"))
+      .filter(col("side").isNotNull)
+    val rBoth = sided
+      .join(sidedCounterparts, Seq("key_id", "side"), "left_semi")
+      .join(lid, col("other_id") === col("line_id"))
       .join(paymentMoves.withColumnRenamed("move_id", "o_move"), Seq("o_move"), "left_anti")
-      .select(col("o_move"), col("o_account"), col("amount").as("rec"))
-    val r2 = effPartials
-      .join(nonLiq.filter(col("balance") > 0).select(col("line_id").as("debit_id")),
-        Seq("debit_id"), "left_semi")
-      .join(lid, col("credit_id") === col("line_id"))
-      .join(paymentMoves.withColumnRenamed("move_id", "o_move"), Seq("o_move"), "left_anti")
-      .select(col("o_move"), col("o_account"), (-col("amount")).as("rec"))
+      .select(col("o_move"), col("o_account"), col("rec"))
     // recon feeds FOUR consumers (the reconMoves spine twice, the
     // reconFull join, the reconVals join) — cache it or each one replays
-    // the r1/r2 three-way joins; it is bounded by the reconciled
+    // the three-way join; it is bounded by the reconciled
     // (move, account) pairs, far below the journal
-    val recon = r1.unionByName(r2)
+    val recon = rBoth
       .groupBy(col("o_move"), col("o_account")).agg(sum(col("rec")).as("rec"))
       .cache()
     // the reconciled-move set is the spine for BOTH per-account balance
