@@ -67,10 +67,15 @@ object SelectionOps {
     // aggregation) — the separate cs/ct frames each recomputed the
     // explode+aggregate upstream; a null filtered sum is the missing-ct
     // case the old left join produced, so coalesce keeps the same w.
-    // nf stays UNPINNED despite the remaining two consumers: measured
-    // both ways (r9 cache(), r11 FramePin) — materializing the per-doc
-    // feature rows loses to recomputing the codegen'd explode at gate
-    // scale (pin 1.25 s vs recompute 1.06 s warm, ProfileOne sf0.1)
+    // nf stays UNPINNED — re-adjudicated r19 (VERDICT r18 #8) with the
+    // r18 n-gram kernel in place: the r11 A/B read pin 1.25 s vs
+    // recompute 1.06 s warm; with the kernel the two forms TIE at both
+    // granularities (Scratch8 warm rounds within ~5 %; fresh-child 3-run
+    // subset benches: unpinned q143 0.74 / q150 2.21 vs pinned 0.85 /
+    // 2.04 — mixed signs, inside the window band). On a tie the
+    // recompute form wins on simplicity: no localCheckpoint blocks, no
+    // lineage truncation, and the kernel explode is pure codegen'd
+    // map-side work that only gets cheaper at scale.
     val wt = nf.groupBy(col("b"))
       .agg(sum(col("c")).as("cs"),
         sum(when(col("lang") === "en", col("c"))).as("ct"))
