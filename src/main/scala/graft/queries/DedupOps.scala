@@ -125,14 +125,18 @@ object DedupOps {
     // GC-reclaimed once the consumer's frame goes unreachable
     jaccardPairsBuild(docs, threshold, graft.FramePin.pin)._1
 
-  /** [[jaccardPairs]] computed once and written to `out` as parquet, then
-    * the decorated-index caches RELEASED (ADVICE r4: the materialized path
-    * has a natural release point). [[PairMemo]] is the suite-level
-    * consumer. This path keeps the A/B-proven cache()+release pair
-    * (BASELINE.md dedup-index floor: both caches pay for themselves) —
-    * nothing lingers because release() runs before returning. */
+  /** [[jaccardPairs]] computed once and written to `out` as parquet.
+    * [[PairMemo]] is the suite-level consumer. Pin choice re-adjudicated
+    * r19: the r10 cache()+release A/B priced the SELF-JOIN shape (two
+    * join-side reads of the decorated index); with the posting-list
+    * kernel only sh0 is pinned (3 map-side consumers) and the
+    * localCheckpoint pin beats cache()'s columnar InMemoryRelation
+    * encode — solo-child 3-run benches: 10.32 → 8.20 and 8.48 → 7.70 s
+    * (two A/B pairs, comparable windows). Blocks die with the frame
+    * after the write (the release thunk stays for the cache-mode
+    * callers' contract; unpersist on a checkpointed frame is a no-op). */
   def materializePairs(docs: DataFrame, threshold: Double, out: String): Unit = {
-    val (pairs, release) = jaccardPairsBuild(docs, threshold, _.cache())
+    val (pairs, release) = jaccardPairsBuild(docs, threshold, graft.FramePin.pin)
     pairs.write.mode("overwrite").parquet(out)
     release()
   }
@@ -947,9 +951,12 @@ object DedupOps {
         coalesce(sum((col("df") * (col("df") - 1) / 2).cast("long")),
           lit(0L)).as("uncapped_mass")).head()
     sh0.unpersist()
-    // cache()+release is fine here: the pairs are fully counted at
-    // construction and the thunk releases both pins before returning
-    val (pairs, release) = jaccardPairsBuild(skewed, 0.5, _.cache())
+    // FramePin (r19, with the materializePairs re-adjudication): at gate
+    // scale the two pin forms tie here (solo benches 2.03 cache vs 1.99
+    // pin), so the r11 house rule's localCheckpoint form wins by default;
+    // the pairs are fully counted at construction and the blocks die with
+    // this frame
+    val (pairs, release) = jaccardPairsBuild(skewed, 0.5, graft.FramePin.pin)
     val nPairs = pairs.count()
     release()
     Seq((nDocs, cap, dfRow.getLong(0), dfRow.getLong(1), dfRow.getLong(2),
