@@ -45,6 +45,27 @@ object Scratch7 {
         .filter(col("sh") >= 0)
         .explain("formatted")
     }
+    if (which == "all" || which == "mh_before") {
+      println("===== minhash signatures BEFORE (r18: ngram explode + 12-min agg) =====")
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.PortableNgramHash.of(col("text"), 3)).as("sid"))
+      val minCols = (0 until 12).map(k =>
+        min((lit(53L * k + 7L) * col("sid") + lit(97L * k + 13L)) % 99991L).as(s"m$k"))
+      sh.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until 12).map(k => col(s"m$k")): _*).as("ms"))
+        .explain("formatted")
+    }
+    if (which == "all" || which == "mh_after") {
+      println("===== minhash signatures AFTER (r19: one-pass kernel projection) =====")
+      docs.select(col("doc_id"),
+          graft.functions.MinHashSig.of(col("text"), 3,
+            (0 until 12).map(k => 53L * k + 7L),
+            (0 until 12).map(k => 97L * k + 13L), 99991L).as("ms"))
+        .filter(size(col("ms")) > 0)
+        .explain("formatted")
+    }
     if (which == "all" || which == "pairs_before") {
       println("===== jaccard pair builder BEFORE (r18: decorated-index self-join) =====")
       // exactly jaccardPairsBuild at d86c44a, pins made visible as cache()

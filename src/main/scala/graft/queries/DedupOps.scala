@@ -257,20 +257,23 @@ object DedupOps {
     * signature); all K minhashes are aggregation buffers of ONE groupBy —
     * a map-side-combinable shuffle of the shingle rows, instead of a K×
     * row blowup (the scale-correct distributed MinHash plan). */
-  private def minhashSignatures(docs: DataFrame): DataFrame = {
-    // portable 3-gram hashes via the native kernel (r18) — one byte pass
-    // per document, bit-identical to the former shingles3Raw + strHash
-    // chain (word array + shingle strings per row); the min over these
-    // hash values IS the signature, so portability is load-bearing
-    val sh = docs.select(col("doc_id"),
-      explode(graft.functions.PortableNgramHash.of(col("text"), 3)).as("sid"))
-    val minCols = (0 until MhK).map(k =>
-      min((lit(53L * k + 7L) * col("sid") + lit(97L * k + 13L)) % MhP).as(s"m$k"))
-    sh.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until MhK).map(k => col(s"m$k")): _*).as("ms"))
-  }
+  private def minhashSignatures(docs: DataFrame): DataFrame =
+    // The whole signature is the native one-pass kernel (r19, following
+    // the r18 PortableNgramHash step): [[graft.functions.MinHashSigExpr]]
+    // computes the portable 3-gram hashes AND the K-permutation minima
+    // inside the scan — a purely row-local function of the text, so the
+    // former explode + K-min-buffer groupBy(doc_id) (one row per n-gram
+    // instance, one exchange per corpus) is gone: NO shuffle before the
+    // band join. Bit-identical (kernel scaladoc; KernelParitySpec pins it
+    // against the exploded formulation, both eval paths); `size(ms) > 0`
+    // reproduces the old shape's absence of <3-word documents. The
+    // permutation family constants stay plan-time literals mirrored in
+    // the oracle.
+    docs.select(col("doc_id"),
+        graft.functions.MinHashSig.of(col("text"), 3,
+          (0 until MhK).map(k => 53L * k + 7L),
+          (0 until MhK).map(k => 97L * k + 13L), MhP).as("ms"))
+      .filter(size(col("ms")) > 0)
 
   /** (doc_id, band, sig) banding of a signature frame — band ids and sigs
     * are row-local functions of the wide array, so the explode emits only

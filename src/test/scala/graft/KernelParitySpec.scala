@@ -242,6 +242,41 @@ class KernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((1L, 2L, 1L, 1L), (1L, 3L, 1L, 1L), (2L, 3L, 1L, 1L)))
   }
 
+  test("minhash signature kernel is bit-identical to the exploded formulation") {
+    val s = spark; import s.implicits._
+    val texts = corpus ++ Seq("héllo wörld mixed ascii words", "çé ü xx",
+      "   ", "a b", "one two three four")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val MhP = 99991L
+    val MhK = 12
+    // the r18 composed form, rebuilt expression-by-expression
+    val reference: Map[Long, Seq[Long]] = {
+      val sh = docs.select(col("doc_id"),
+        explode(graft.functions.PortableNgramHash.of(col("text"), 3)).as("sid"))
+      val minCols = (0 until MhK).map(k =>
+        min((lit(53L * k + 7L) * col("sid") + lit(97L * k + 13L)) % MhP).as(s"m$k"))
+      sh.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until MhK).map(k => col(s"m$k")): _*).as("ms"))
+        .as[(Long, Seq[Long])].collect().toMap
+    }
+    def kernel(): Map[Long, Seq[Long]] = docs
+      .select(col("doc_id"), graft.functions.MinHashSig.of(col("text"), 3,
+        (0 until MhK).map(k => 53L * k + 7L),
+        (0 until MhK).map(k => 97L * k + 13L), MhP).as("ms"))
+      .filter(size(col("ms")) > 0)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(reference.nonEmpty)
+    assert(kernel() == reference)
+    withCodegenOff { assert(kernel() == reference) }
+    // <3-word docs exercised and absent in both forms
+    val short = docs.filter(size(split(col("text"), " ")) < 3)
+      .select(col("doc_id")).as[Long].collect()
+    assert(short.nonEmpty && short.forall(id => !reference.contains(id)))
+  }
+
   test("simhash16 kernel is bit-identical to the exploded formulation") {
     val s = spark; import s.implicits._
     // corpus + non-ASCII words + documents with NO nonempty words (the
