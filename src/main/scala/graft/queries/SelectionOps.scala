@@ -52,17 +52,19 @@ object SelectionOps {
     * n_bigrams, score) — shared with the composed pipeline [[q150]]. */
   private[queries] def dsirScores(s: SparkSession, d: String): DataFrame = {
     val B = FeatureBuckets
-    // bigram hashes via the native portable n-gram kernel (r18) — one
-    // byte pass per document, bit-identical to the former
-    // split + zip_with(concat_ws) + strHash chain (which allocated the
-    // word array, two slice copies, and every bigram string per row)
+    // per-doc (bucket, count) features via the native one-pass kernel
+    // (r19; extends the r18 n-gram-hash step): the counts are a purely
+    // row-local function of the text, so the former explode + pmod +
+    // groupBy(doc_id, …, b) — one row per bigram INSTANCE and a corpus
+    // exchange — comes out of the scan already aggregated. Bit-identical
+    // (the kernel delegates the hash pass to PortableNgramHashExpr and
+    // the hash is nonnegative, so % == pmod; KernelParitySpec pins it);
+    // empty-array docs (<2 words) drop at the explode exactly as before.
     val nf = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(graft.functions.PortableNgramHash.of(col("text"), 2)).as("bh"))
+        explode(graft.functions.NgramBucketCounts.of(col("text"), 2, B.toInt)).as("bc"))
       .select(col("doc_id"), col("lang"), col("source"),
-        pmod(col("bh"), lit(B)).as("b"))
-      .groupBy(col("doc_id"), col("lang"), col("source"), col("b"))
-      .agg(count(lit(1)).as("c"))
+        col("bc.b").as("b"), col("bc.c").as("c"))
     // both marginals in ONE pass over nf (sum + filtered sum share the
     // aggregation) — the separate cs/ct frames each recomputed the
     // explode+aggregate upstream; a null filtered sum is the missing-ct

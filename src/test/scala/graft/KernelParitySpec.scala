@@ -277,6 +277,30 @@ class KernelParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(short.nonEmpty && short.forall(id => !reference.contains(id)))
   }
 
+  test("ngram bucket counts kernel = exploded pmod groupBy, exactly") {
+    val s = spark; import s.implicits._
+    val texts = corpus ++ Seq("héllo wörld mixed", "çé ü", " ", "solo")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val B = 1024
+    val reference: Map[(Long, Long), Long] = docs
+      .select(col("doc_id"),
+        explode(graft.functions.PortableNgramHash.of(col("text"), 2)).as("bh"))
+      .select(col("doc_id"), pmod(col("bh"), lit(B.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, b, c) => (d, b) -> c }.toMap
+    def kernel(): Map[(Long, Long), Long] = docs
+      .select(col("doc_id"),
+        explode(graft.functions.NgramBucketCounts.of(col("text"), 2, B)).as("bc"))
+      .select(col("doc_id"), col("bc.b"), col("bc.c"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, b, c) => (d, b) -> c }.toMap
+    assert(reference.nonEmpty)
+    assert(kernel() == reference)
+    withCodegenOff { assert(kernel() == reference) }
+  }
+
   test("simhash16 kernel is bit-identical to the exploded formulation") {
     val s = spark; import s.implicits._
     // corpus + non-ASCII words + documents with NO nonempty words (the
